@@ -1,0 +1,73 @@
+"""Golden tests for `strings.Fields` tokenizer parity
+(reference `main.go:195`; cases from FIXTURES.md §B.4, plus the
+Unicode-whitespace cases the DuckDB oracle can't express)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.functions.text import (
+    normalize_text,
+    token_count,
+    tokens,
+    word_shingles,
+)
+
+FIELDS_CASES = [
+    ("", 0),
+    ("   ", 0),
+    ("a b c", 3),
+    ("a\tb\nc\r\nd", 4),
+    (" leading trailing ", 2),
+    ("one", 1),
+    ("x    y", 2),
+    # Unicode whitespace — Go's unicode.IsSpace includes NBSP (U+00A0),
+    # ideographic space (U+3000), NEL (U+0085).
+    ("a b", 2),
+    ("a　b", 2),
+    ("ab", 2),
+    (" 　", 0),
+]
+
+
+def test_token_count_fields_parity(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(FIELDS_CASES)], "id int, s string"
+    )
+    got = {r["id"]: r["n"] for r in df.select("id", token_count("s").alias("n")).collect()}
+    for i, (s, want) in enumerate(FIELDS_CASES):
+        assert got[i] == want, f"case {s!r}: got {got[i]}, want {want}"
+
+
+def test_tokens_values(spark):
+    df = spark.createDataFrame([(" a\tbb  c ",)], "s string")
+    assert df.select(tokens("s").alias("t")).collect()[0]["t"] == ["a", "bb", "c"]
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([("  Hello\t WORLD\n",)], "s string")
+    assert df.select(normalize_text("s").alias("t")).collect()[0]["t"] == "hello world"
+
+
+@pytest.mark.parametrize(
+    "text,n,want",
+    [
+        ("a b c d", 2, ["a b", "b c", "c d"]),
+        ("a b c d", 3, ["a b c", "b c d"]),
+        ("a b", 3, ["a b"]),  # shorter than n -> whole doc as one shingle
+        ("", 3, []),
+        ("a b a b a b", 2, ["a b", "b a"]),  # distinct shingles only
+    ],
+)
+def test_word_shingles(spark, text, n, want):
+    df = spark.createDataFrame([(text,)], "s string")
+    assert df.select(word_shingles("s", n).alias("g")).collect()[0]["g"] == want
+
+
+def test_token_count_stays_jvm_side(spark):
+    """The hot path must be pure Catalyst — no BatchEvalPython/ArrowEval
+    nodes (the reference's per-pixel Go loops become codegen, not UDFs)."""
+    df = spark.createDataFrame([("a b",)], "s string").select(token_count("s"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

@@ -1,0 +1,69 @@
+"""Text primitives with exact reference-parity semantics.
+
+The reference's whole text pipeline is ``strings.Fields(text)`` and
+``len()`` of the result (``/root/reference/main.go:192-197``):
+Go ``strings.Fields`` splits around *runs* of Unicode whitespace and
+returns an empty slice for empty/all-whitespace input. We replicate
+that as a pure Catalyst expression so it runs inside whole-stage
+codegen — never a Python UDF.
+
+Parity notes (mirrored by golden tests, FIXTURES.md §B.4):
+  ``""`` -> 0 tokens, ``"   "`` -> 0, ``"a\tb\nc\r\nd"`` -> 4,
+  ``" leading trailing "`` -> 2, runs of spaces collapse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Java regex for runs of Unicode whitespace. ``(?U)`` turns on
+#: UNICODE_CHARACTER_CLASS so ``\s`` matches what Go's unicode.IsSpace
+#: does (NBSP, ideographic space, ...), not just ASCII whitespace.
+TOKEN_SPLIT_REGEX = r"(?U)\s+"
+
+
+def tokens(text: Column | str) -> Column:
+    """``strings.Fields`` equivalent: array of non-empty tokens.
+
+    ``split`` emits a leading "" when the string starts with whitespace
+    and a single "" for the empty string; the ``filter`` drops those,
+    matching Go exactly.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, TOKEN_SPLIT_REGEX), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    """``len(strings.Fields(text))`` — the reference's ``textCount``
+    (``main.go:195``), as an int column."""
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.length(col)
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse
+    whitespace runs to single spaces, trim."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(col), TOKEN_SPLIT_REGEX, " "))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+
+    Built from token arrays with higher-order array functions —
+    stays JVM-side. Documents shorter than ``n`` tokens yield their
+    whole (joined) token sequence as a single shingle so no document
+    silently disappears from dedup.
+    """
+    toks = tokens(text)
+    count = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(count - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(count > 0, grams).otherwise(F.array()))

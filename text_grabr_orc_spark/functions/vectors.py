@@ -1,0 +1,40 @@
+"""Vector math over ``array<float>`` embedding columns as pure
+Catalyst expressions (``zip_with`` + ``aggregate``), so similarity
+search's hot path stays inside whole-stage codegen with no Python.
+
+All math is done in double after an exact float->double widening, with
+strictly sequential summation — this makes results reproducible and
+lets the DuckDB oracle (``list_dot_product`` on DOUBLE lists) agree to
+the last ulp at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double_array(vec: Column | str) -> Column:
+    col = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-sum dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 for zero-norm inputs instead of NaN so a
+    degenerate vector can't poison a top-k ranking."""
+    d = dot(a, b)
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+The reference scales by running 10 stateless replicas behind nginx
+(``/root/reference/.github/workflows/aws-deploy.yml:37``); the Spark
+equivalent is partition parallelism. These settings are the local-mode
+development defaults — on a real cluster the same code runs unchanged,
+with AQE re-planning shuffles at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "text-grabr-orc-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    - AQE on: runtime shuffle coalescing + skew-join splitting, which is
+      what makes the LSH self-join and big aggregations survive skew.
+    - shuffle.partitions defaults to 2x cores locally; on a cluster AQE
+      coalesces from a high initial number, so over-provisioning is safe.
+    - UTC session timezone so timestamp semantics are stable across
+      driver environments.
+    - ORC filter pushdown explicitly on (it is the BASELINE.json
+      north-star format).
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or 2 * cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.orc.filterPushdown", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
