@@ -1,0 +1,124 @@
+"""Batch analytics over the events table: JSON extraction, time
+bucketing, sessionization — the batch twins of the streaming operators
+(streaming/events.py runs the same logic incrementally).
+
+Time buckets are derived from the raw int64 nanoseconds with integer
+division, so bucketing is exact, timezone-free, and — at 100 TB —
+a narrow map-side expression (no shuffle until the aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.sources.events import load_events
+
+_NS_PER_HOUR = 3_600 * 1_000_000_000
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json over the ``props`` JSON-string column (FIXTURES.md:
+    `{"k": 87}`) + aggregate by event type. The oracle uses a regex
+    because DuckDB-side JSON is an extension; Spark side is real
+    ``from_json`` with an explicit schema as SURVEY §7 requires."""
+    ev = load_events(spark, sf_dir)
+    parsed = ev.withColumn("k", F.from_json("props", "k BIGINT").getField("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.round(
+            F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:00:00') AS hour_start,
+           event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+           count(DISTINCT user_id) AS uniq_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregate by event type — the batch twin of the
+    streaming windowed count. Bucket = integer div on raw nanos;
+    rendered as a string so hashes are tz-proof."""
+    ev = load_events(spark, sf_dir)
+    hour_ts = F.expr(
+        f"timestampadd(HOUR, ts_ns div {_NS_PER_HOUR}, TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+    )
+    return (
+        ev.withColumn("hour_start", F.date_format(hour_ts, "yyyy-MM-dd HH:00:00"))
+        .groupBy("hour_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).cast("double"), 2
+            ).alias("sum_value"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+    )
+
+
+@register(
+    "events_user_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via the classic
+    lag + prefix-sum-of-new-session-flags pattern. Scale: exactly one
+    shuffle on user_id; both window passes reuse the same partitioning
+    (Spark plans a single exchange)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_ns = 30 * 60 * 1_000_000_000
+    is_new = F.when(
+        F.lag("ts_ns").over(w).isNull()
+        | ((F.col("ts_ns") - F.lag("ts_ns").over(w)) > gap_ns),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

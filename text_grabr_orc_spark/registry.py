@@ -49,6 +49,7 @@ def load_all() -> None:
     # Imports deferred so `import text_grabr_orc_spark` stays cheap.
     from text_grabr_orc_spark.operators import (  # noqa: F401
         dedup,
+        events_batch,
         relational,
         similarity,
         text_stats,
