@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], forcing full materialization of each result
+(count + a cheap checksum collect) and reporting per-query wall
+seconds. Session startup and ORC cache priming are excluded from
+query timings; `value` is the sum of query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from text_grabr_orc_spark import registry
+from text_grabr_orc_spark.session import get_spark
+
+#: headline set: one per operator family (SURVEY.md §2 / §7 M5)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "top_parts_by_revenue",
+    "window_top3_orders_per_customer",
+    "agg_cube_segment_priority",
+    "orc_roundtrip_pushdown",
+    "corpus_stats_by_lang",
+    "events_hourly_rollup",
+    "events_user_sessions",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "text_quality_by_source",
+    "doc_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+
+    # warm-up: JVM, parquet footers, ORC cache (not part of any timing)
+    from text_grabr_orc_spark.sources.orc_io import write_lineitem_orc
+
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    write_lineitem_orc(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Behavioral dedup tests on the FIXTURES.md §B.5 golden corpus:
+exact dups collapse, near-dups are found by every near-dup family,
+unrelated docs are never flagged."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.operators import dedup
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy cat near the river bank today"
+UNIQUE = [
+    "spark executes declarative plans with catalyst and tungsten runtimes",
+    "minhash signatures approximate jaccard similarity between shingle sets",
+    "structured streaming applies watermarks to bound state for late data",
+    "columnar parquet files carry min max statistics for row group pruning",
+    "broadcast joins avoid shuffling the large fact table across the network",
+]
+#: doc_id -> text: 0/1/2 exact dups (0 kept), 3/4 near-dups, 5..9 unique
+CORPUS = [(0, BASE), (1, BASE), (2, "  " + BASE.upper() + " "), (3, BASE + " again"),
+          (4, NEAR + " again"), *[(5 + i, t) for i, t in enumerate(UNIQUE)]]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("dedup_corpus")
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in CORPUS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_exact_dedup_collapses_normalized_dups(spark, corpus_dir):
+    out = dedup.dedup_exact(spark, corpus_dir).collect()
+    # 0,1,2 collapse (case/whitespace normalize), rest unique -> 8 hashes
+    assert len(out) == 8
+    collapsed = [r for r in out if r["n_copies"] == 3]
+    assert len(collapsed) == 1 and collapsed[0]["keep_doc_id"] == 0
+
+
+def test_deduplicated_documents_keep_first(spark, corpus_dir):
+    kept = sorted(
+        r["doc_id"] for r in dedup.deduplicated_documents(spark, corpus_dir).collect()
+    )
+    assert kept == [0, 3, 4, 5, 6, 7, 8, 9]
+
+
+def _pairs(df):
+    return {(r[0], r[1]) for r in df.collect()}
+
+
+def test_ngram_jaccard_finds_near_dup_pair(spark, corpus_dir):
+    pairs = _pairs(dedup.dedup_ngram_jaccard(spark, corpus_dir, threshold=0.5))
+    assert (3, 4) in pairs        # one-word edit
+    assert (0, 1) in pairs        # exact dup (J=1 on shingles)
+    # doc 2 is the UPPERCASED dup: shingles are case-sensitive by design
+    # (case-insensitive dedup is dedup_exact's normalize_text job)
+    assert (0, 2) not in pairs
+    for p in pairs:               # no unique doc ever flagged
+        assert p[0] < 5 and p[1] < 5
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, corpus_dir):
+    exact = _pairs(dedup.dedup_ngram_jaccard(spark, corpus_dir, threshold=0.5))
+    lsh = _pairs(dedup.dedup_minhash_lsh(spark, corpus_dir, threshold=0.5))
+    assert lsh == exact  # banded candidates + exact verify == brute force
+
+
+def test_minhash_deterministic_across_runs(spark, corpus_dir):
+    a = dedup.dedup_minhash_lsh(spark, corpus_dir).collect()
+    b = dedup.dedup_minhash_lsh(spark, corpus_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_near_dups_close_unique_far(spark, corpus_dir):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(
+        spark.read.parquet(f"{corpus_dir}/documents.parquet")).collect()}
+    ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")  # noqa: E731
+    assert ham(0, 1) == 0          # identical text -> identical signature
+    assert ham(3, 4) <= 5          # one-word edit -> tiny distance
+    assert ham(5, 6) > 10          # unrelated docs -> far apart
+
+
+def test_simhash_pairs_exact_verification(spark, corpus_dir):
+    pairs = _pairs(dedup.dedup_simhash(spark, corpus_dir, max_distance=5))
+    assert (3, 4) in pairs
+    assert all(p[0] < 5 and p[1] < 5 for p in pairs)

@@ -1,0 +1,50 @@
+"""Behavioral tests for lang-ID and quality scoring on REAL
+multilingual text (the fixture corpus is same-vocab word soup, so
+discrimination is only visible here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.operators.text_analysis import lang_id, quality_columns
+
+SAMPLES = [
+    ("en", "the cat sat on a mat and it was happy to be in the sun for hours"),
+    ("fr", "le chat est sur la table et il regarde les oiseaux pour un moment"),
+    ("es", "el gato es un animal que vive en la casa y por la noche duerme"),
+    ("de", "der hund und die katze sind ein gutes team das ist zu schön von ihnen"),
+    ("zh", "我 是 一个 学生 他 在 学校 有 很多 朋友 这 就 是 我 的 生活 了 不 是 吗"),
+]
+
+
+def test_lang_id_discriminates_real_languages(spark):
+    df = spark.createDataFrame(SAMPLES, "want string, text string")
+    pred, _ = lang_id(F.col("text"))
+    rows = df.select("want", pred.alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], f"{r['want']} predicted as {r['got']}"
+
+
+def test_lang_id_unknown_for_no_stopwords(spark):
+    df = spark.createDataFrame([("zzz qqq xxx",), ("",)], "text string")
+    pred, _ = lang_id(F.col("text"))
+    assert [r[0] for r in df.select(pred).collect()] == ["und", "und"]
+
+
+def test_quality_score_orders_garbage_below_prose(spark):
+    df = spark.createDataFrame(
+        [
+            ("prose", "the cat sat on the mat and it was happy to see the sun "
+                      "rise over the hills while the birds sang in the trees"),
+            ("garbage", "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( ))) ~~~ ``` |||"),
+            ("empty", ""),
+        ],
+        "kind string, text string",
+    )
+    cols = quality_columns("text")
+    rows = {r["kind"]: r for r in df.select(
+        "kind", cols["quality_score"].alias("q"), cols["punct_ratio"].alias("p")
+    ).collect()}
+    assert rows["prose"]["q"] > rows["garbage"]["q"]
+    assert rows["garbage"]["p"] > 0.5
+    assert rows["empty"]["q"] == 0.0 or rows["empty"]["q"] < rows["prose"]["q"]

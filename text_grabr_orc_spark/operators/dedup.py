@@ -1,1 +1,464 @@
-"""(stub — filled in by later milestone)"""
+"""M3 — deduplication operators for LLM training-data pipelines.
+
+Five dedup families over the ``documents`` table, each Spark-first:
+
+- exact:        sha256 of normalized text, keep-first
+- n-gram jaccard: inverted shingle index -> pair counts -> exact J
+- MinHash+LSH:  deterministic xxhash64 signatures, banded self-join,
+                exact-jaccard verification of candidates
+- SimHash:      64-bit per-doc signature, pigeonhole block self-join,
+                exact hamming verification
+- embedding cosine: exact pair cosine over the embeddings table
+
+Determinism: no randomness anywhere — MinHash permutations are
+xxhash64 seeded by position, SimHash bits come from xxhash64 token
+hashes — so every run (and every engine wired the same way) produces
+identical output, which is what makes the LSH paths testable.
+
+Scale design notes are on each operator; the common theme is that
+candidate generation is always an equi-join on a derived key (bucket,
+band, block) so Spark shuffles by key instead of cross-joining, and
+every candidate set is verified with the exact metric so approximation
+never changes the *answer*, only the work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from text_grabr_orc_spark.functions.text import normalize_text, tokens, word_shingles
+from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.tables import load_table
+
+#: DuckDB fragment: distinct word 3-gram shingles of ``text`` (parity
+#: with functions.text.word_shingles(n=3)).
+_ORACLE_SHINGLES = """
+    list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+                   for i in range(1, greatest(len(toks)-2, 1) + 1)])
+"""
+_ORACLE_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, source,
+               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+        FROM documents
+    )
+    SELECT h AS text_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM hashed
+    GROUP BY h
+    HAVING count(*) >= 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash normalized text, keep lowest doc_id.
+
+    Scale: sha256 is computed map-side; the groupBy shuffles 32-byte
+    keys with partial aggregation, so the shuffle is bounded by
+    distinct-hash cardinality — the canonical 100 TB exact-dedup plan.
+    (`dropDuplicates` would shuffle whole rows; aggregating the key
+    keeps the wide text column out of the exchange.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.sha2(normalize_text("text"), 256).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def deduplicated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus with exact duplicates removed (keep-first) — the
+    composable form other pipelines build on."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.withColumn("text_hash", F.sha2(normalize_text("text"), 256))
+    keep = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    return hashed.join(keep, ["text_hash", "doc_id"], "left_semi").drop("text_hash")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (exact, inverted-index candidate generation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_ORACLE_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                 (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+          (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle
+    index (no cross join anywhere).
+
+    Plan: explode distinct shingles -> self-equi-join on the shingle
+    -> count shared shingles per pair -> J = shared/(|A|+|B|-shared).
+    Only pairs sharing >=1 shingle are generated, which is exactly the
+    J > 0 support set, so the result equals brute force.
+
+    Scale: the self-join shuffles on the shingle string; a stop-shingle
+    appearing in d docs contributes d^2 pair rows — AQE's skew split
+    handles moderate cases, and partial aggregation collapses pairs
+    before the final shuffle. (A df-cap that drops ultra-common
+    shingles is the standard lossy escape hatch at extreme scale; left
+    off here because it changes J.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        _spread(docs.select("doc_id", "text"), spark.sparkContext.defaultParallelism)
+        .select("doc_id", word_shingles("text", 3).alias("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # read by sizes + inverted index
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 64
+_BAND_ROWS = 2  # 32 bands x 2 rows: P(candidate | J=0.5) = 1-(0.75)^32 ≈ 0.9999
+_MERSENNE = (1 << 31) - 1
+
+#: fixed affine-permutation coefficients (a*h+b mod p). Python's
+#: Mersenne-Twister is stable across versions, so these are constants
+#: in every run — and 31-bit operands keep a*h inside 64 bits, which
+#: matters because Spark 4 runs ANSI mode (overflow would *error*).
+import random as _random
+
+_rng = _random.Random(42)
+_PERM = [(_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE))
+         for _ in range(_N_HASHES)]
+
+
+def _spread(df: DataFrame, spark_parallelism: int) -> DataFrame:
+    """Repartition up (never down) so CPU-heavy per-row expressions
+    use every core — a tiny corpus parquet arrives as ONE partition,
+    which would serialize the whole signature computation. Call this
+    on the RAW input BEFORE the expensive projection: the exchange is
+    a barrier, so anything computed upstream of it stays on the
+    original (possibly single) partition."""
+    current = df.rdd.getNumPartitions()
+    target = max(spark_parallelism, current)
+    return df.repartition(target) if target > current else df
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """(doc_id, sig: array<bigint>) MinHash signatures.
+
+    One xxhash64 per shingle (the expensive string hash), then
+    n_hashes cheap affine permutations (a_i*h+b_i mod 2^31-1) of the
+    integer base hash — the classic one-hash minwise scheme.
+
+    Shaped for codegen, not elegance: explode shingles, then 64
+    ``min()`` aggregate columns. Spark's lambda (higher-order
+    function) evaluator is interpreted and ~10x slower than
+    whole-stage-codegen'd aggregates, and explode+agg also partial-
+    aggregates map-side — each doc's 64 mins are computed before the
+    shuffle, so the exchange carries one 64-long row per doc per
+    mapper. That is the right plan at 100 TB too."""
+    spark = docs.sparkSession
+    base = _spread(
+        docs.select("doc_id", "text"), spark.sparkContext.defaultParallelism
+    )
+    sh = base.select("doc_id", word_shingles("text", 3).alias("shingles"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h")
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(f"m{i}")
+        for i, (a, b) in enumerate(_PERM[:n_hashes])
+    ]
+    agg = exploded.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_ORACLE_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                 (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+          (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    shingle -> 64 minhashes -> 32 bands of 2 -> band self-join for
+    candidates -> exact Jaccard filter. The oracle is brute-force
+    Jaccard: with these band parameters the miss probability at
+    J=0.5 is ~1e-4 (and vanishes as J->1), so LSH output ==
+    brute-force output on any corpus whose near-dups are real.
+
+    Scale: this is THE 100 TB near-dup plan — candidates come from an
+    equi-join on (band_idx, band_hash), shuffle keyed and skew-split
+    by AQE; exact verification touches only candidate pairs. Band
+    buckets of identical boilerplate docs are the skew risk; the
+    verification join stays proportional to true-duplicate mass."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_N_HASHES // _BAND_ROWS - 1)),
+                lambda j: F.struct(
+                    j.alias("band_idx"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), j * _BAND_ROWS + 1, _BAND_ROWS), j
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = (
+        _spread(docs.select("doc_id", "text"), spark.sparkContext.defaultParallelism)
+        .select("doc_id", word_shingles("text", 3).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        # both sides of the verification join read this subplan; persist
+        # so shingling runs once (spills to disk at scale, like any
+        # shared-stage pipeline intermediate)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        candidates.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+_HAMMING_MAX = 5
+#: candidate blocks sized for distance<=8 (superset of the default 5)
+_BLOCK_GUARANTEE = 8
+#: pigeonhole: distance <= 8 => at least one of 9 blocks is identical,
+#: so block candidates cover every pair up to the guarantee distance
+_N_BLOCKS = _BLOCK_GUARANTEE + 1
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash: bigint) — 64-bit SimHash from xxhash64 token
+    hashes.
+
+    Bit i is set iff more than half the doc's token hashes have bit i
+    set. Shaped as explode + 64 codegen'd conditional-sum aggregates
+    (like minhash_signatures): partial aggregation makes the shuffle
+    one 64-int row per doc per mapper, and the whole pipeline stays in
+    whole-stage codegen instead of the interpreted lambda evaluator."""
+    spark = docs.sparkSession
+    toks = tokens(F.col("text"))
+    base = _spread(
+        docs.select("doc_id", "text"), spark.sparkContext.defaultParallelism
+    )
+    exploded = (
+        base.filter(F.size(toks) > 0)
+        .select("doc_id", F.explode(toks).alias("t"))
+        .select("doc_id", F.xxhash64("t").alias("h"))
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"c{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*sums)
+    sig = None
+    for i in range(_SIMHASH_BITS):
+        # bit 63 of a signed long is the sign bit: 1<<63 wraps negative
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        term = F.when(F.col(f"c{i}") > 0, F.lit(bit_val).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+@register("dedup_simhash")  # hash-function-specific -> rows-only driver check;
+# exact behavior pinned by tests/test_dedup.py golden corpus instead.
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_distance: int = _HAMMING_MAX
+) -> DataFrame:
+    """SimHash near-dup pairs with exact Hamming verification.
+
+    Candidates via the pigeonhole block trick: split the 64-bit
+    signature into 9 blocks; any pair within distance 8 must agree on
+    at least one whole block, so a self-equi-join per (block_idx,
+    block_value) finds all of them — again a keyed shuffle, never a
+    cross join. Exact popcount(xor) then filters false positives.
+
+    Scale: blocks of zeros are the skew magnet (short docs); the
+    distinct() before verification bounds duplicates, AQE splits hot
+    buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash(docs)
+    block_bits = [(i * 64) // _N_BLOCKS for i in range(_N_BLOCKS + 1)]
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), block_bits[i])
+                        .bitwiseAND((1 << (block_bits[i + 1] - block_bits[i])) - 1)
+                        .alias("block_val"),
+                    )
+                    for i in range(_N_BLOCKS)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_idx", "blk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        cand.filter(dist <= max_distance)
+        .select("doc_a", "doc_b", dist.cast("bigint").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine >= 0.4) — the semantic
+    twin of textual near-dup. Float vectors are widened to double and
+    summed sequentially so both engines agree to the ulp.
+
+    This exact variant is O(n^2/2) by construction (it IS the oracle
+    semantics); the scale path for big n is similarity.ann_topk_ivf's
+    centroid bucketing, which turns the quadratic into per-bucket
+    quadratics."""
+    from text_grabr_orc_spark.functions.vectors import cosine_similarity, to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= threshold)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )

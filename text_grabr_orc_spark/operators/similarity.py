@@ -1,1 +1,237 @@
-"""(stub — filled in by later milestone)"""
+"""M3 — similarity search over embedding columns.
+
+Two tiers, both pure Catalyst (zip_with/aggregate dot products — no
+Python in the hot path):
+
+- brute-force top-k: the exact baseline; broadcast the query set
+  against the corpus, rank per query. Correct at any corpus size as
+  long as the QUERY set is small — which is the actual shape of
+  "find neighbors for these k probes in a 100 TB corpus".
+- IVF (inverted-file) top-k: deterministic coarse quantizer (every
+  50th vector is a centroid), assign vectors to their nearest
+  centroid once, then search only the nprobe closest buckets per
+  query. The centroid set is broadcast-sized by construction, so
+  assignment is a broadcast join + argmin — the classic
+  billion-vector ANN layout re-expressed in DataFrame algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.functions.vectors import cosine_similarity, to_double_array
+from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.tables import load_table
+
+#: DuckDB cosine over double-widened lists (sequential sums — agrees
+#: with Spark's zip_with/aggregate to the ulp).
+_DK_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e"), "label"
+    )
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DK_COS.format(a="q.e", b="c.e")} AS cos,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_DK_COS.format(a="q.e", b="c.e")} DESC, c.vec_id
+               ) AS rk
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk
+    FROM scored WHERE rk <= 5
+    """,
+)
+def similarity_topk_bruteforce(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for a small query set.
+
+    Scale: the query side (10 rows) is broadcast, so the corpus is
+    scanned once with no shuffle of vectors; per-query ranking pushes
+    a WindowGroupLimit (executors keep only k rows per query)."""
+    emb = _emb(spark, sf_dir)
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        )
+    )
+    cos = cosine_similarity(F.col("qe"), F.col("e"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        emb.join(queries, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rk").cast("bigint"),
+        )
+    )
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 50 = 0
+    ), assigned AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_DK_COS.format(a="v.e", b="cent.ce")} DESC,
+                                cent.centroid_id
+                   ) AS crk
+            FROM v CROSS JOIN cent
+        ) WHERE crk = 1
+    ), probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DK_COS.format(a="q.e", b="cent.ce")} DESC,
+                                cent.centroid_id
+                   ) AS prk
+            FROM v q CROSS JOIN cent WHERE q.vec_id < 10
+        ) WHERE prk <= 3
+    ), scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_DK_COS.format(a="q.e", b="a.e")} AS cos,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_DK_COS.format(a="q.e", b="a.e")} DESC, a.vec_id
+               ) AS rk
+        FROM probes p
+        JOIN assigned a ON a.centroid_id = p.centroid_id
+        JOIN v q ON q.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk
+    FROM scored WHERE rk <= 5
+    """,
+)
+def similarity_topk_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """IVF approximate top-k: deterministic centroids (vec_id % stride
+    == 0), nearest-centroid assignment, probe the nprobe best buckets.
+
+    Approximate BY DESIGN, yet fully deterministic — both engines
+    compute identical doubles, so the oracle replicates the exact same
+    IVF result (this checks the *algorithm*, not just floats).
+
+    Scale: centroids are broadcast twice (assignment + probe); vectors
+    shuffle once on centroid_id. With sqrt(n) centroids the probe
+    scans ~nprobe/sqrt(n) of the corpus — the standard IVF tradeoff,
+    with recall measured against brute force in tests."""
+    emb = _emb(spark, sf_dir).select("vec_id", "e")
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") % centroid_stride == 0).select(
+            F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+        )
+    )
+    # assignment: every vector -> nearest centroid (broadcast + argmin)
+    ccos = cosine_similarity(F.col("e"), F.col("ce"))
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        emb.crossJoin(cent)
+        .select("vec_id", "e", "centroid_id", ccos.alias("ccos"))
+        .withColumn("crk", F.row_number().over(aw))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "e", "centroid_id")
+    )
+    # probes: each query -> nprobe nearest centroids
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        queries.crossJoin(cent)
+        .select(
+            "query_id", "qe",
+            "centroid_id",
+            cosine_similarity(F.col("qe"), F.col("ce")).alias("pcos"),
+        )
+        .withColumn("prk", F.row_number().over(pw))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "qe", "centroid_id")
+    )
+    # search only probed buckets
+    cos = cosine_similarity(F.col("qe"), F.col("e"))
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(assigned, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rk").cast("bigint"),
+        )
+    )
+
+
+@register(
+    "similarity_label_centroids",
+    oracle="""
+    WITH v AS (
+        SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    )
+    SELECT label, count(*) AS n,
+           round(avg(e[1]), 6) AS mean_dim0,
+           round(avg(e[2]), 6) AS mean_dim1
+    FROM v GROUP BY label
+    """,
+)
+def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid summary (first two dims) — the grouped
+    vector-aggregate shape used for cluster monitoring.
+
+    avg() of doubles is order-sensitive in the last ulps; rounding to
+    6 decimals absorbs it (values are O(0.1) with n>=40 samples)."""
+    emb = _emb(spark, sf_dir)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.element_at("e", 1)), 6).alias("mean_dim0"),
+        F.round(F.avg(F.element_at("e", 2)), 6).alias("mean_dim1"),
+    )

@@ -1,0 +1,312 @@
+"""M3 — text analysis for training-data pipelines: language ID,
+quality scoring, BPE-ish token counting, document fingerprinting.
+
+Everything is a pure Catalyst expression; the oracle SQL is GENERATED
+from the same constants (stopword lists, regexes, weights) so Spark
+and DuckDB provably score identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.functions.text import normalize_text, token_count, tokens
+from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+#: tiny per-language function-word lists (public knowledge); ordered —
+#: ties break toward the earlier entry, deterministically.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "他", "这", "就"),
+}
+
+
+def _lang_hits(toks: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, F.lower(t))))
+
+
+def lang_id(text: Column | str) -> tuple[Column, dict[str, Column]]:
+    """(predicted_lang, per-lang hit counts). Prediction = argmax of
+    stopword hits (ties -> dict order), 'und' when no hits at all."""
+    toks = tokens(text)
+    hits = {lang: _lang_hits(toks, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        pred = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            pred
+        )
+    return pred, hits
+
+
+def _oracle_hits(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(toks, t -> list_contains([{arr}], lower(t))))"
+    )
+
+
+def _oracle_lang_pred() -> str:
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    expr = "'und'"
+    for lang in reversed(langs):
+        expr = (
+            f"CASE WHEN h_{lang} > 0 AND h_{lang} = {best} "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{_oracle_hits(lg)} AS h_{lg}" for lg in STOPWORDS)}
+        FROM tok
+    )
+    SELECT doc_id, lang AS labeled_lang, {_oracle_lang_pred()} AS pred_lang,
+           h_en AS en_hits
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID per document. Narrow map-only plan —
+    scales linearly, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred, hits = lang_id(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        hits["en"].cast("bigint").alias("en_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+#: regex classes shared verbatim by both engines (ASCII on purpose —
+#: RE2 and Java agree on these).
+_ALPHA = "[A-Za-z]"
+_DIGIT = "[0-9]"
+_PUNCT = r"[^A-Za-z0-9\s]"
+
+#: composite-score weights (sum to 1); mirrors common LLM-corpus
+#: heuristics: long-enough, wordy, low symbol noise.
+_W_LEN, _W_STOP, _W_CLEAN = 0.3, 0.3, 0.4
+
+
+def quality_columns(text: Column | str) -> dict[str, Column]:
+    col = F.col(text) if isinstance(text, str) else text
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_chars = F.length(col)
+    alpha = F.regexp_count(col, F.lit(_ALPHA))
+    digit = F.regexp_count(col, F.lit(_DIGIT))
+    punct = F.regexp_count(col, F.lit(_PUNCT))
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(en, F.lower(t)))) / n_tok,
+    ).otherwise(F.lit(0.0))
+    avg_tok_len = F.when(n_tok > 0, (alpha + digit) / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, digit / n_chars).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    score = (
+        F.lit(_W_LEN) * len_score
+        + F.lit(_W_STOP) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(_W_CLEAN) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return {
+        "n_tokens": n_tok.cast("bigint"),
+        "avg_tok_len": F.round(avg_tok_len, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "digit_ratio": F.round(digit_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+_ORACLE_QUALITY = f"""
+    WITH base AS (
+        SELECT doc_id, source, text,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks,
+               len(regexp_extract_all(text, '{_ALPHA}')) AS alpha,
+               len(regexp_extract_all(text, '{_DIGIT}')) AS digit,
+               len(regexp_extract_all(text, '{_PUNCT}')) AS punct,
+               length(text) AS n_chars
+        FROM documents
+    ), m AS (
+        SELECT doc_id, source,
+               len(toks) AS n_tok,
+               CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, t -> list_contains(
+                       [{", ".join(f"'{w}'" for w in STOPWORDS["en"])}], lower(t)
+                   )))::DOUBLE / len(toks) ELSE 0.0 END AS stop_ratio,
+               CASE WHEN len(toks) > 0 THEN (alpha + digit)::DOUBLE / len(toks)
+                    ELSE 0.0 END AS avg_tok_len,
+               CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_chars > 0 THEN digit::DOUBLE / n_chars ELSE 0.0 END AS digit_ratio
+        FROM base
+    )
+    SELECT doc_id, source,
+           n_tok AS n_tokens,
+           round(avg_tok_len, 6) AS avg_tok_len,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(digit_ratio, 6) AS digit_ratio,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round({_W_LEN} * least(n_tok / 50.0, 1.0)
+                 + {_W_STOP} * least(stop_ratio * 5, 1.0)
+                 + {_W_CLEAN} * (1 - least(punct_ratio * 10, 1.0)), 6) AS quality_score
+    FROM m
+"""
+
+
+@register("text_quality_scores", oracle=_ORACLE_QUALITY)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics + composite score — the filter
+    stage of a corpus pipeline. Map-only; scales linearly."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_columns("text")
+    return docs.select("doc_id", "source", *[c.alias(n) for n, c in cols.items()])
+
+
+@register(
+    "text_quality_by_source",
+    oracle=f"""
+    WITH q AS ({_ORACLE_QUALITY})
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(quality_score), 4) AS avg_quality,
+           round(min(quality_score), 6) AS min_quality,
+           sum(n_tokens) AS total_tokens
+    FROM q GROUP BY source
+    """,
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level quality rollup — the keep/drop decision table.
+    avg of already-rounded 6dp scores, re-rounded to 4dp: safe against
+    summation-order noise at any realistic group size."""
+    q = text_quality_scores(spark, sf_dir)
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(F.min("quality_score"), 6).alias("min_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting
+# ---------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer approximation, restricted to syntax RE2
+#: and Java both support: words, numbers, single non-space symbols.
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_ISH}')) AS bpe_tokens,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+               AS ws_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counts (BPE pre-tokenizer approximation)
+    next to whitespace counts — the cost model for training budgets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_ISH)).cast("bigint").alias("bpe_tokens"),
+        token_count("text").cast("bigint").alias("ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+_POLY_B = 131
+_POLY_M = (1 << 31) - 1  # Mersenne; keeps h*B inside 64-bit under ANSI mode
+_WIN_K = 16  # winnowing window length (chars)
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           sha256(t) AS content_sha,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                            list_transform(string_split_regex(t, ''),
+                                           c -> ascii(c)::BIGINT)),
+               (h, c) -> (h * {_POLY_B} + c) % {_POLY_M}
+           ) AS poly_hash,
+           list_min([
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(string_split_regex(t[i:i+{_WIN_K - 1}], ''),
+                                      c -> ascii(c)::BIGINT)),
+                   (h, c) -> (h * {_POLY_B} + c) % {_POLY_M})
+               for i in range(1, greatest(length(t) - {_WIN_K} + 1, 1) + 1)
+           ]) AS min_window_hash
+    FROM norm
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three fingerprints per document: content sha256 (exact dedup
+    key), a polynomial rolling hash of the whole text, and the minimum
+    {k}-char-window rolling hash (a 1-element winnowing sketch, the
+    MOSS primitive). All pure expressions; the window sweep is
+    O(len·k) per row, map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = normalize_text("text")
+    chars_fold = (
+        "aggregate(split({src}, ''), 0L, "
+        f"(h, c) -> (h * {_POLY_B}L + ascii(c)) % {_POLY_M}L)"
+    )
+    poly = F.expr(
+        chars_fold.format(src="trim(regexp_replace(lower(text), '(?U)\\\\s+', ' '))")
+    )
+    win = F.expr(
+        f"""
+        array_min(transform(
+            sequence(1, greatest(length({{t}}) - {_WIN_K} + 1, 1)),
+            i -> aggregate(split(substring({{t}}, i, {_WIN_K}), ''), 0L,
+                           (h, c) -> (h * {_POLY_B}L + ascii(c)) % {_POLY_M}L)
+        ))
+        """.format(t="trim(regexp_replace(lower(text), '(?U)\\\\s+', ' '))")
+    )
+    return docs.select(
+        "doc_id",
+        F.sha2(t, 256).alias("content_sha"),
+        poly.alias("poly_hash"),
+        win.alias("min_window_hash"),
+    )

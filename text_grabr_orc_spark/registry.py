@@ -52,6 +52,7 @@ def load_all() -> None:
         events_batch,
         relational,
         similarity,
+        text_analysis,
         text_stats,
     )
     from text_grabr_orc_spark.sources import orc_io  # noqa: F401
