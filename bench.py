@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "similarity_topk_ivf",
     "text_quality_by_source",
     "doc_fingerprint",
+    "streaming_hourly_counts",
+    "ocr_pipeline_stub",
 ]
 
 

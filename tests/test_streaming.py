@@ -1,0 +1,40 @@
+"""Streaming/batch parity: the availableNow streaming runs must
+reproduce the batch answers through real incremental execution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.sources.events import load_events
+from text_grabr_orc_spark.streaming import events as se
+
+
+def test_streaming_distinct_users_equals_batch(spark, sf_dir):
+    got = {r["user_id"] for r in se.streaming_distinct_users(spark, sf_dir).collect()}
+    want = {
+        r["user_id"]
+        for r in load_events(spark, sf_dir).select("user_id").distinct().collect()
+    }
+    assert got == want
+
+
+def test_streaming_hourly_equals_batch_groupby(spark, sf_dir):
+    got = {
+        (r["hour_start"], r["event_type"]): r["n"]
+        for r in se.streaming_hourly_counts(spark, sf_dir).collect()
+    }
+    ev = load_events(spark, sf_dir)
+    batch = (
+        ev.withColumn("hour_start", F.date_format(F.date_trunc("hour", "ts"),
+                                                  "yyyy-MM-dd HH:00:00"))
+        .groupBy("hour_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r["hour_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
+
+
+def test_session_window_total_events_conserved(spark, sf_dir):
+    out = se.streaming_session_windows(spark, sf_dir)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == load_events(spark, sf_dir).count()

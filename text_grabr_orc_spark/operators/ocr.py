@@ -1,0 +1,240 @@
+"""M2 — the OCR/multimodal pipeline (reference parity, SURVEY.md §7).
+
+The reference is an HTTP service: upload image -> validate extension
+-> decode -> grayscale -> binarize(128) -> Tesseract(eng, PSM 1) ->
+``{text, textCount}`` JSON (``/root/reference/main.go:41-122``).
+Spark-first re-expression:
+
+- the request stream becomes a ``binaryFile`` DataFrame (a directory
+  or Structured Streaming file source replaces nginx + 10 replicas);
+- validation becomes native filters BEFORE the Python stage, so at
+  100 TB the expensive UDF only sees rows that can succeed;
+- decode/grayscale/binarize run vectorized inside ``mapInPandas``
+  (Arrow batches in, Arrow batches out — the JVM<->Python boundary
+  replaces the reference's CGO + double disk round-trip);
+- failures become an ``ocr_error`` column instead of HTTP 400/500 —
+  one bad image must not kill a 100 TB job (the reference fails the
+  whole request, ``main.go:61-91``);
+- Tesseract itself is STUBBED when pytesseract is absent (this
+  container has no tesseract): the stub emits a deterministic
+  marker text derived from the *binarized* image bytes, so the full
+  pipeline stays testable end-to-end. When pytesseract IS importable
+  it is used with lang='eng', psm=1 (= PSM_AUTO_OSD, main.go:118-119),
+  one engine instance per Python worker (the reference builds a new
+  client per request, main.go:100 — amortized here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from text_grabr_orc_spark.functions.text import token_count
+from text_grabr_orc_spark.imaging.ops import BINARIZE_THRESHOLD, binarize, to_grayscale
+from text_grabr_orc_spark.imaging.png import PngError, decode_png, encode_png
+from text_grabr_orc_spark.registry import register
+
+#: accepted extensions (main.go:73-80; lowercased first, so IMG.PNG passes)
+ACCEPTED_EXTENSIONS = ("png", "jpg", "jpeg")
+
+#: upload cap (main.go:43: ParseMultipartForm(10 << 20))
+MAX_FILE_BYTES = 10 * 1024 * 1024
+
+OCR_RESULT_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("text", StringType()),
+        StructField("textCount", IntegerType()),
+        StructField("ocr_engine", StringType()),
+        StructField("ocr_error", StringType()),
+    ]
+)
+
+
+def read_image_dir(spark: SparkSession, path: str) -> DataFrame:
+    """binaryFile scan of an image directory — the batch stand-in for
+    the reference's HTTP ingest (use readStream with the same schema
+    for continuous ingest)."""
+    return spark.read.format("binaryFile").load(path)
+
+
+def accepted_images(files: DataFrame) -> DataFrame:
+    """Native pre-filters: extension whitelist (main.go:73-80) and the
+    10 MB cap (main.go:43). Plain Catalyst filters, evaluated before
+    any Python — the scan doesn't even read `content` of oversized
+    files thanks to binaryFile's maxLength pushdown-style pruning."""
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([^./\\]+)$", 1))
+    return files.filter(ext.isin(*ACCEPTED_EXTENSIONS)).filter(
+        F.col("length") <= MAX_FILE_BYTES
+    )
+
+
+def _load_tesseract():
+    try:  # pragma: no cover - absent in this container
+        import pytesseract  # type: ignore
+
+        pytesseract.get_tesseract_version()
+        return pytesseract
+    except Exception:
+        return None
+
+
+def _stub_ocr(binarized: np.ndarray) -> str:
+    """Deterministic Tesseract stand-in: a marker token plus the
+    sha256 prefix of the preprocessed pixels, so tests can assert the
+    preprocessing actually reached the OCR stage byte-for-byte."""
+    digest = hashlib.sha256(binarized.tobytes()).hexdigest()[:12]
+    return f"OCRSTUB {binarized.shape[1]}x{binarized.shape[0]} {digest}"
+
+
+def ocr_extract(files: DataFrame) -> DataFrame:
+    """(path, content, ...) -> OCR_RESULT_SCHEMA via mapInPandas.
+
+    Scale: Arrow-batched; one decode+preprocess per row, vectorized
+    numpy inside; per-worker engine reuse; errors stay rows. Partition
+    count = file-scan partitions (spark.sql.files.maxPartitionBytes
+    sizes image batches per task)."""
+
+    def run(batches):
+        tess = _load_tesseract()
+        engine = "tesseract" if tess else "stub"
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    img = decode_png(bytes(content))
+                    pre = binarize(to_grayscale(img), BINARIZE_THRESHOLD)
+                    if tess:  # pragma: no cover - needs tesseract binary
+                        text = tess.image_to_string(
+                            io.BytesIO(encode_png(pre)),
+                            lang="eng",
+                            config="--psm 1",
+                        )
+                    else:
+                        text = _stub_ocr(pre)
+                    out.append((path, text, len(text.split()), engine, None))
+                except (PngError, ValueError, OSError) as e:
+                    out.append((path, None, None, engine, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                out, columns=["path", "text", "textCount", "ocr_engine", "ocr_error"]
+            )
+
+    return files.select("path", "content").mapInPandas(run, OCR_RESULT_SCHEMA)
+
+
+def ocr_pipeline(spark: SparkSession, image_dir: str) -> DataFrame:
+    """Full reference-parity pipeline over a directory of images.
+
+    ``textCount`` is recomputed JVM-side with the strings.Fields
+    tokenizer (main.go:195) — the Python ``len(text.split())`` above
+    matches it for ASCII, and the JVM recount is the authoritative
+    column (exact Unicode parity)."""
+    files = accepted_images(read_image_dir(spark, image_dir))
+    result = ocr_extract(files)
+    return result.withColumn(
+        "textCount",
+        F.when(
+            F.col("text").isNotNull(), token_count(F.col("text")).cast("int")
+        ).otherwise(F.lit(None).cast("int")),
+    )
+
+
+def results_as_json(df: DataFrame) -> DataFrame:
+    """``{"text": ..., "textCount": ...}`` rows — byte-parity with the
+    reference's response encoding (main.go:89, 216-219)."""
+    return df.select(
+        F.to_json(F.struct(F.col("text"), F.col("textCount"))).alias("json")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha,
+           substr(text, 1, 16) AS head
+    FROM documents
+    """,
+)
+def multimodal_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing over the documents table: text -> utf-8
+    bytes -> length/sha/decode-back. The typed-binary + metadata
+    pattern every multimodal column uses (images/audio are the same
+    shape with a different decoder)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    content = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(content).cast("bigint").alias("n_bytes"),
+        F.sha2(content, 256).alias("content_sha"),
+        F.substring(F.decode(content, "UTF-8"), 1, 16).alias("head"),
+    )
+
+
+_IMG_CACHE: dict[str, str] = {}
+
+
+def synthesize_image_dir(spark: SparkSession, sf_dir: str, n: int = 24) -> str:
+    """Deterministic PNG fixtures derived from the embeddings table:
+    each vector quantizes to an 8x8 gray image. Gives the binaryFile->
+    OCR pipeline real, reproducible image input in any environment."""
+    import tempfile
+
+    if sf_dir in _IMG_CACHE:
+        return _IMG_CACHE[sf_dir]
+    rows = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(F.col("vec_id") < n)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    out = tempfile.mkdtemp(prefix="tgos_imgs_")
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        img = ((v - v.min()) / max(v.max() - v.min(), 1e-9) * 255).astype(np.uint8)
+        png = encode_png(img.reshape(8, 8))
+        with open(os.path.join(out, f"vec_{r['vec_id']:05d}.png"), "wb") as f:
+            f.write(png)
+    # distractors the extension filter must reject (main.go:73-80)
+    for name in ("notes.txt", "doc.pdf"):
+        with open(os.path.join(out, name), "wb") as f:
+            f.write(b"not an image")
+    _IMG_CACHE[sf_dir] = out
+    return out
+
+
+@register("ocr_pipeline_stub")  # no SQL oracle: binaryFile + Python stage
+def ocr_pipeline_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline on synthesized PNGs: binaryFile
+    scan -> extension/size filters -> decode -> grayscale ->
+    binarize(128) -> (stub) OCR -> {text, textCount}. Deterministic
+    output (stub text is a pixel-hash marker), checked rows-only by
+    the driver and by pixel-golden pytest fixtures."""
+    img_dir = synthesize_image_dir(spark, sf_dir)
+    out = ocr_pipeline(spark, img_dir)
+    return out.select(
+        F.regexp_extract("path", r"(vec_\d+\.png)$", 1).alias("file"),
+        "text",
+        F.col("textCount").cast("bigint"),
+        "ocr_engine",
+        "ocr_error",
+    ).orderBy("file")

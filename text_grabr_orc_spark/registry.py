@@ -50,6 +50,7 @@ def load_all() -> None:
     from text_grabr_orc_spark.operators import (  # noqa: F401
         dedup,
         events_batch,
+        ocr,
         relational,
         similarity,
         text_analysis,

@@ -1,1 +1,229 @@
-"""(stub — filled in by later milestone)"""
+"""M4 — Structured Streaming over the events table.
+
+The reference has no streaming (each HTTP request is independent,
+``/root/reference/main.go:41-97``); this module supplies the
+streaming operator surface of SURVEY.md §2b: watermarks, tumbling /
+sliding / session windows, and streaming deduplication.
+
+Driver-contract adaptation: each registered query runs the stream
+with ``Trigger.AvailableNow`` into an in-memory sink and returns the
+final table — a real incremental execution (state store, watermarks,
+micro-batches) whose RESULT equals the batch semantics, which is
+exactly what makes a DuckDB oracle possible. On a live cluster the
+same builders run with a real source/sink and a continuous trigger.
+
+Timestamps: the parquet carries nanosecond timestamps; we rebuild a
+TIMESTAMP_NTZ with integer arithmetic (see sources/events.py) and set
+the session timezone to UTC for the streaming run, because streaming
+``window()`` state keys are zone-sensitive; outputs are formatted
+strings, so results stay environment-independent.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.tables import table_path
+
+_COUNTER = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same tz-free
+    timestamp rebuild as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # the file streaming source wants a DIRECTORY; stream the sf dir
+    # with a glob pinned to the events table
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.select(
+        "event_id",
+        F.col("ts").alias("ts_ns"),
+        F.expr(
+            "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+        ).alias("ts"),
+        # watermarks/windows demand TIMESTAMP (not NTZ): build the
+        # instant straight from epoch micros — timezone-free
+        F.expr("timestamp_micros(ts div 1000)").alias("ts_utc"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def _fmt_instant(col: str, fmt: str):
+    """Format a TIMESTAMP instant as its UTC wall clock, independent
+    of the session timezone: epoch seconds -> NTZ -> date_format
+    (date_format on NTZ ignores the zone)."""
+    return F.date_format(
+        F.expr(
+            f"timestampadd(SECOND, unix_timestamp({col}), "
+            "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+        ),
+        fmt,
+    )
+
+
+def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame with AvailableNow into a memory
+    sink; block until done; return the materialized result."""
+    spark = df.sparkSession
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"tgos_stream_{next(_COUNTER)}"
+    checkpoint = tempfile.mkdtemp(prefix="tgos_ckpt_")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", os.path.join(checkpoint, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    return df.sparkSession.table(name)
+
+
+@register(
+    "streaming_hourly_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_start,
+           event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate with a watermark — the
+    canonical streaming rollup. AvailableNow + complete mode emits
+    every window, so the result equals the batch group-by (the
+    oracle); with a live trigger the same plan emits incrementally,
+    state bounded by the 10-minute watermark."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_utc", "10 minutes")
+        .groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        _fmt_instant("w.start", "yyyy-MM-dd HH:00:00").alias("hour_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "streaming_sliding_windows",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts)
+                    - (j * INTERVAL 15 MINUTE), '%Y-%m-%d %H:%M:00') AS window_start,
+           event_type,
+           count(*) AS n
+    FROM events CROSS JOIN (SELECT unnest(range(4)) AS j)
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, 15-minute slide): each event
+    lands in 4 overlapping windows. The oracle replicates with the
+    window-start identity start in {floor15(ts) - j*15m, j=0..3}."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_utc", "10 minutes")
+        .groupBy(
+            F.window("ts_utc", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        _fmt_instant("w.start", "yyyy-MM-dd HH:mm:00").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30 minutes) per user — Spark's native
+    stateful sessionization. The oracle is batch gap-sessionization
+    (lag + prefix sum), which session-window semantics reduce to for
+    a static dataset: same sessions, same counts, same start times
+    (truncated to seconds for cross-engine string stability)."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_utc", "10 minutes")
+        .groupBy(F.session_window("ts_utc", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts_utc").alias("first_ts"))
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        _fmt_instant("first_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+@register(
+    "streaming_distinct_users",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates on the key column.
+    Projected to just the key, so the result is order-insensitive and
+    exactly the batch DISTINCT — while executing through the
+    streaming dedup state store. (dropDuplicatesWithinWatermark is
+    the bounded-state variant for true infinite streams; over a
+    finite replay both keep exactly one row per key.)"""
+    ev = events_stream(spark, sf_dir)
+    dedup = ev.select("user_id").dropDuplicates(["user_id"])
+    return run_to_memory(dedup, "append")
