@@ -1,0 +1,70 @@
+"""Multimodal operator tests: WAV codec round-trip, audio features on
+known signals, video frame sampling, image resize goldens."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from text_grabr_orc_spark.operators import multimodal as mm
+
+
+def test_wav_roundtrip():
+    s = (np.sin(np.arange(800) / 10.0) * 10000).astype(np.int16)
+    back, rate = mm.decode_wav_pcm16(mm.encode_wav_pcm16(s, 8000))
+    assert rate == 8000
+    assert np.array_equal(back, s)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        mm.decode_wav_pcm16(b"RIFFxxxxNOPE")
+
+
+def test_resize_nearest_golden():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = mm.resize_nearest(img, 2, 2)
+    assert out.tolist() == [[0, 2], [8, 10]]
+    up = mm.resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8) and up[0, 0] == 0 and up[7, 7] == 15
+
+
+def test_video_container_roundtrip_and_stub():
+    frames = [np.full((3, 3), v, np.uint8) for v in (0, 80, 160, 240)]
+    data = mm.encode_video(frames)
+    back = mm._decode_video(data)
+    assert len(back) == 4 and all(np.array_equal(a, b) for a, b in zip(frames, back))
+    with pytest.raises(NotImplementedError):
+        mm._decode_video(b"\x00\x00\x00\x00mp4?....")
+
+
+def test_audio_features_of_known_sine(spark, sf_dir):
+    rows = mm.multimodal_audio_features(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["error"] is None
+        assert r["sample_rate"] == 8000 and r["duration_sec"] == 0.5
+        # full-scale-ish sine: rms ≈ peak/sqrt(2)
+        assert r["rms"] == pytest.approx(r["peak"] / np.sqrt(2), rel=0.01)
+        assert r["zero_crossing_rate"] > 0
+
+
+def test_video_frames_sampled_every_2(spark, sf_dir):
+    rows = mm.multimodal_video_frames(spark, sf_dir).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file"], []).append(r)
+    assert len(by_file) == 8
+    for frames in by_file.values():
+        assert [f["frame_idx"] for f in frames] == [0, 2]  # every 2nd of 4
+        assert all(f["n_frames"] == 4 for f in frames)
+        # shifted copies differ -> different frame hashes
+        assert frames[0]["frame_sha"] != frames[1]["frame_sha"]
+
+
+def test_image_resize_pipeline(spark, sf_dir):
+    rows = mm.multimodal_image_resize(spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert all(r["width"] == 4 and r["height"] == 4 and r["error"] is None
+               for r in rows)
+    assert len({r["resized_sha"] for r in rows}) == 8  # distinct images

@@ -1,0 +1,314 @@
+"""North-star multimodal operators: typed binary columns + metadata
+with decode / feature-extract / resize / frame-sample stages.
+
+Everything Spark-side is real (binaryFile scans, Arrow-batched
+mapInPandas, schemas, partitioning); the codecs are:
+
+- images: REAL (the from-scratch PNG codec in imaging/png.py)
+- audio:  REAL for PCM WAV (RIFF parsing is a few struct unpacks;
+          features are vectorized numpy) — generated fixtures are
+          deterministic sine waves
+- video:  the container is a deterministic in-repo format (length-
+          prefixed PNG frames) so frame-sampling logic is real;
+          REAL codecs (mp4/h264) would slot into `_decode_video`,
+          which raises a clearly-marked NotImplementedError for
+          anything but the fixture container (no ffmpeg/PyAV in this
+          environment).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import tempfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.imaging.png import decode_png, encode_png
+from text_grabr_orc_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Image resize
+# ---------------------------------------------------------------------------
+
+
+def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy index math)."""
+    src_h, src_w = img.shape[:2]
+    ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+    xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+    return img[ys][:, xs]
+
+
+def resize_images(files: DataFrame, h: int, w: int) -> DataFrame:
+    """(path, content) -> (path, width, height, content) resized PNGs
+    via Arrow-batched mapInPandas — the thumbnail/normalize stage of
+    an image-corpus pipeline."""
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("content", BinaryType()),
+            StructField("error", StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    img = resize_nearest(decode_png(bytes(content)), h, w)
+                    out.append((path, w, h, encode_png(img), None))
+                except Exception as e:  # noqa: BLE001 - error-column semantics
+                    out.append((path, None, None, None, str(e)))
+            yield pd.DataFrame(
+                out, columns=["path", "width", "height", "content", "error"]
+            )
+
+    return files.select("path", "content").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio: PCM WAV decode + features
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer for mono 16-bit PCM (public format)."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE mono 16-bit PCM -> (samples, sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate, samples = None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack("<4sI", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV: fmt={fmt} ch={ch} bits={bits}")
+        elif cid == b"data":
+            samples = np.frombuffer(body, "<i2")
+        pos += 8 + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
+
+
+def audio_features(files: DataFrame, frame_ms: int = 25) -> DataFrame:
+    """(path, content WAV bytes) -> per-file audio features: duration,
+    RMS, zero-crossing rate, peak — the filter/QA stage of an audio
+    corpus. Vectorized numpy per file, Arrow-batched."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("duration_sec", DoubleType()),
+            StructField("rms", DoubleType()),
+            StructField("zero_crossing_rate", DoubleType()),
+            StructField("peak", DoubleType()),
+            StructField("error", StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    s, rate = decode_wav_pcm16(bytes(content))
+                    x = s.astype(np.float64) / 32768.0
+                    zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+                    out.append(
+                        (path, rate, len(s), round(len(s) / rate, 6),
+                         round(float(np.sqrt(np.mean(x * x))), 6),
+                         round(zc, 6), round(float(np.max(np.abs(x))), 6), None)
+                    )
+                except Exception as e:  # noqa: BLE001
+                    out.append((path, None, None, None, None, None, None, str(e)))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return files.select("path", "content").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Video: deterministic frame container + frame sampling
+# ---------------------------------------------------------------------------
+
+_VIDEO_MAGIC = b"TGOSVID1"
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """Length-prefixed PNG frame container (fixture format)."""
+    parts = [_VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        png = encode_png(f)
+        parts.append(struct.pack("<I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def _decode_video(data: bytes) -> list[np.ndarray]:
+    if data[:8] != _VIDEO_MAGIC:
+        # REAL codecs would go here (ffmpeg/PyAV, absent in this env)
+        raise NotImplementedError(
+            "only the TGOSVID1 fixture container is supported; "
+            "mp4/h264 decode requires ffmpeg/PyAV"
+        )
+    (n,) = struct.unpack("<I", data[8:12])
+    pos, frames = 12, []
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", data[pos : pos + 4])
+        frames.append(decode_png(data[pos + 4 : pos + 4 + ln]))
+        pos += 4 + ln
+    return frames
+
+
+def sample_video_frames(files: DataFrame, every_k: int = 2) -> DataFrame:
+    """(path, content) -> one row per SAMPLED frame (every k-th),
+    carrying the frame index and the frame's pixel sha — the
+    frame-extraction stage of a video-training pipeline. One input
+    row fans out to many output rows (mapInPandas is a flat map)."""
+    import hashlib
+
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("frame_sha", StringType()),
+            StructField("error", StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    frames = _decode_video(bytes(content))
+                    for i in range(0, len(frames), every_k):
+                        sha = hashlib.sha256(frames[i].tobytes()).hexdigest()[:16]
+                        out.append((path, i, len(frames), sha, None))
+                except NotImplementedError as e:
+                    out.append((path, None, None, None, f"stub: {e}"))
+                except Exception as e:  # noqa: BLE001
+                    out.append((path, None, None, None, str(e)))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return files.select("path", "content").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible queries (deterministic synthesized fixtures)
+# ---------------------------------------------------------------------------
+
+_MM_CACHE: dict[str, str] = {}
+
+
+def synthesize_media_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic media fixtures derived from the embeddings table:
+    per vector an 8x8 PNG, a 0.5s sine WAV (freq from the label), and
+    a 4-frame video of shifted copies."""
+    if sf_dir in _MM_CACHE:
+        return _MM_CACHE[sf_dir]
+    rows = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    out = tempfile.mkdtemp(prefix="tgos_media_")
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        img = ((v - v.min()) / max(v.max() - v.min(), 1e-9) * 255).astype(np.uint8)
+        img = img.reshape(8, 8)
+        with open(os.path.join(out, f"img_{r['vec_id']:03d}.png"), "wb") as f:
+            f.write(encode_png(img))
+        t = np.arange(4000) / 8000.0
+        freq = 200.0 + 50.0 * int(r["label"])
+        wav = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+        with open(os.path.join(out, f"aud_{r['vec_id']:03d}.wav"), "wb") as f:
+            f.write(encode_wav_pcm16(wav))
+        frames = [np.roll(img, k, axis=1) for k in range(4)]
+        with open(os.path.join(out, f"vid_{r['vec_id']:03d}.bin"), "wb") as f:
+            f.write(encode_video(frames))
+    _MM_CACHE[sf_dir] = out
+    return out
+
+
+@register("multimodal_image_resize")  # binaryFile + Python stage -> rows-only
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize the synthesized PNGs 8x8 -> 4x4 and report dims + sha of
+    the resized bytes (deterministic)."""
+    d = synthesize_media_dir(spark, sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(d, "*.png"))
+    resized = resize_images(files, 4, 4)
+    return resized.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file"),
+        "width",
+        "height",
+        F.sha2("content", 256).alias("resized_sha"),
+        "error",
+    ).orderBy("file")
+
+
+@register("multimodal_audio_features")  # rows-only (Python stage)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode + per-file features over the synthesized sine
+    fixtures (deterministic float features, rounded)."""
+    d = synthesize_media_dir(spark, sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(d, "*.wav"))
+    return audio_features(files).select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file"),
+        "sample_rate",
+        "n_samples",
+        "duration_sec",
+        "rms",
+        "zero_crossing_rate",
+        "peak",
+        "error",
+    ).orderBy("file")
+
+
+@register("multimodal_video_frames")  # rows-only (Python stage)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample (every 2nd frame) the synthesized videos."""
+    d = synthesize_media_dir(spark, sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(d, "*.bin"))
+    return sample_video_frames(files, 2).select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file"),
+        "frame_idx",
+        "n_frames",
+        "frame_sha",
+        "error",
+    ).orderBy("file", "frame_idx")

@@ -1,0 +1,173 @@
+"""M1 extensions: outer joins, approximate aggregates, JSON
+source/sink round-trip, and subquery shapes — the rest of the
+relational checklist (SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.tables import load_table
+
+
+@register(
+    "left_outer_order_returns",
+    oracle="""
+    WITH returns AS (
+        SELECT l_orderkey, count(*) AS n_returned
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           o.o_orderstatus,
+           coalesce(r.n_returned, 0) AS n_returned,
+           CAST(r.n_returned IS NULL AS INT) AS no_returns
+    FROM orders o LEFT JOIN returns r ON o.o_orderkey = r.l_orderkey
+    """,
+)
+def left_outer_order_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null-side handling: every order keeps a
+    row whether or not it has returned lineitems. Aggregating the
+    fact side BEFORE the join keeps the outer join 1:1 — at scale
+    this halves the shuffle and avoids outer-join row explosion."""
+    orders = load_table(spark, sf_dir, "orders")
+    returns = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_returned"))
+    )
+    j = orders.join(returns, orders.o_orderkey == returns.l_orderkey, "left")
+    return j.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
+        F.col("n_returned").isNull().cast("int").alias("no_returns"),
+    )
+
+
+@register(
+    "full_outer_nation_accounts",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(c.n_cust, 0) AS n_customers,
+           coalesce(s.n_supp, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def full_outer_nation_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: nations with only customers or only suppliers
+    survive with zero-filled counts."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = cust.join(supp, "nk", "full_outer")
+    return j.select(
+        F.col("nk").cast("bigint").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "subquery_above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (uncorrelated): orders above 1.5x
+    the global average.
+
+    avg() noise note: the threshold is a double average; an order
+    would need a price within ~1e-9 of the exact threshold for engine
+    last-ulp differences to flip membership — not present in this
+    data, and checked by the oracle either way."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice")).collect()[0][0]
+    return orders.filter(F.col("o_totalprice") > 1.5 * avg_price).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+
+
+@register(
+    "correlated_exists_big_lines",
+    oracle="""
+    SELECT p_partkey, p_brand
+    FROM part p
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49
+    )
+    """,
+)
+def correlated_exists_big_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via spark.sql — exercises the SQL entry path
+    and Catalyst's rewrite of correlated subqueries to semi joins."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("tgos_part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("tgos_lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand
+        FROM tgos_part p
+        WHERE EXISTS (
+            SELECT 1 FROM tgos_lineitem l
+            WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49
+        )
+        """
+    )
+
+
+@register("events_user_reach_approx")  # approx sketches differ per engine ->
+# rows-only driver check; accuracy bounded by tests/test_relational_ext.py
+def events_user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the sketch that replaces exact distinct at 100 TB (mergeable,
+    fixed memory). Output keeps both so accuracy is observable."""
+    from text_grabr_orc_spark.sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "json_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink + source round-trip: write documents as JSON lines,
+    read back with an explicit schema, aggregate. Equality with the
+    parquet-side oracle proves losslessness. Explicit schemas on read
+    skip the inference scan — mandatory at scale."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), "tgos_json_cache", tag)
+    docs = load_table(spark, sf_dir, "documents")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs.select("doc_id", "lang", "n_chars").write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )

@@ -310,3 +310,74 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         poly.alias("poly_hash"),
         win.alias("min_window_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(list_filter(
+            regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, lang, term, count(*) AS tf
+        FROM tok GROUP BY doc_id, lang, term
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.lang, tf.term,
+               sum(tf.tf * CAST(round(ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1,
+                                      9) AS DECIMAL(12,9))) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        GROUP BY tf.lang, tf.term
+    ), ranked AS (
+        SELECT lang, term, score,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY score DESC, term) AS rk
+        FROM scored
+    )
+    SELECT lang, term, round(CAST(score AS DOUBLE), 6) AS tfidf, rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per language — corpus term weighting
+    (HashingTF+IDF semantics, spelled out so the oracle can replicate;
+    smooth idf = ln((N+1)/(df+1)) + 1, quantized to 9 decimals so the
+    two engines' ln() agree, then summed exactly in DECIMAL).
+
+    Scale: explode -> two keyed aggregations (doc-term tf, term df) ->
+    broadcast-sized df table joins back -> per-lang top-k with a
+    WindowGroupLimit. All shuffles are on term/lang keys."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_q = F.round(
+        F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1, 9
+    ).cast("decimal(12,9)")
+    scored = (
+        tf.join(F.broadcast(df.withColumn("idf", idf_q)), "term")
+        .groupBy("lang", "term")
+        .agg(F.sum(F.col("tf") * F.col("idf")).alias("score"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "lang",
+            "term",
+            F.round(F.col("score").cast("double"), 6).alias("tfidf"),
+            F.col("rk").cast("bigint"),
+        )
+    )

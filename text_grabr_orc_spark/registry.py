@@ -50,8 +50,10 @@ def load_all() -> None:
     from text_grabr_orc_spark.operators import (  # noqa: F401
         dedup,
         events_batch,
+        multimodal,
         ocr,
         relational,
+        relational_ext,
         similarity,
         text_analysis,
         text_stats,

@@ -25,6 +25,8 @@ import itertools
 import os
 import tempfile
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -227,3 +229,64 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     dedup = ev.select("user_id").dropDuplicates(["user_id"])
     return run_to_memory(dedup, "append")
+
+
+@register(
+    "streaming_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator via applyInPandasWithState:
+    per-user running (count, sum) kept in explicit group state across
+    micro-batches, emitted after the final batch. The oracle is the
+    batch group-by — the stateful replay must converge to it exactly
+    (sum carried in integer cents so cross-batch accumulation is
+    exact).
+
+    This is the extension point for operators Spark lacks natively
+    (custom sessionization, decaying counters, online sketches):
+    state is an arbitrary tuple per key, updates are pandas-vectorized
+    per micro-batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        rows, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            rows += len(pdf)
+            # exact accumulation: values are 2-decimal doubles -> cents
+            cents += int(round(float(pdf["value"].sum()) * 100))
+        state.update((rows, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [rows], "total_cents": [cents]}
+        )
+
+    out = ev.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    final = run_to_memory(out, "update")
+    # multiple micro-batches emit one row per user per batch in update
+    # mode; the LAST emission per user carries the converged totals
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        final.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("total_cents") / 100.0, 2).alias("total_value"),
+        )
+    )
