@@ -52,18 +52,33 @@ def normalize_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), TOKEN_SPLIT_REGEX, " "))
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a pre-materialized token
+    array column.
 
-    Built from token arrays with higher-order array functions —
-    stays JVM-side. Documents shorter than ``n`` tokens yield their
-    whole (joined) token sequence as a single shingle so no document
-    silently disappears from dedup.
+    Callers should project the token array in its OWN ``select`` first
+    (``df.select(tokens(...).alias("t")).select(shingles_from_tokens(
+    F.col("t")))``): the lambda below references the array many times,
+    and Catalyst's CollapseProject deliberately refuses to inline a
+    non-cheap expression (the regex split) into multiple references —
+    so the two-step shape computes the split once per row, measured
+    ~2x faster than the fused expression.
     """
-    toks = tokens(text)
     count = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(count - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return F.array_distinct(F.when(count > 0, grams).otherwise(F.array()))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+
+    Built from token arrays with higher-order array functions —
+    stays JVM-side. Documents shorter than ``n`` tokens yield their
+    whole (joined) token sequence as a single shingle so no document
+    silently disappears from dedup. Prefer the two-step
+    ``shingles_from_tokens`` shape in hot paths (see its docstring).
+    """
+    return shingles_from_tokens(tokens(text), n)

@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from text_grabr_orc_spark.functions.text import normalize_text, tokens, word_shingles
+from text_grabr_orc_spark.functions.text import (
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+    word_shingles,
+)
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.tables import load_table
 
@@ -132,10 +137,8 @@ def dedup_ngram_jaccard(
     shingles is the standard lossy escape hatch at extreme scale; left
     off here because it changes J.)"""
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        _spread(docs.select("doc_id", "text"), spark.sparkContext.defaultParallelism)
-        .select("doc_id", word_shingles("text", 3).alias("shingles"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # read by sizes + inverted index
+    sh = shingle_table(docs).persist(
+        StorageLevel.MEMORY_AND_DISK  # read by sizes + inverted index
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -193,8 +196,25 @@ def _spread(df: DataFrame, spark_parallelism: int) -> DataFrame:
     return df.repartition(target) if target > current else df
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
-    """(doc_id, sig: array<bigint>) MinHash signatures.
+def shingle_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles: array<string>) — the shared upstream of
+    every shingle-based dedup stage, shaped two-step (tokens
+    projected in their own select, see shingles_from_tokens) so the
+    regex split runs once per row."""
+    base = _spread(
+        docs.select("doc_id", "text"),
+        docs.sparkSession.sparkContext.defaultParallelism,
+    )
+    return base.select("doc_id", tokens("text").alias("t")).select(
+        "doc_id", shingles_from_tokens(F.col("t"), 3).alias("shingles")
+    )
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, n_hashes: int = _N_HASHES
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) MinHash signatures from a
+    (doc_id, shingles) table.
 
     One xxhash64 per shingle (the expensive string hash), then
     n_hashes cheap affine permutations (a_i*h+b_i mod 2^31-1) of the
@@ -207,11 +227,6 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     aggregates map-side — each doc's 64 mins are computed before the
     shuffle, so the exchange carries one 64-long row per doc per
     mapper. That is the right plan at 100 TB too."""
-    spark = docs.sparkSession
-    base = _spread(
-        docs.select("doc_id", "text"), spark.sparkContext.defaultParallelism
-    )
-    sh = base.select("doc_id", word_shingles("text", 3).alias("shingles"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h")
     )
@@ -223,6 +238,12 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     return agg.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
     )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """(doc_id, sig) MinHash signatures straight from a documents
+    table — convenience wrapper over the shingle_table two-step."""
+    return minhash_signatures_from_shingles(shingle_table(docs), n_hashes)
 
 
 @register(
@@ -259,7 +280,14 @@ def dedup_minhash_lsh(
     buckets of identical boilerplate docs are the skew risk; the
     verification join stays proportional to true-duplicate mass."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # ONE shingling pass feeds both signature generation and exact
+    # verification — persisted because three subplans read it
+    sh = (
+        shingle_table(docs)
+        .filter(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs = minhash_signatures_from_shingles(sh)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -286,15 +314,6 @@ def dedup_minhash_lsh(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-    )
-    sh = (
-        _spread(docs.select("doc_id", "text"), spark.sparkContext.defaultParallelism)
-        .select("doc_id", word_shingles("text", 3).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        # both sides of the verification join read this subplan; persist
-        # so shingling runs once (spills to disk at scale, like any
-        # shared-stage pipeline intermediate)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -331,14 +350,16 @@ def simhash(docs: DataFrame) -> DataFrame:
     one 64-int row per doc per mapper, and the whole pipeline stays in
     whole-stage codegen instead of the interpreted lambda evaluator."""
     spark = docs.sparkSession
-    toks = tokens(F.col("text"))
     base = _spread(
         docs.select("doc_id", "text"), spark.sparkContext.defaultParallelism
     )
+    # tokens projected once (two-step, see shingles_from_tokens), then
+    # filter + explode reference the materialized array
     exploded = (
-        base.filter(F.size(toks) > 0)
-        .select("doc_id", F.explode(toks).alias("t"))
-        .select("doc_id", F.xxhash64("t").alias("h"))
+        base.select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") > 0)
+        .select("doc_id", F.explode("t").alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("h"))
     )
     sums = [
         F.sum(
