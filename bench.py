@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "similarity_topk_ivf",
     "text_quality_by_source",
     "doc_fingerprint",
+    "asof_purchase_last_click",
+    "multires_rollup_daily",
     "streaming_hourly_counts",
     "ocr_pipeline_stub",
 ]

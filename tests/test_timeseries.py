@@ -1,0 +1,93 @@
+"""Time-series operators: semantics on hand-built corners the driver
+fixtures can't hit (boundary ties, empty sides), plus plan-shape
+assertions — the as-of/range compositions must never degenerate into
+nested-loop/cartesian plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.operators import timeseries
+from text_grabr_orc_spark.plans import assert_no_python, executed_plan
+
+
+def test_asof_plan_is_linear(spark, sf_dir):
+    df = timeseries.asof_purchase_last_click(spark, sf_dir)
+    plan = executed_plan(df)
+    # the whole point of the union+window shape: NO join at all
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan, plan
+    assert_no_python(df)
+
+
+def test_range_join_plan_is_keyed(spark, sf_dir):
+    df = timeseries.range_join_clicks_before_purchase(spark, sf_dir)
+    plan = executed_plan(df)
+    # range predicate must ride an equi-join on user_id, not a
+    # nested-loop over all pairs
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert_no_python(df)
+
+
+def test_asof_boundary_and_missing_click(spark):
+    # user 1: click at t=100 exactly equal to purchase ts -> matched
+    #         (ASOF is <=); later purchase reuses the same click
+    # user 2: purchase with no click ever -> null click, null gap
+    rows = [
+        (1, 1, "click", 100_000),
+        (2, 1, "purchase", 100_000),
+        (3, 1, "purchase", 250_000),
+        (4, 2, "purchase", 50_000),
+        (5, 2, "click", 60_000),  # AFTER the purchase -> must not match
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_ns long"
+    )
+    import text_grabr_orc_spark.operators.timeseries as ts
+    import text_grabr_orc_spark.sources.events as src
+
+    orig = src.load_events
+    try:
+        src.load_events = lambda _spark, _sf: ev
+        ts_load = ts.load_events  # module-level import binding
+        ts.load_events = lambda _spark, _sf: ev
+        out = {
+            r["event_id"]: r.asDict()
+            for r in ts.asof_purchase_last_click(spark, "unused").collect()
+        }
+    finally:
+        src.load_events = orig
+        ts.load_events = ts_load
+    assert out[2]["click_ts_us"] == 100 and out[2]["gap_us"] == 0
+    assert out[3]["click_ts_us"] == 100 and out[3]["gap_us"] == 150
+    assert out[4]["click_ts_us"] == -1 and out[4]["gap_us"] == -1
+
+
+def test_multires_rollup_matches_direct_daily(spark, sf_dir):
+    """The minute->day two-level rollup must equal a direct daily agg
+    (n and sum; n_active_minutes is checked for sanity bounds)."""
+    from text_grabr_orc_spark.sources.events import load_events
+
+    direct = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            F.date_format(
+                F.expr(
+                    "timestampadd(DAY, CAST(ts_ns div 86400000000000 AS INT), "
+                    "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rolled = timeseries.multires_rollup_daily(spark, sf_dir).select(
+        "day", "event_type", "n", "n_active_minutes"
+    )
+    d = {(r["day"], r["event_type"]): r["n"] for r in direct.collect()}
+    for r in rolled.collect():
+        key = (r["day"], r["event_type"])
+        assert d[key] == r["n"], key
+        assert 1 <= r["n_active_minutes"] <= r["n"]

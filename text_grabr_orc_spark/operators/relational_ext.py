@@ -171,3 +171,106 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@register(
+    "pivot_segment_priority",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+           count(CASE WHEN o.o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
+           count(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_medium,
+           count(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+               AS n_notspec,
+           count(CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order-priority counts spread into columns per market
+    segment. The pivot values are declared explicitly — with inferred
+    values Spark first runs a distinct() discovery pass over the fact
+    table, a full extra scan at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", pri)
+        .count()
+    )
+    names = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    return piv.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a) for p, a in zip(pri, names)],
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT measure, count(*) AS n,
+           round(CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM (
+        SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: the four lineitem numeric measures into long form
+    then a per-measure aggregate. Spark's unpivot is a map-side
+    expression (no shuffle until the aggregate), so the long form
+    never materializes 4x the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.expr("CAST(val AS DECIMAL(18,2))")).cast("double"), 2
+        ).alias("total"),
+    )
+
+
+@register(
+    "salted_returnflag_stats",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def salted_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation for pathological key skew: the
+    group-by key has only ~4 distinct values, so a direct shuffle
+    lands all 100 TB on 4 reducers. Stage 1 fans each key out across
+    64 salts (count/sum are algebraic, so partials merge exactly —
+    DECIMAL keeps the sum associative); stage 2 merges 4x64 tiny rows.
+    The oracle is the unsalted group-by: salting must never change
+    the answer. (For skewed JOINS the same salt trick replicates the
+    build side; AQE's skewJoin does it adaptively.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(64))
+    )
+    partial = salted.groupBy("l_returnflag", "l_linestatus", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,2))")).alias("pq"),
+    )
+    return partial.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pq").cast("double"), 2).alias("sum_qty"),
+    )

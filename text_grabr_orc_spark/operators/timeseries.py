@@ -1,0 +1,211 @@
+"""Time-series operators Spark has no single primitive for: as-of
+join, bounded range join, and hypertable-style multi-resolution
+rollups — each expressed as a composition of DataFrame ops (SURVEY.md
+§2b "custom operators": composition first, never a cross join).
+
+All time arithmetic is on the raw int64 nanoseconds (``ts_ns`` from
+sources.events), so results are exact and timezone-free regardless of
+the driver session's zone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.sources.events import load_events
+
+_NS_PER_SEC = 1_000_000_000
+_NS_PER_MIN = 60 * _NS_PER_SEC
+_NS_PER_DAY = 86_400 * _NS_PER_SEC
+
+
+@register(
+    "asof_purchase_last_click",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           coalesce(epoch_us(c.ts), -1) AS click_ts_us,
+           coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: for every purchase, the user's most recent click at
+    or before the purchase instant (the canonical trades↔quotes shape;
+    oracle is DuckDB's native ASOF LEFT JOIN).
+
+    Spark lacks the operator, and the naive translation — non-equi
+    join then max() — explodes to every (purchase, earlier-click)
+    pair. This is instead the MERGE-style plan: union the two tagged
+    event sets, ONE shuffle by user, and a running
+    ``last(click_ts, ignorenulls)`` window carries the latest click
+    forward into each purchase row. Cost is sort-shuffle of
+    |p|+|c| rows — linear, skew-tolerant, the right plan at 100 TB.
+    Ties (click exactly at purchase ts) sort clicks first so the
+    boundary matches ASOF's ``c.ts <= p.ts``."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_ns"
+    )
+    tagged = ev.filter(F.col("event_type").isin("purchase", "click")).withColumn(
+        "is_p", (F.col("event_type") == "purchase").cast("int")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("is_p") == 0, F.col("ts_ns")), ignorenulls=True
+    ).over(w)
+    # emitted at MICROsecond precision: DuckDB truncates parquet
+    # TIMESTAMP_NS to its native us TIMESTAMP on read, so the oracle
+    # can only see us. div-then-subtract mirrors truncate-then-diff.
+    # no-click rows emit -1, not NULL: a nullable BIGINT degrades to
+    # float64 in pandas-based comparators, corrupting 16-digit values.
+    return (
+        tagged.withColumn("click_ts_ns", last_click)
+        .filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts_ns div 1000").alias("purchase_ts_us"),
+            F.expr("coalesce(click_ts_ns div 1000, -1)").alias("click_ts_us"),
+            F.expr(
+                "coalesce((ts_ns div 1000) - (click_ts_ns div 1000), -1)"
+            ).alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id,
+           p.user_id,
+           count(c.event_id) AS n_clicks_5m
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND epoch_ns(c.ts) BETWEEN epoch_ns(p.ts) - 300000000000
+                            AND epoch_ns(p.ts)
+    GROUP BY 1, 2
+    """,
+)
+def range_join_clicks_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded RANGE JOIN: clicks within the 5 minutes before each
+    purchase, per user. The equi-key (user_id) carries the shuffle;
+    the range predicate is evaluated post-join inside codegen, so the
+    plan is a plain shuffled hash join, not a cross product. At scale
+    the per-user fan-out is bounded by activity rate x window — the
+    range join stays linear in matched pairs."""
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_ns").alias("p_ns")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_ns").alias("c_ns"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ns") >= F.col("p_ns") - 300 * _NS_PER_SEC)
+        & (F.col("c_ns") <= F.col("p_ns")),
+        "left",
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("c_id").alias("n_clicks_5m")
+    )
+
+
+@register(
+    "multires_rollup_daily",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value,
+           count(DISTINCT time_bucket(INTERVAL 1 MINUTE, ts))
+               AS n_active_minutes
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def multires_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: a minute-grain rollup is
+    computed ONCE and the day grain is derived from it (minute div
+    1440), never from raw events. At 100 TB this is the materialized-
+    rollup pattern — the day pass reads |distinct minutes| rows, and
+    `n_active_minutes` (count of minute buckets) is only derivable
+    from the finer grain, which is exactly why hypertables keep it.
+    Sums ride in DECIMAL cents so re-aggregation is exact."""
+    ev = load_events(spark, sf_dir)
+    minute = ev.groupBy(
+        # integer div: ts_ns ~1.7e18 exceeds float64's exact range, so
+        # `/` (double division) would corrupt bucket boundaries
+        F.expr(f"ts_ns div {_NS_PER_MIN}").alias("minute_b"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).alias("sum_dec"),
+    )
+    day_start = F.expr(
+        "timestampadd(DAY, CAST(day_b AS INT), TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+    )
+    return (
+        minute.groupBy(
+            F.expr("minute_b div 1440").alias("day_b"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_dec").cast("double"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_active_minutes"),
+        )
+        .select(
+            F.date_format(day_start, "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "sum_value",
+            "n_active_minutes",
+        )
+    )
+
+
+@register(
+    "percentiles_by_event_type",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def percentiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99) per event type.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both use
+    linear interpolation (R type-7), so they agree bit-for-bit on the
+    same doubles. At 100 TB the exact form sorts per group; the
+    drop-in scale escape is ``approx_percentile`` (KLL-sketch-style
+    mergeable summaries, no global sort) at a declared error bound."""
+    ev = load_events(spark, sf_dir)
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.element_at(pct, 1), 6).alias("p50"),
+        F.round(F.element_at(pct, 2), 6).alias("p90"),
+        F.round(F.element_at(pct, 3), 6).alias("p99"),
+    )

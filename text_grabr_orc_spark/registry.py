@@ -57,6 +57,7 @@ def load_all() -> None:
         similarity,
         text_analysis,
         text_stats,
+        timeseries,
     )
     from text_grabr_orc_spark.sources import orc_io  # noqa: F401
     from text_grabr_orc_spark.streaming import events  # noqa: F401
