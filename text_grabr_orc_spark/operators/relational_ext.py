@@ -274,3 +274,37 @@ def salted_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.round(F.sum("pq").cast("double"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "csv_roundtrip",
+    oracle="""
+    SELECT r.r_name AS region,
+           count(*) AS n_nations,
+           min(n.n_name) AS first_nation
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip on nation, then a broadcast join
+    to region. Read uses an explicit schema (header inference is an
+    extra full scan at scale) — losslessness proven by matching the
+    parquet-side oracle."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), "tgos_csv_cache", tag)
+    nation = load_table(spark, sf_dir, "nation")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        nation.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string"
+    ).option("header", True).csv(out)
+    region = load_table(spark, sf_dir, "region")
+    return (
+        back.join(F.broadcast(region), back.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )

@@ -290,3 +290,84 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("total_cents") / 100.0, 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "streaming_static_join_segments",
+    oracle="""
+    SELECT c.c_mktsegment,
+           e.event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN: the event stream enriched against the
+    static customer dimension (user_id = c_custkey in the fixtures),
+    then aggregated by market segment. Spark broadcasts/rereads the
+    static side per micro-batch — the standard streaming-enrichment
+    plan; no state is kept for the static side, so it scales with the
+    stream, not the dimension."""
+    from text_grabr_orc_spark.tables import load_table
+
+    ev = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "streaming_file_sink_purchases",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_purchases,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def streaming_file_sink_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PARQUET FILE SINK with checkpointing: filter the
+    stream to purchases, write exactly-once to a parquet directory
+    (the sink's commit log is what makes re-runs idempotent), then
+    read the directory back batch-side and aggregate. The oracle is
+    the batch filter+group-by — equality proves the sink lost and
+    duplicated nothing."""
+    ev = events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="tgos_fsink_")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        q = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", os.path.join(out_dir, "data"))
+            .option("checkpointLocation", os.path.join(out_dir, "cp"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    back = spark.read.parquet(os.path.join(out_dir, "data"))
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(
+            F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).cast("double"), 2
+        ).alias("total_value"),
+    )
