@@ -5,6 +5,8 @@ in relational paths)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from text_grabr_orc_spark.operators import relational
@@ -77,3 +79,45 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     df = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
     plan = executed_plan(df)
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Bucketing is THE co-located-join strategy at 100 TB: both fact
+    tables pre-hashed into the same bucket count on the join key means
+    the join needs NO Exchange at query time — written once, joined
+    many times shuffle-free."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("tgos_b_li", "tgos_b_ord"):
+        # in-memory catalog forgets tables between sessions but the
+        # warehouse directory survives -> LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("tgos_b_li")
+    od.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("tgos_b_ord")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a sort-merge path so the assertion is about bucketing,
+        # not about the dim being broadcast-small at test scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("tgos_b_li").join(
+            spark.table("tgos_b_ord"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = executed_plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and the result is right: every lineitem finds its order
+        n_li = spark.table("tgos_b_li").count()
+        assert j.count() == n_li
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

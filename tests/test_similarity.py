@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from text_grabr_orc_spark.operators import similarity
 from text_grabr_orc_spark.plans import assert_broadcast_join, assert_no_python
@@ -56,3 +57,41 @@ def test_bruteforce_plan_broadcasts_queries_no_python(spark, sf_dir):
     df = similarity.similarity_topk_bruteforce(spark, sf_dir)
     assert_broadcast_join(df)
     assert_no_python(df)
+
+
+def test_rhp_lsh_recall_against_bruteforce(spark, sf_dir):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.similarity_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.similarity_topk_rhp_lsh(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 4 blocks of 4 bits on zero-centered random vectors: collisions
+    # concentrate on genuinely-close pairs; >= 0.4 proves the banding
+    # finds real neighbors (exact output is pinned by the oracle).
+    assert recall >= 0.4, f"RHP-LSH recall {recall}"
+
+
+def test_rhp_lsh_hyperplanes_balanced(spark, sf_dir):
+    """The oracle-checkable design leans on corpus-vector hyperplanes
+    splitting the space evenly — pin that property of the fixtures."""
+    from text_grabr_orc_spark.functions.vectors import dot, to_double_array
+    from text_grabr_orc_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    hyp = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("hid"), F.col("e").alias("he")
+    )
+    frac = (
+        emb.crossJoin(F.broadcast(hyp))
+        .groupBy("hid")
+        .agg(F.avg((dot(F.col("e"), F.col("he")) > 0).cast("double")).alias("pos"))
+        .collect()
+    )
+    for r in frac:
+        assert 0.25 <= r["pos"] <= 0.75, f"hyperplane {r['hid']} skewed: {r['pos']}"

@@ -235,3 +235,134 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.element_at("e", 1)), 6).alias("mean_dim0"),
         F.round(F.avg(F.element_at("e", 2)), 6).alias("mean_dim1"),
     )
+
+
+@register(
+    "similarity_topk_rhp_lsh",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), h AS (
+        SELECT vec_id AS hid, e AS he FROM v WHERE vec_id < 16
+    ), bits AS (
+        SELECT v.vec_id, h.hid,
+               CASE WHEN list_dot_product(v.e, h.he) > 0 THEN 1 ELSE 0 END AS b
+        FROM v CROSS JOIN h
+    ), code AS (
+        SELECT vec_id, CAST(sum(b * (1 << hid)) AS BIGINT) AS code
+        FROM bits GROUP BY vec_id
+    ), blocks AS (
+        SELECT vec_id, j, (code >> (4 * j)) & 15 AS bval
+        FROM code CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+    ), cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM blocks qb JOIN blocks cb ON qb.j = cb.j AND qb.bval = cb.bval
+        WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id
+    ), scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_DK_COS.format(a="q.e", b="c.e")} AS cos,
+               row_number() OVER (
+                   PARTITION BY cand.query_id
+                   ORDER BY {_DK_COS.format(a="q.e", b="c.e")} DESC,
+                            cand.neighbor_id
+               ) AS rk
+        FROM cand
+        JOIN v q ON q.vec_id = cand.query_id
+        JOIN v c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk
+    FROM scored WHERE rk <= 5
+    """,
+)
+def similarity_topk_rhp_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_bits: int = 16,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Random-hyperplane (sign-LSH) approximate top-k: each vector gets
+    a 16-bit code (bit i = sign of dot with hyperplane i), codes are
+    banded into 4 blocks of 4 bits, and query↔corpus candidates come
+    from an equi-join on (block, value) — cosine-LSH the same way
+    MinHash bands Jaccard.
+
+    Hyperplanes are the first 16 corpus vectors: deterministic AND
+    expressible in plain SQL, so unlike typical LSH the entire
+    algorithm is oracle-checked, not just spot-tested (the fixture's
+    components are zero-centered, so these planes split ~50/50 —
+    verified in tests). Sign comparisons are bit-exact across engines
+    because both sides sum sequentially in double.
+
+    Scale: codes are one broadcast (16 planes) + map-side dot
+    products; the candidate join shuffles 4 small (block, value) keys
+    per vector instead of O(n^2) pairs; exact cosine re-ranks only
+    candidates. This is the embedding twin of dedup's banded MinHash."""
+    emb = _emb(spark, sf_dir).select("vec_id", "e")
+    hyp = F.broadcast(
+        emb.filter(F.col("vec_id") < n_bits).select(
+            F.col("vec_id").alias("hid"), F.col("e").alias("he")
+        )
+    )
+    from text_grabr_orc_spark.functions.vectors import dot
+
+    code = (
+        emb.crossJoin(hyp)
+        .select(
+            "vec_id",
+            F.when(
+                dot(F.col("e"), F.col("he")) > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hid AS INT))"),
+            )
+            .otherwise(F.lit(0))
+            .alias("term"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("term").cast("bigint").alias("code"))
+    )
+    blocks = code.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright(F.col("code"), j * 4)
+                        .bitwiseAND(15)
+                        .alias("bval"),
+                    )
+                    for j in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.j", "b.bval")
+    qb = blocks.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "j", "bval"
+    )
+    cand = (
+        qb.join(blocks, ["j", "bval"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    cos = cosine_similarity(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rk").cast("bigint"),
+        )
+    )
