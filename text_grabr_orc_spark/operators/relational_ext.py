@@ -308,3 +308,35 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_name").alias("first_nation"),
         )
     )
+
+
+@register(
+    "grouping_sets_returns",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over)
+    via the SQL entry path: per-(flag,status), per-flag, and grand
+    total in one pass. Spark expands the sets AFTER map-side partial
+    aggregation, so the scan and first shuffle are paid once, not once
+    per set."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("tgos_li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS revenue
+        FROM tgos_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

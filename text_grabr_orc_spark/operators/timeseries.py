@@ -209,3 +209,50 @@ def percentiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(pct, 2), 6).alias("p90"),
         F.round(F.element_at(pct, 3), 6).alias("p99"),
     )
+
+
+@register(
+    "range_frame_moving_value",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           epoch_us(ts) AS ts_us,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS moving_1h_value,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS n_events_1h
+    FROM events
+    """,
+)
+def range_frame_moving_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed moving window: per user, the trailing-1-hour sum
+    and count at every event — a true value-range frame (variable row
+    count), not a ROWS frame. Ordering on the raw microsecond epoch
+    keeps the frame arithmetic integer-exact and tz-free; DECIMAL
+    cents make the running sum order-independent.
+
+    Scale: one shuffle on user_id, then a per-partition sort — the
+    same cost envelope as any per-entity window at 100 TB."""
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.expr("CAST(value AS DECIMAL(18,2))").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)  # 1h in us
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(F.sum("v").over(w).cast("double"), 2).alias("moving_1h_value"),
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+    )
