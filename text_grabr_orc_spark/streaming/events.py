@@ -371,3 +371,38 @@ def streaming_file_sink_purchases(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).cast("double"), 2
         ).alias("total_value"),
     )
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    WITH fp AS (
+        SELECT user_id, event_type,
+               min(epoch_us(ts)) AS first_us
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, first_us FROM fp
+    """,
+)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark on (user_id, event_type): unlike
+    plain dropDuplicates, state for a key is EVICTED once the
+    watermark passes it — the only dedup that survives an unbounded
+    stream. Within one availableNow replay of a month of events with
+    a 90-day watermark nothing is evicted, so the kept row per key is
+    the first-arrival (files stream in order) and the result equals
+    the batch min-per-key oracle."""
+    ev = events_stream(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts_utc", "90 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts_ns div 1000").alias("first_us"),
+        )
+    )
+    return run_to_memory(dedup, "append")
