@@ -256,3 +256,60 @@ def range_frame_moving_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v").over(w).cast("double"), 2).alias("moving_1h_value"),
         F.count(F.lit(1)).over(w).alias("n_events_1h"),
     )
+
+
+@register(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, 1 AS stage_idx, (SELECT count(*) FROM s) AS n_users
+    UNION ALL
+    SELECT 'click', 2, (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 'purchase', 3, (SELECT count(*) FROM p)
+    """,
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who signed up, then clicked
+    AFTER signup, then purchased AFTER that click — strict event-order
+    semantics, not mere set membership.
+
+    Plan: one min-aggregation per stage keyed by user, each stage's
+    frontier joined to the next (all equi-joins on user_id, the same
+    shuffle key throughout, so Spark reuses the partitioning). At
+    100 TB each stage is one keyed agg over a filtered slice — linear,
+    and the frontier shrinks monotonically."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ns")
+
+    def stage_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        base = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            base = base.join(
+                prev.select("user_id", F.col("t").alias("prev_t")), "user_id"
+            ).filter(F.col("ts_ns") > F.col("prev_t"))
+        return base.groupBy("user_id").agg(F.min("ts_ns").alias("t"))
+
+    s = stage_after("signup", None)
+    c = stage_after("click", s)
+    p = stage_after("purchase", c)
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+            "stage", F.lit(name)
+        ).withColumn("stage_idx", F.lit(i + 1))
+        for i, (name, df) in enumerate([("signup", s), ("click", c), ("purchase", p)])
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.unionByName(df)
+    return out.select("stage", F.col("stage_idx").cast("int"), "n_users")
