@@ -121,3 +121,22 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_q10_broadcasts_nation_and_pushes_filters(spark, sf_dir):
+    from text_grabr_orc_spark.operators import relational_ext
+
+    df = relational_ext.q10_returned_item_reporting(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "l_returnflag")
+    assert_pushed_filter(df, "o_orderdate")
+    assert_no_python(df)
+
+
+def test_q14_broadcasts_part_and_pushes_date(spark, sf_dir):
+    from text_grabr_orc_spark.operators import relational_ext
+
+    df = relational_ext.q14_promo_revenue(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_no_python(df)
