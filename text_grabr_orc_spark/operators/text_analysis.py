@@ -381,3 +381,58 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped applyInPandas (batch custom-aggregate path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pandas_hist_tokens_by_lang",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               least(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> '')) // 50, 4) AS bucket
+        FROM documents
+    )
+    SELECT lang, CAST(bucket AS INT) AS bucket, count(*) AS n
+    FROM t GROUP BY lang, bucket
+    """,
+)
+def pandas_hist_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count histogram via grouped applyInPandas —
+    the batch custom-aggregate escape hatch (the batch twin of the
+    streaming applyInPandasWithState operator): each language's rows
+    arrive as ONE pandas DataFrame, vectorized numpy does the
+    bucketing (50-token buckets, clipped at 200+).
+
+    This shape is for aggregates Catalyst can't express (sketches,
+    model fits); a plain histogram COULD be a groupBy — which is
+    exactly what makes it oracle-checkable here. Scale: one shuffle by
+    group key; groups must fit in executor memory (the documented
+    applyInPandas contract) — for unbounded groups use two-stage
+    salted partials instead."""
+    import pandas as pd
+
+    from text_grabr_orc_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", token_count("text").alias("n_tokens")
+    )
+
+    def hist(pdf: pd.DataFrame) -> pd.DataFrame:
+        buckets = (pdf["n_tokens"] // 50).clip(upper=4).astype("int32")
+        counts = buckets.value_counts().sort_index()
+        return pd.DataFrame(
+            {
+                "lang": pdf["lang"].iloc[0],
+                "bucket": counts.index,
+                "n": counts.to_numpy(),
+            }
+        )
+
+    return docs.groupBy("lang").applyInPandas(
+        hist, schema="lang string, bucket int, n bigint"
+    )
