@@ -333,11 +333,6 @@ def dedup_minhash_lsh(
 
 _SIMHASH_BITS = 64
 _HAMMING_MAX = 5
-#: candidate blocks sized for distance<=8 (superset of the default 5)
-_BLOCK_GUARANTEE = 8
-#: pigeonhole: distance <= 8 => at least one of 9 blocks is identical,
-#: so block candidates cover every pair up to the guarantee distance
-_N_BLOCKS = _BLOCK_GUARANTEE + 1
 
 
 def simhash(docs: DataFrame) -> DataFrame:
@@ -387,17 +382,22 @@ def dedup_simhash(
     """SimHash near-dup pairs with exact Hamming verification.
 
     Candidates via the pigeonhole block trick: split the 64-bit
-    signature into 9 blocks; any pair within distance 8 must agree on
-    at least one whole block, so a self-equi-join per (block_idx,
+    signature into max_distance+1 blocks — a pair within max_distance
+    can differ in at most max_distance blocks, so it must agree on at
+    least one whole block, and a self-equi-join per (block_idx,
     block_value) finds all of them — again a keyed shuffle, never a
     cross join. Exact popcount(xor) then filters false positives.
+    Exactly max_distance+1 blocks (not more) keeps blocks as LONG as
+    possible: ~64/(d+1) bits, so random collisions — and the candidate
+    volume they shuffle — fall off exponentially in block length.
 
     Scale: blocks of zeros are the skew magnet (short docs); the
     distinct() before verification bounds duplicates, AQE splits hot
     buckets."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash(docs)
-    block_bits = [(i * 64) // _N_BLOCKS for i in range(_N_BLOCKS + 1)]
+    n_blocks = max_distance + 1
+    block_bits = [(i * 64) // n_blocks for i in range(n_blocks + 1)]
     blocks = sigs.select(
         "doc_id",
         "simhash",
@@ -410,7 +410,7 @@ def dedup_simhash(
                         .bitwiseAND((1 << (block_bits[i + 1] - block_bits[i])) - 1)
                         .alias("block_val"),
                     )
-                    for i in range(_N_BLOCKS)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("blk"),
