@@ -54,10 +54,26 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 def main() -> int:
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     if args and os.path.isdir(args[0]):
         args = args[1:]
-    spark = get_spark("check")
+    if vanilla:
+        # driver rehearsal: a plain session with NONE of our tuning and
+        # a hostile (non-UTC) process timezone — queries must not
+        # depend on session defaults
+        os.environ["TZ"] = "Asia/Kolkata"
+        time.tzset()
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[4]").appName("check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check")
     con = duckdb.connect()
     for name in TABLE_NAMES:
         p = f"{sf_dir}/{name}.parquet"
