@@ -1,0 +1,116 @@
+"""TPC-H shape completion + deterministic sampling: semantic
+invariants the oracle can't express (determinism, distribution
+bounds) and the plan shapes that must survive a 100 TB scale-up."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.operators import sampling, tpch_more
+from text_grabr_orc_spark.plans import (
+    assert_broadcast_join,
+    assert_no_python,
+    assert_pushed_filter,
+    executed_plan,
+    formatted_plan,
+)
+from text_grabr_orc_spark.tables import load_table
+
+
+def test_q4_is_semi_join_no_duplication(spark, sf_dir):
+    df = tpch_more.q4_priority_returns_exist(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan, plan
+    # existence must not duplicate orders: totals bounded by the window
+    n_window = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ'1997-01-01'"))
+            & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ'1997-04-01'"))
+        )
+        .count()
+    )
+    total = df.agg(F.sum("n_orders")).collect()[0][0]
+    assert 0 < total <= n_window
+
+
+def test_q7_broadcasts_dims_and_pushes_dates(spark, sf_dir):
+    df = tpch_more.q7_volume_shipping(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_no_python(df)
+    rows = df.collect()
+    assert rows
+    assert all(r.supp_nation != r.cust_nation for r in rows)
+    assert all(r.l_year in (1996, 1997) for r in rows)
+
+
+def test_q9_broadcasts_part_filter(spark, sf_dir):
+    df = tpch_more.q9_promo_profit_by_nation(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "p_type")
+    assert_no_python(df)
+
+
+def test_q13_preserves_all_customers(spark, sf_dir):
+    df = tpch_more.q13_customer_order_distribution(spark, sf_dir)
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert df.agg(F.sum("custdist")).collect()[0][0] == n_cust
+
+
+def test_q21_ordering_and_limit(spark, sf_dir):
+    rows = tpch_more.q21_sole_returned_supplier(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    waits = [r.numwait for r in rows]
+    assert waits == sorted(waits, reverse=True)
+
+
+def test_q22_is_anti_join(spark, sf_dir):
+    df = tpch_more.q22_dormant_high_balance(spark, sf_dir)
+    assert "LeftAnti" in executed_plan(df)
+    rows = df.collect()
+    assert rows and all(r.numcust > 0 for r in rows)
+
+
+def test_min_price_covers_every_part_with_lines(spark, sf_dir):
+    df = tpch_more.min_price_supplier_per_part(spark, sf_dir)
+    n_parts_with_lines = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert df.select("p_partkey").distinct().count() == n_parts_with_lines
+
+
+def test_sample_is_deterministic_and_near_rate(spark, sf_dir):
+    a = sorted(map(tuple, sampling.sample_orders_deterministic(spark, sf_dir).collect()))
+    b = sorted(map(tuple, sampling.sample_orders_deterministic(spark, sf_dir).collect()))
+    assert a == b  # same rows every run — no rand() anywhere
+    n_total = load_table(spark, sf_dir, "orders").count()
+    n_sampled = sum(r[1] for r in a)
+    assert 0.05 * n_total < n_sampled < 0.15 * n_total  # ~10%
+
+
+def test_sample_filter_is_pushed_not_shuffled(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    picked = orders.filter(sampling.hash_bucket("o_orderkey", 100) < 10)
+    # row-local predicate: no Exchange needed to sample
+    assert "Exchange" not in executed_plan(picked)
+
+
+def test_stratified_sample_downsamples_majority(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.lang: r.n_docs for r in sampling.sample_docs_stratified(spark, sf_dir).collect()}
+    # en sampled at 5%, others at 50% — check the ratio ordering holds
+    assert got["en"] / totals["en"] < 0.2
+    for lang in got:
+        if lang != "en":
+            assert 0.3 < got[lang] / totals[lang] < 0.7
+
+
+def test_partitioned_read_prunes_directories(spark, sf_dir):
+    df = sampling.partitioned_write_pruning(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert any(
+        "lang" in ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ), plan

@@ -1,0 +1,137 @@
+"""Deterministic sampling + partitioned storage layout operators.
+
+North-star training-data-pipeline ops (no reference counterpart —
+SURVEY.md §2b): at 100 TB you sample with a DETERMINISTIC hash of a
+stable key, not rand() — the sample is reproducible across runs,
+engines, and retries, composable with incremental processing, and
+push-down-able as an ordinary filter. The hash here is Knuth's
+multiplicative scheme ((key * 2654435761) mod 2^32), chosen because
+it is plain integer arithmetic both Spark and DuckDB (and any other
+engine) evaluate identically — unlike engine-native hash()/xxhash64
+whose seeds differ.
+
+Also here: Hive-style partitioned parquet layout (partitionBy on
+write, partition PRUNING on read) — the storage-layout half of "push
+down and prune" that the ORC round-trip query covers for row-group
+stats.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.tables import load_table
+
+# (key * KNUTH) % 2^32 % scale < threshold  — identical in any engine
+# with 64-bit integer arithmetic; keys here are < ~2^24 so the product
+# stays far below 2^63.
+_KNUTH = 2654435761
+
+
+def hash_bucket(key_col: str, scale: int):
+    """Deterministic bucket in [0, scale) from a bigint key column."""
+    return F.pmod(
+        F.pmod(F.col(key_col) * F.lit(_KNUTH), F.lit(4294967296)), F.lit(scale)
+    )
+
+
+@register(
+    "sample_orders_deterministic",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_sampled,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_price
+    FROM orders
+    WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 10
+    GROUP BY o_orderstatus
+    """,
+)
+def sample_orders_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample of orders via multiplicative key hash,
+    aggregated by status to make the sample observable. The predicate
+    is a pure row-local filter — no shuffle, no rand() state, and the
+    same rows are selected on every engine/run/partitioning, which is
+    what makes hash-sampling the only sane sampling at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(hash_bucket("o_orderkey", 100) < 10)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(
+                F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast("double"),
+                2,
+            ).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "sample_docs_stratified",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 4294967296) % 1000
+          < CASE WHEN lang = 'en' THEN 50 ELSE 500 END
+    GROUP BY lang
+    """,
+)
+def sample_docs_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language rates (5% of
+    dominant en, 50% of the rest) — the downsample-the-majority-class
+    move of every training-data mix. One pass, no per-stratum jobs:
+    the rate is a CASE expression over the same hash bucket, so the
+    whole thing stays a single pushed-down filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 50).otherwise(500)
+    return (
+        docs.filter(hash_bucket("doc_id", 1000) < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "partitioned_write_pruning",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    WHERE lang IN ('fr', 'de')
+    GROUP BY source
+    """,
+)
+def partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet layout: write documents partitionBy
+    lang, read back filtering lang IN ('fr','de') — the read plans
+    PartitionFilters (directory-level pruning: non-matching partitions
+    are never opened, the scale move for any low-cardinality routing
+    column). Matching the unpartitioned oracle proves the layout is
+    lossless. Partition count stays bounded because lang has 5
+    values — never partition by a high-cardinality key."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), "tgos_part_cache", tag)
+    docs = load_table(spark, sf_dir, "documents")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("lang").isin("fr", "de"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

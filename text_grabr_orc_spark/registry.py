@@ -54,10 +54,12 @@ def load_all() -> None:
         ocr,
         relational,
         relational_ext,
+        sampling,
         similarity,
         text_analysis,
         text_stats,
         timeseries,
+        tpch_more,
     )
     from text_grabr_orc_spark.sources import orc_io  # noqa: F401
     from text_grabr_orc_spark.streaming import events  # noqa: F401
