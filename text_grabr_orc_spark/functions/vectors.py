@@ -34,7 +34,22 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 for zero-norm inputs instead of NaN so a
-    degenerate vector can't poison a top-k ranking."""
+    degenerate vector can't poison a top-k ranking.
+
+    Evaluates BOTH norms per call — fine for per-row use, wrong inside
+    a pair join: there, precompute ``l2_norm`` per side (one reduction
+    per input row, not three per pair) and combine with
+    ``cosine_from_parts``. The join boundary keeps each side's norm
+    projection per-row — Catalyst never inlines one side's expressions
+    into the pair expression above the join."""
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_from_parts(d: Column, na: Column, nb: Column) -> Column:
+    """Cosine from a pair dot product and two PRECOMPUTED norms —
+    identical doubles to ``cosine_similarity`` (same expression
+    d / (sqrt * sqrt), just with the sqrts evaluated per row instead
+    of per pair), so oracle agreement is unaffected."""
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))

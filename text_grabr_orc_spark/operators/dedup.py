@@ -280,14 +280,24 @@ def dedup_minhash_lsh(
     buckets of identical boilerplate docs are the skew risk; the
     verification join stays proportional to true-duplicate mass."""
     docs = load_table(spark, sf_dir, "documents")
+    # Blank docs (no tokens -> no shingles) are dropped on the RAW
+    # text column, NOT via filter(size(shingles) > 0): Catalyst pushes
+    # a post-projection filter below the Project by substituting the
+    # whole shingle expression into the condition, where the token
+    # split loses its two-step protection and re-runs per gram —
+    # measured 12x slower. rlike '\\S' is exactly tokens != [] and
+    # evaluates on the scan.
+    nonblank = docs.filter(F.col("text").rlike(r"(?U)\S"))
     # ONE shingling pass feeds both signature generation and exact
     # verification — persisted because three subplans read it
-    sh = (
-        shingle_table(docs)
-        .filter(F.size("shingles") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingle_table(nonblank).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: the band self-join reads both aliases from ONE
+    # materialization — unpersisted, Spark recomputes the whole
+    # explode + 64-min aggregation once PER SIDE (signatures are 8
+    # bytes x 64 per doc, the cheapest thing in the pipeline to keep)
+    sigs = minhash_signatures_from_shingles(sh).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    sigs = minhash_signatures_from_shingles(sh)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -346,13 +356,16 @@ def simhash(docs: DataFrame) -> DataFrame:
     whole-stage codegen instead of the interpreted lambda evaluator."""
     spark = docs.sparkSession
     base = _spread(
-        docs.select("doc_id", "text"), spark.sparkContext.defaultParallelism
+        # blank docs dropped on the raw text (cheap, scan-level) — a
+        # filter(size(t) > 0) AFTER the projection gets pushed below it
+        # with the split expression inlined, computing the split twice
+        docs.select("doc_id", "text").filter(F.col("text").rlike(r"(?U)\S")),
+        spark.sparkContext.defaultParallelism,
     )
     # tokens projected once (two-step, see shingles_from_tokens), then
-    # filter + explode reference the materialized array
+    # explode references the materialized array
     exploded = (
         base.select("doc_id", tokens("text").alias("t"))
-        .filter(F.size("t") > 0)
         .select("doc_id", F.explode("t").alias("tok"))
         .select("doc_id", F.xxhash64("tok").alias("h"))
     )
@@ -395,7 +408,10 @@ def dedup_simhash(
     distinct() before verification bounds duplicates, AQE splits hot
     buckets."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = simhash(docs)
+    # persisted for the same reason as the MinHash signatures: the
+    # block self-join would otherwise recompute the 64-column SimHash
+    # aggregation once per join side
+    sigs = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
     n_blocks = max_distance + 1
     block_bits = [(i * 64) // n_blocks for i in range(n_blocks + 1)]
     blocks = sigs.select(
@@ -429,12 +445,16 @@ def dedup_simhash(
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .distinct()
     )
+    # popcount filter BEFORE distinct: the hamming test is a few
+    # cycles per row, while distinct shuffles its input — verifying
+    # first shrinks the distinct from all block collisions (2M rows
+    # at sf0.1) to true-pair multiplicity only
     dist = F.bit_count(F.expr("sh_a ^ sh_b"))
     return (
         cand.filter(dist <= max_distance)
         .select("doc_a", "doc_b", dist.cast("bigint").alias("hamming"))
+        .distinct()
     )
 
 
@@ -470,14 +490,30 @@ def dedup_embedding_cosine(
     semantics); the scale path for big n is similarity.ann_topk_ivf's
     centroid bucketing, which turns the quadratic into per-bucket
     quadratics."""
-    from text_grabr_orc_spark.functions.vectors import cosine_similarity, to_double_array
+    from text_grabr_orc_spark.functions.vectors import (
+        cosine_from_parts,
+        dot,
+        l2_norm,
+        to_double_array,
+    )
 
+    # norms precomputed per row (NOT per pair — that would triple the
+    # O(n^2) stage's array reductions); two-step select so the
+    # float->double widening also runs once
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("e")
+    ).withColumn("n", l2_norm(F.col("e")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("n").alias("na"),
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    cos = cosine_from_parts(dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= threshold)

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from text_grabr_orc_spark.functions.vectors import cosine_similarity, to_double_array
+from text_grabr_orc_spark.functions.vectors import (
+    cosine_from_parts,
+    dot,
+    l2_norm,
+    to_double_array,
+)
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.tables import load_table
 
@@ -33,9 +38,17 @@ _DK_COS = (
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    """(vec_id, e, label, n) — vectors widened to double with their
+    L2 norm precomputed ONCE per row. Every pair join downstream
+    combines side norms via cosine_from_parts, so the quadratic stage
+    does one array reduction per pair (the dot), not three. Two-step
+    select: the norm references the materialized ``e`` column, and
+    CollapseProject refuses to inline the non-cheap transform, so the
+    widening also runs once."""
+    base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("e"), "label"
     )
+    return base.withColumn("n", l2_norm(F.col("e")))
 
 
 @register(
@@ -69,10 +82,12 @@ def similarity_topk_bruteforce(
     emb = _emb(spark, sf_dir)
     queries = F.broadcast(
         emb.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("n").alias("qn"),
         )
     )
-    cos = cosine_similarity(F.col("qe"), F.col("e"))
+    cos = cosine_from_parts(dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -153,27 +168,31 @@ def similarity_topk_ivf(
     shuffle once on centroid_id. With sqrt(n) centroids the probe
     scans ~nprobe/sqrt(n) of the corpus — the standard IVF tradeoff,
     with recall measured against brute force in tests."""
-    emb = _emb(spark, sf_dir).select("vec_id", "e")
+    emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
     cent = F.broadcast(
         emb.filter(F.col("vec_id") % centroid_stride == 0).select(
-            F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+            F.col("vec_id").alias("centroid_id"),
+            F.col("e").alias("ce"),
+            F.col("n").alias("cn"),
         )
     )
     # assignment: every vector -> nearest centroid (broadcast + argmin)
-    ccos = cosine_similarity(F.col("e"), F.col("ce"))
+    ccos = cosine_from_parts(dot(F.col("e"), F.col("ce")), F.col("n"), F.col("cn"))
     aw = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("centroid_id")
     )
     assigned = (
         emb.crossJoin(cent)
-        .select("vec_id", "e", "centroid_id", ccos.alias("ccos"))
+        .select("vec_id", "e", "n", "centroid_id", ccos.alias("ccos"))
         .withColumn("crk", F.row_number().over(aw))
         .filter(F.col("crk") == 1)
-        .select("vec_id", "e", "centroid_id")
+        .select("vec_id", "e", "n", "centroid_id")
     )
     # probes: each query -> nprobe nearest centroids
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
     )
     pw = Window.partitionBy("query_id").orderBy(
         F.col("pcos").desc(), F.col("centroid_id")
@@ -181,16 +200,18 @@ def similarity_topk_ivf(
     probes = (
         queries.crossJoin(cent)
         .select(
-            "query_id", "qe",
+            "query_id", "qe", "qn",
             "centroid_id",
-            cosine_similarity(F.col("qe"), F.col("ce")).alias("pcos"),
+            cosine_from_parts(
+                dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn")
+            ).alias("pcos"),
         )
         .withColumn("prk", F.row_number().over(pw))
         .filter(F.col("prk") <= nprobe)
-        .select("query_id", "qe", "centroid_id")
+        .select("query_id", "qe", "qn", "centroid_id")
     )
     # search only probed buckets
-    cos = cosine_similarity(F.col("qe"), F.col("e"))
+    cos = cosine_from_parts(dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n"))
     rw = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -300,14 +321,12 @@ def similarity_topk_rhp_lsh(
     products; the candidate join shuffles 4 small (block, value) keys
     per vector instead of O(n^2) pairs; exact cosine re-ranks only
     candidates. This is the embedding twin of dedup's banded MinHash."""
-    emb = _emb(spark, sf_dir).select("vec_id", "e")
+    emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
     hyp = F.broadcast(
         emb.filter(F.col("vec_id") < n_bits).select(
             F.col("vec_id").alias("hid"), F.col("e").alias("he")
         )
     )
-    from text_grabr_orc_spark.functions.vectors import dot
-
     code = (
         emb.crossJoin(hyp)
         .select(
@@ -347,9 +366,17 @@ def similarity_topk_rhp_lsh(
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
-    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
-    cos = cosine_similarity(F.col("qe"), F.col("ce"))
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("n").alias("cn"),
+    )
+    cos = cosine_from_parts(dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
