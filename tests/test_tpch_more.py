@@ -114,3 +114,83 @@ def test_partitioned_read_prunes_directories(spark, sf_dir):
     assert any(
         "lang" in ln for ln in plan.splitlines() if "PartitionFilters" in ln
     ), plan
+
+
+def test_q8_share_bounded_and_broadcast(spark, sf_dir):
+    df = tpch_more.q8_market_share(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "o_orderdate")
+    assert_no_python(df)
+    rows = df.collect()
+    assert rows
+    assert all(0.0 <= r.mkt_share <= 1.0 for r in rows)
+    assert all(r.o_year in (1996, 1997) for r in rows)
+
+
+def test_q11_threshold_matches_recomputed_mean(spark, sf_dir):
+    # recompute the per-part values + threshold independently and check
+    # the query returns exactly the parts above 2x the mean (empty is
+    # legitimate when the nation has no suppliers at tiny sf)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    per_part = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+                    "(1 - CAST(l_discount AS DECIMAL(18,2)))"
+                )
+            ).cast("double").alias("v")
+        )
+        .collect()
+    )
+    vals = {r.l_partkey: r.v for r in per_part}
+    expected = set()
+    if vals:
+        thr = 2 * sum(vals.values()) / len(vals)
+        expected = {k for k, v in vals.items() if v > thr}
+    got = {r.partkey for r in tpch_more.q11_part_value_concentration(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_q15_keeps_all_tied_winners(spark, sf_dir):
+    df = tpch_more.q15_top_supplier(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert len({r.total_revenue for r in rows}) == 1  # all rows at the max
+
+
+def test_q16_excludes_flagged_suppliers(spark, sf_dir):
+    df = tpch_more.q16_supplier_cnt_by_part(spark, sf_dir)
+    assert_broadcast_join(df)
+    n_good = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") >= 0)
+        .count()
+    )
+    rows = df.collect()
+    assert rows
+    assert all(0 < r.supplier_cnt <= n_good for r in rows)
+    assert all(r.p_size in (1, 4, 9, 14, 19, 24, 29, 34) for r in rows)
+
+
+def test_q17_window_replaces_correlated_rescan(spark, sf_dir):
+    df = tpch_more.q17_small_quantity_revenue(spark, sf_dir)
+    plan = formatted_plan(df)
+    # ONE scan of lineitem feeds the window — the correlated subquery
+    # shape would scan it twice
+    assert plan.count("lineitem.parquet") == 1, plan
+    row = df.collect()[0]
+    assert row.n_lines >= 0
+
+
+def test_q20_semi_join_no_supplier_duplication(spark, sf_dir):
+    df = tpch_more.q20_promotion_suppliers(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan, plan
+    rows = df.collect()
+    assert len(rows) == len({r.s_suppkey for r in rows})

@@ -176,17 +176,29 @@ def similarity_topk_ivf(
             F.col("n").alias("cn"),
         )
     )
-    # assignment: every vector -> nearest centroid (broadcast + argmin)
+    # assignment: every vector -> nearest centroid. max_by aggregation,
+    # NOT row_number over a window: the window must shuffle all n*c
+    # pair rows to rank them, while max_by partial-aggregates each
+    # vector's c candidates down to ONE row map-side (the pair rows
+    # are produced contiguously per vector by the broadcast nested
+    # loop, so the combine is perfect). first(e)/first(n) are safe —
+    # functionally dependent on the grouping key. Tie-break matches
+    # the oracle's ORDER BY ccos DESC, centroid_id ASC: struct
+    # comparison is lexicographic and -centroid_id makes the pair
+    # unique, so the argmax is deterministic.
     ccos = cosine_from_parts(dot(F.col("e"), F.col("ce")), F.col("n"), F.col("cn"))
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id")
-    )
     assigned = (
         emb.crossJoin(cent)
         .select("vec_id", "e", "n", "centroid_id", ccos.alias("ccos"))
-        .withColumn("crk", F.row_number().over(aw))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "e", "n", "centroid_id")
+        .groupBy("vec_id")
+        .agg(
+            F.first("e").alias("e"),
+            F.first("n").alias("n"),
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("tb")),
+            ).alias("centroid_id"),
+        )
     )
     # probes: each query -> nprobe nearest centroids
     queries = emb.filter(F.col("vec_id") < n_queries).select(

@@ -440,3 +440,310 @@ def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume
+                          ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               {_DISC_REV} AS volume,
+               n2.n_name AS nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'EUROPE'
+          AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_1 suppliers' share of
+    PROMO-part revenue sold to EUROPE customers, by order year. The
+    numerator/denominator are exact DECIMAL sums cast to double only
+    for the final division (sum order can't perturb the ratio). All
+    five dimension tables broadcast; the only shuffles are the two
+    fact-fact joins (lineitem-orders on orderkey, orders-customer on
+    custkey) — at 100 TB those are the same two shuffles, with the
+    share arithmetic map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ'1996-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ'1998-01-01'"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.expr(_DISC_REV)
+    zero = F.expr("CAST(0.00 AS DECIMAL(18,2))")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    return (
+        j.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q11_part_value_concentration",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l.l_partkey AS partkey,
+               CAST(sum({_DISC_REV}) AS DOUBLE) AS part_value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_2'
+        GROUP BY l.l_partkey
+    )
+    SELECT partkey, round(part_value, 2) AS part_value
+    FROM per_part
+    WHERE part_value > (SELECT 2 * avg(part_value) FROM per_part)
+    """,
+)
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): parts whose revenue
+    through NATION_2 suppliers exceeds twice the mean per-part value —
+    group-by + HAVING against a scalar subquery over the same
+    aggregate. The fixture has no partsupp, so "stock value" degrades
+    to discounted revenue via that nation's suppliers. Per-part sums
+    are exact DECIMAL (order-independent), cast double once; the
+    threshold is a 1-row broadcast cross join, so the per-part table
+    is scanned once and never re-shuffled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_2"
+    ).select("n_nationkey")
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.expr(_DISC_REV)).cast("double").alias("part_value"))
+    )
+    thresh = per_part.agg((2 * F.avg("part_value")).alias("thr"))
+    return (
+        per_part.join(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select("partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum({_DISC_REV}) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(r.total_revenue AS DOUBLE), 2) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue
+    in 1997Q1 — the view + scalar-max-equality shape, which keeps ALL
+    tied winners (a LIMIT 1 would not). Revenue stays exact DECIMAL
+    through the max comparison (double rounding there could split a
+    tie); the double cast happens only in the projection. The revenue
+    aggregate is one shuffle on l_suppkey; the max is a 1-row
+    broadcast; supplier joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ'1997-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ'1997-04-01'"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.expr(_DISC_REV)).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_cnt_by_part",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier count
+    per (brand, type, size) bucket, excluding flagged suppliers — the
+    count-distinct + NOT-IN-subquery shape. Substitutions: lineitem is
+    the part-supplier link (no partsupp); "customer complaints" is
+    s_acctbal < 0 (no s_comment). The exclusion is a broadcast
+    LEFT ANTI join (NOT IN with non-nullable keys is exactly anti-join
+    semantics); part prunes to the 8-size IN-list before broadcasting,
+    so the count-distinct shuffle carries only qualifying rows."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue of Brand#3
+    lines whose quantity is below 20% of that part's average — the
+    correlated scalar-average shape. Spark-side the correlated
+    subquery becomes a window average over l_partkey: one shuffle on
+    a key the join already uses, no re-scan. The threshold compare is
+    exact: quantities are integer-valued doubles, so the per-part avg
+    (exact-sum / count) is identical in both engines. The window runs
+    over UNFILTERED lineitem (the avg must see all quantities), with
+    the brand semi-join applied before the window so only Brand#3
+    partitions are ever windowed — same rows the oracle's correlated
+    subquery averages, fraction of the shuffle."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).join(F.broadcast(part), F.col("l_partkey") == part.p_partkey, "left_semi")
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn("avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return flagged.agg(
+        F.round(
+            F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double")
+            / 7.0,
+            2,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(l.l_quantity) > 50
+    )
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers that moved more
+    than 50 units of some Brand#4 part since 1996 — the
+    nested-grouped-subquery semi-join shape. Substitutions: lineitem
+    quantity sums stand in for ps_availqty (no partsupp), Brand#4 for
+    the p_name LIKE prefix. Quantity sums are integer-valued doubles —
+    exact, so the HAVING boundary can't flip between engines. The
+    inner aggregate shuffles on (suppkey, partkey); the distinct
+    supplier set after HAVING is tiny and broadcast for the semi-join."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#4"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ'1996-01-01'")
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    movers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(
+        F.broadcast(movers), supp.s_suppkey == movers.l_suppkey, "left_semi"
+    )
