@@ -21,10 +21,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001: corpus token stats by language —
-    the reference's text pipeline (main.go:192-197) as a corpus rollup."""
+    """Flagship query on sf0.001: the corpus-cleaning attrition report
+    — exact dedup + quality filter + language gate composed into one
+    plan (the reference's per-document text pipeline, main.go:192-197,
+    lifted to the corpus level)."""
     registry.load_all()
-    return registry.QUERIES["corpus_stats_by_lang"](spark, SMOKE_SF_DIR)
+    return registry.QUERIES["corpus_clean_pipeline"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

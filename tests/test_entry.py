@@ -15,7 +15,7 @@ def test_entry_returns_rows(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert set(df.columns) == {
-        "lang", "doc_cnt", "total_tokens", "avg_tokens", "total_chars"
+        "outcome", "n_docs", "total_tokens", "avg_quality"
     }
 
 

@@ -48,3 +48,32 @@ def test_quality_score_orders_garbage_below_prose(spark):
     assert rows["prose"]["q"] > rows["garbage"]["q"]
     assert rows["garbage"]["p"] > 0.5
     assert rows["empty"]["q"] == 0.0 or rows["empty"]["q"] < rows["prose"]["q"]
+
+
+def test_corpus_clean_pipeline_partitions_corpus(spark, sf_dir):
+    from text_grabr_orc_spark.operators.pipeline import corpus_clean_pipeline
+    from text_grabr_orc_spark.tables import load_table
+
+    df = corpus_clean_pipeline(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    # every document lands in exactly one bucket
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    outcomes = {r.outcome for r in rows}
+    allowed_prefix = ("dropped_duplicate", "dropped_quality", "dropped_language")
+    assert all(o.startswith(allowed_prefix) or o.startswith("kept_") for o in outcomes)
+    # kept buckets must clear the quality threshold on average
+    for r in rows:
+        if r.outcome.startswith("kept_"):
+            assert r.avg_quality >= 0.5
+
+
+def test_corpus_clean_pipeline_single_shuffle(spark, sf_dir):
+    from text_grabr_orc_spark.operators.pipeline import corpus_clean_pipeline
+    from text_grabr_orc_spark.plans import executed_plan
+
+    plan = executed_plan(corpus_clean_pipeline(spark, sf_dir))
+    # dedup window exchange + the 8-group rollup exchange; nothing else
+    assert plan.count("Exchange") <= 2, plan
+    assert "sha2" in plan  # shuffle key is the digest, not the text

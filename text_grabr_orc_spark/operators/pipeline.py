@@ -1,0 +1,121 @@
+"""Flagship corpus-cleaning pipeline: the end-to-end shape a 100 TB
+training-data run takes — exact dedup, quality filter, language ID —
+composed from the engine's own operators into ONE declarative plan.
+
+The reference processes one document per HTTP request and never
+composes stages (SURVEY.md §3, `main.go:41-97`); this module is the
+north-star composition those per-document operators exist for: a
+single Catalyst plan where the scan feeds map-side lang-ID + quality
+scoring, one shuffle (the dedup window on the text hash) selects
+canonical copies, and the attrition rollup rides the same exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.operators.text_analysis import (
+    STOPWORDS,
+    _oracle_hits,
+    _oracle_lang_pred,
+    lang_id,
+    quality_columns,
+)
+from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.tables import load_table
+
+#: minimum composite quality score a document must reach to be kept
+_MIN_QUALITY = 0.5
+
+_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, source, text,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+               length(text) AS n_chars
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, source, text,
+               len(toks) AS n_tok,
+               CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, t -> list_contains(
+                       [{", ".join(f"'{w}'" for w in STOPWORDS["en"])}], lower(t)
+                   )))::DOUBLE / len(toks) ELSE 0.0 END AS stop_ratio,
+               CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars
+                    ELSE 0.0 END AS punct_ratio,
+               {", ".join(f"{_oracle_hits(lg)} AS h_{lg}" for lg in STOPWORDS)},
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS copy_rank
+        FROM tok
+    ), staged AS (
+        SELECT doc_id, n_tok, copy_rank,
+               {_oracle_lang_pred()} AS pred_lang,
+               round(0.3 * least(n_tok / 50.0, 1.0)
+                     + 0.3 * least(stop_ratio * 5, 1.0)
+                     + 0.4 * (1 - least(punct_ratio * 10, 1.0)), 6) AS q
+        FROM scored
+    ), outcomes AS (
+        SELECT CASE
+                 WHEN copy_rank > 1 THEN 'dropped_duplicate'
+                 WHEN q < {_MIN_QUALITY} THEN 'dropped_quality'
+                 WHEN pred_lang = 'und' THEN 'dropped_language'
+                 ELSE 'kept_' || pred_lang
+               END AS outcome,
+               n_tok, q
+        FROM staged
+    )
+    SELECT outcome,
+           count(*) AS n_docs,
+           sum(n_tok) AS total_tokens,
+           round(avg(q), 4) AS avg_quality
+    FROM outcomes
+    GROUP BY outcome
+"""
+
+
+@register("corpus_clean_pipeline", oracle=_ORACLE)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned-corpus attrition report: exact-dedup (keep lowest
+    doc_id per identical text), then quality threshold, then language
+    gate — every document lands in exactly one outcome bucket
+    (``dropped_duplicate`` / ``dropped_quality`` / ``dropped_language``
+    / ``kept_<lang>``, first failing stage wins), with doc counts,
+    token mass, and mean quality per bucket. This is the decision
+    table a production cleaning run logs before committing the kept
+    set.
+
+    One-shuffle plan: lang-ID and quality scoring are pure per-row
+    expressions computed map-side on the scan; the only exchange is
+    the dedup window partitioned by ``sha2(text)`` (a 64-hex shuffle
+    key instead of the full document — at 100 TB that's the difference
+    between shuffling key digests and the corpus itself; collision
+    odds at 2^-128 are below hardware error rates, and the oracle's
+    PARTITION BY text decides identically). The attrition rollup above
+    the window aggregates partially map-side into at most 8 groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred, _hits = lang_id(F.col("text"))
+    q = quality_columns("text")
+    base = docs.select(
+        "doc_id",
+        "text",
+        pred.alias("pred_lang"),
+        q["n_tokens"].alias("n_tok"),
+        q["quality_score"].alias("q"),
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    outcome = (
+        F.when(F.col("copy_rank") > 1, F.lit("dropped_duplicate"))
+        .when(F.col("q") < _MIN_QUALITY, F.lit("dropped_quality"))
+        .when(F.col("pred_lang") == "und", F.lit("dropped_language"))
+        .otherwise(F.concat(F.lit("kept_"), F.col("pred_lang")))
+    )
+    return (
+        base.withColumn("copy_rank", F.row_number().over(w))
+        .select(outcome.alias("outcome"), "n_tok", "q")
+        .groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )

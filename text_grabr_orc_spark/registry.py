@@ -52,6 +52,7 @@ def load_all() -> None:
         events_batch,
         multimodal,
         ocr,
+        pipeline,
         relational,
         relational_ext,
         sampling,
