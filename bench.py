@@ -25,6 +25,8 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q8_market_share",
+    "q17_small_quantity_revenue",
     "top_parts_by_revenue",
     "window_top3_orders_per_customer",
     "agg_cube_segment_priority",
@@ -38,6 +40,7 @@ BENCH_QUERIES = [
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "text_quality_by_source",
+    "corpus_clean_pipeline",
     "doc_fingerprint",
     "asof_purchase_last_click",
     "multires_rollup_daily",
