@@ -71,3 +71,84 @@ def test_token_count_stays_jvm_side(spark):
     df = spark.createDataFrame([("a b",)], "s string").select(token_count("s"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Property-based tokenizer parity (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+import pytest
+
+
+# Go unicode.IsSpace == the Unicode White_Space property, exactly.
+# NOT Python str.split()'s set: Python also treats the C0 separators
+# \x1c-\x1f as whitespace; Go and Java's (?U)\s do not — the fuzzer
+# caught that divergence on '\x1f'.
+_GO_WHITE_SPACE = frozenset(
+    "\t\n\v\f\r \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+
+
+def _go_fields(s: str) -> list[str]:
+    """Reference semantics (`main.go:195` strings.Fields): split on
+    runs of Unicode White_Space, no empty tokens."""
+    out, cur = [], []
+    for ch in s:
+        if ch in _GO_WHITE_SPACE:
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+if _HAVE_HYPOTHESIS:
+
+    @pytest.mark.usefixtures("spark")
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8",
+                    # surrogates can't round-trip through Arrow/JVM strings
+                    exclude_categories=("Cs",),
+                ),
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_tokens_match_go_fields_fuzz(spark, texts):
+        """Batch the whole hypothesis example list into ONE Spark job:
+        token arrays and counts must equal Go strings.Fields on
+        arbitrary Unicode, including NBSP, ideographic space, control
+        chars, and empty/whitespace-only strings."""
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
+        )
+        rows = (
+            df.select("id", tokens("text").alias("toks"))
+            .orderBy("id")
+            .collect()
+        )
+        for r, t in zip(rows, texts):
+            assert list(r.toks) == _go_fields(t), repr(t)
