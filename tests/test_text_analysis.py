@@ -77,3 +77,26 @@ def test_corpus_clean_pipeline_single_shuffle(spark, sf_dir):
     # dedup window exchange + the 8-group rollup exchange; nothing else
     assert plan.count("Exchange") <= 2, plan
     assert "sha2" in plan  # shuffle key is the digest, not the text
+
+
+def test_chunk_documents_conserves_tokens(spark, sf_dir):
+    from text_grabr_orc_spark.functions.text import token_count
+    from text_grabr_orc_spark.operators.pipeline import chunk_documents
+    from text_grabr_orc_spark.plans import assert_no_python, executed_plan
+    from text_grabr_orc_spark.tables import load_table
+
+    df = chunk_documents(spark, sf_dir)
+    total = df.agg(F.sum("n_tokens")).collect()[0][0]
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.sum(token_count("text")))
+        .collect()[0][0]
+    )
+    assert total == corpus  # no padding, no drops
+    rows = df.filter(F.col("doc_id") == df.first().doc_id).orderBy("chunk_idx").collect()
+    # consecutive indices from 0, all full except possibly the last
+    assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+    assert all(r.n_tokens == 32 for r in rows[:-1])
+    plan = executed_plan(chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan, plan  # map-only
+    assert_no_python(chunk_documents(spark, sf_dir))

@@ -119,3 +119,68 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("q"), 4).alias("avg_quality"),
         )
     )
+
+
+#: tokens per training chunk (context-window packing unit)
+_CHUNK_TOKENS = 32
+
+_CHUNK_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           i AS chunk_idx,
+           array_to_string(toks[i*{_CHUNK_TOKENS}+1 : (i+1)*{_CHUNK_TOKENS}], ' ')
+               AS chunk_text,
+           least({_CHUNK_TOKENS}, len(toks) - i*{_CHUNK_TOKENS}) AS n_tokens
+    FROM tok,
+         UNNEST(range(CAST(ceil(len(toks) / {_CHUNK_TOKENS}.0) AS BIGINT))) AS u(i)
+    WHERE len(toks) > 0
+"""
+
+
+@register("chunk_documents", oracle=_CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into consecutive
+    32-token windows — the unit a training run actually consumes.
+    The last chunk keeps its short tail (no padding, no drop), so
+    token mass is conserved: sum(n_tokens) == corpus token count.
+
+    Pure built-ins, map-only, zero shuffles: blank docs are dropped on
+    the RAW text column (a size(toks) > 0 filter after the projection
+    would be pushed below it with the split inlined, re-running the
+    regex per doc — see dedup.py), tokens are projected once
+    (two-step, so the regex split runs once per doc), `transform` over
+    a `sequence` builds the window array, `posexplode` emits one row
+    per chunk. At 100 TB this is a linear scan whose output
+    partitioning inherits the input's — exactly what the downstream
+    tokenizer/packer wants. A Python UDTF could express the same
+    yield-per-chunk shape but would leave whole-stage codegen for a
+    per-row Python hop; `transform`+`posexplode` IS Spark's UDTF
+    fast path."""
+    from text_grabr_orc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = _CHUNK_TOKENS
+    with_toks = docs.filter(F.col("text").rlike(r"(?U)\S")).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(k))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice("toks", i * k + 1, k), " "),
+    )
+    return (
+        with_toks.select("doc_id", F.size("toks").alias("n_toks"),
+                         F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint"),
+            "chunk_text",
+            F.least(
+                F.lit(k), F.col("n_toks") - F.col("chunk_idx") * k
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )
