@@ -478,3 +478,90 @@ def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "xml_roundtrip",
+    oracle="""
+    SELECT n.n_regionkey AS regionkey,
+           count(*) AS n_suppliers,
+           round(CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_bal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_regionkey
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (Spark 4 native `xml` format — no
+    external package) on supplier, then a broadcast join to nation.
+    Read uses an explicit schema: XML schema inference is a full
+    extra scan AND type-guesses (acctbal could flip double/decimal),
+    both wrong at scale. Losslessness proven by matching the
+    parquet-side oracle."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), "tgos_xml_cache", tag)
+    supp = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        supp.write.mode("overwrite").format("xml").option(
+            "rootTag", "suppliers"
+        ).option("rowTag", "supplier").save(out)
+    back = spark.read.schema(
+        "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+    ).format("xml").option("rowTag", "supplier").load(out)
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        back.join(F.broadcast(nation), back.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum(F.expr("CAST(s_acctbal AS DECIMAL(18,2))")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "schema_evolution_mergeschema",
+    oracle="""
+    SELECT coalesce(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+                         THEN o_orderpriority END, '(pre-upgrade)') AS priority,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_price
+    FROM orders
+    GROUP BY priority
+    """,
+)
+def schema_evolution_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a live table: an old writer produced
+    (o_orderkey, o_totalprice), a newer one added o_orderpriority —
+    exactly how 100 TB lakehouse tables actually grow. Reading the
+    directory with ``mergeSchema=true`` reconciles the footers into
+    the union schema, old files surface NULL for the added column, and
+    the rollup coalesces them into a '(pre-upgrade)' bucket. The
+    oracle reproduces the same split from the unevolved table.
+    (mergeSchema is a read-time footer union — it costs a footer scan,
+    not a data rewrite; at scale you set it per-table, not globally.)"""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), "tgos_evo_cache", tag)
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.expr("TIMESTAMP_NTZ'1999-01-01'")
+    if not os.path.exists(os.path.join(out, "v2", "_SUCCESS")):
+        orders.filter(F.col("o_orderdate") < cut).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(out, "v1"))
+        orders.filter(F.col("o_orderdate") >= cut).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(out, "v2"))
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(out, "v1"), os.path.join(out, "v2")
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("(pre-upgrade)")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast("double"), 2
+        ).alias("total_price"),
+    )
