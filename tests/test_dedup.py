@@ -89,3 +89,31 @@ def test_simhash_pairs_exact_verification(spark, corpus_dir):
     pairs = _pairs(dedup.dedup_simhash(spark, corpus_dir, max_distance=5))
     assert (3, 4) in pairs
     assert all(p[0] < 5 and p[1] < 5 for p in pairs)
+
+
+def test_dedup_clusters_invariants(spark, sf_dir):
+    from text_grabr_orc_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_embedding_cosine,
+    )
+
+    labels = {
+        r.node_id: r.cluster_id
+        for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    pairs = dedup_embedding_cosine(spark, sf_dir).collect()
+    assert labels  # the pair graph is non-empty at every sf
+    # 1. both endpoints of every near-dup pair share a cluster
+    for p in pairs:
+        assert labels[p.vec_a] == labels[p.vec_b], (p.vec_a, p.vec_b)
+    # 2. the cluster id IS the minimum member id (canonical-keep rule)
+    import collections
+
+    members = collections.defaultdict(list)
+    for n, c in labels.items():
+        members[c].append(n)
+    for c, ns in members.items():
+        assert c == min(ns)
+    # 3. exactly the nodes that appear in some pair are labeled
+    in_pairs = {p.vec_a for p in pairs} | {p.vec_b for p in pairs}
+    assert set(labels) == in_pairs

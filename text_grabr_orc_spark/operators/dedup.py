@@ -519,3 +519,93 @@ def dedup_embedding_cosine(
         .filter(cos >= threshold)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over the near-dup pair graph)
+# ---------------------------------------------------------------------------
+
+_CC_PAIRS_ORACLE = """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) *
+               sqrt(list_dot_product(b.e, b.e))) >= 0.4
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), p AS ({_CC_PAIRS_ORACLE}
+    ), e AS (
+        SELECT vec_a AS s, vec_b AS d FROM p
+        UNION
+        SELECT vec_b, vec_a FROM p
+    ), r(n, l) AS (
+        SELECT DISTINCT s, s FROM e
+        UNION
+        SELECT e.s, r.l FROM e JOIN r ON r.n = e.d
+    )
+    SELECT n AS node_id, min(l) AS cluster_id FROM r GROUP BY n
+    """,
+)
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4, max_iter: int = 25
+) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the near-dup pair
+    graph (embedding cosine >= threshold), labeling every member with
+    the minimum node id of its component. Pair lists are not enough
+    for a real cleaning run — near-duplicity is transitive in
+    practice (A~B, B~C => one cluster), and the keep-one decision
+    needs the component, not the edge.
+
+    Spark-side: iterative min-label propagation — each round joins
+    labels across edges and keeps the elementwise min, converging in
+    diameter(G) rounds (each round is one keyed shuffle; near-dup
+    components are shallow, so this is 2-4 rounds in practice; the
+    max_iter guard turns a pathological chain into an error instead
+    of an infinite loop). Labels are localCheckpointed each round so
+    the lineage stays flat. The DuckDB oracle computes the same
+    components via a recursive-CTE transitive closure — a genuinely
+    different algorithm agreeing on the fixpoint. At extreme scale
+    swap the symmetric join for alternating small-star/large-star
+    (Kiveris et al.) — same per-round shuffle structure, provably
+    O(log n) rounds; diameter-bounded propagation is the right
+    tradeoff below that."""
+    pairs = dedup_embedding_cosine(spark, sf_dir, threshold=threshold).select(
+        "vec_a", "vec_b"
+    )
+    edges = (
+        pairs.select(F.col("vec_a").alias("s"), F.col("vec_b").alias("d"))
+        .union(pairs.select(F.col("vec_b").alias("s"), F.col("vec_a").alias("d")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.d == F.col("node")).select(
+            F.col("s").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("node_id"), F.col("label").alias("cluster_id")
+    )
