@@ -140,3 +140,40 @@ def test_q14_broadcasts_part_and_pushes_date(spark, sf_dir):
     assert_broadcast_join(df)
     assert_pushed_filter(df, "l_shipdate")
     assert_no_python(df)
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
+    """Spark's runtime bloom filter: a selective filter on the build
+    side of a SHUFFLE join gets turned into a might_contain() probe on
+    the stream side, skipping rows (and with parquet, row groups)
+    before the shuffle. At production scale this activates by itself —
+    the default gates are a >10 GB application-side scan and a <10 MB
+    creation side; this test lowers the gates to pin the mechanism on
+    fixture-sized data, because every fact-fact join in this repo is
+    exactly the shape it accelerates at 100 TB."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = executed_plan(j)
+        assert "might_contain" in plan.lower(), plan
+        # and the probe result is still correct
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
