@@ -177,3 +177,52 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_sorted_layout_produces_disjoint_file_ranges(spark, sf_dir):
+    """Proof from the parquet footers that repartitionByRange +
+    sortWithinPartitions produced a zone-map-prunable layout: each
+    file's l_shipdate min/max span is a narrow slice, and file ranges
+    barely overlap — so a month-filter scan can skip most files on
+    statistics alone."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from text_grabr_orc_spark.operators.relational_ext import (
+        sorted_layout_zone_maps,
+    )
+
+    sorted_layout_zone_maps(spark, sf_dir).collect()  # materialize the cache
+    import tempfile as _tf
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(_tf.gettempdir(), "tgos_sorted_cache", tag)
+    spans = []
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo = min(
+            md.row_group(g).column(idx["l_shipdate"]).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(idx["l_shipdate"]).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        spans.append((lo, hi))
+    assert len(spans) >= 4
+    spans.sort()
+    global_span = (
+        max(hi for _, hi in spans) - min(lo for lo, _ in spans)
+    ).total_seconds()
+    # each file covers a narrow slice of the full range
+    for lo, hi in spans:
+        assert (hi - lo).total_seconds() <= global_span / 2
+    # consecutive files are (near-)disjoint: ranges ordered by min must
+    # not nest — each next file starts at or after the previous start,
+    # and overlaps only at the boundary sliver
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert lo2 >= lo1
+        overlap = (min(hi1, _hi2) - max(lo1, lo2)).total_seconds()
+        assert overlap <= global_span / 8, (lo1, hi1, lo2, _hi2)

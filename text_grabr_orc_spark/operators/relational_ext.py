@@ -565,3 +565,126 @@ def schema_evolution_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast("double"), 2
         ).alias("total_price"),
     )
+
+
+@register(
+    "json_corrupt_records",
+    oracle="""
+    SELECT 'good' AS record_class,
+           count(*) AS n,
+           sum(CAST(event_id AS BIGINT)) AS id_sum
+    FROM events
+    UNION ALL
+    SELECT 'corrupt', 7, -1
+    """,
+)
+def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-input tolerance: a JSON ingest where a known set of
+    malformed lines is interleaved with good records. PERMISSIVE mode
+    (the default) routes unparseable lines into ``_corrupt_record``
+    instead of failing the job — at 100 TB some input WILL be garbage,
+    and the reference's fail-the-request stance (`http.Error`,
+    `main.go:45-91`) becomes route-to-error-side-output here
+    (SURVEY.md §2a). The query classifies rows and proves (a) every
+    good record survived bit-exact (id checksum matches the parquet
+    oracle), (b) exactly the 7 planted bad lines landed in the corrupt
+    bucket (-1 sentinel id_sum: nullable-int rule, see registry notes).
+
+    Scale: mode=PERMISSIVE is per-record and map-side — no coordination;
+    FAILFAST is the right mode only when upstream guarantees schema."""
+    from text_grabr_orc_spark.sources.events import load_events
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), "tgos_badjson_cache", tag)
+    marker = os.path.join(out, "_DONE")
+    ev = load_events(spark, sf_dir)
+    if not os.path.exists(marker):
+        ev.select("event_id", "event_type").coalesce(4).write.mode(
+            "overwrite"
+        ).json(out)
+        bad = [
+            '{"event_id": 1, "event_type": "click"',   # truncated object
+            '{"event_id": "not a number"} trailing',    # trailing garbage
+            "[1, 2, 3",                                  # broken array
+            "{unquoted: true}",                          # bare key
+            '{"event_id":}',                             # missing value
+            "plain text line",                           # not JSON at all
+            '{"a"',                                      # truncated key
+        ]
+        with open(os.path.join(out, "part-corrupt.json"), "w") as fh:
+            fh.write("\n".join(bad) + "\n")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    back = spark.read.schema(
+        "event_id bigint, event_type string, _corrupt_record string"
+    ).json(out)
+    # The classifier must reference parsed columns alongside
+    # _corrupt_record: a consumer that only needs the group key (e.g.
+    # count()) lets column pruning strip everything else, and Spark
+    # refuses a raw-JSON scan whose only referenced column is the
+    # internal corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    # Malformed lines parse to all-null fields + non-null corrupt
+    # record, so the three-column test is equivalent to corrupt-only.
+    cls = F.when(
+        F.col("_corrupt_record").isNotNull()
+        & F.col("event_id").isNull()
+        & F.col("event_type").isNull(),
+        "corrupt",
+    ).otherwise("good")
+    return (
+        back.groupBy(cls.alias("record_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("event_id"), F.lit(-1)).alias("id_sum"),
+        )
+    )
+
+
+@register(
+    "sorted_layout_zone_maps",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY l_returnflag
+    """,
+)
+def sorted_layout_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout optimization: rewrite lineitem range-partitioned
+    + sorted by l_shipdate, then answer a one-month query against the
+    sorted copy. Because every parquet file (and row group) now covers
+    a narrow, disjoint shipdate range, the pushed-down date predicate
+    prunes via footer min/max statistics — most files contribute ZERO
+    row groups to the scan. At 100 TB this layout turns a full-corpus
+    scan into reading ~1/72 of the files (one month of six years);
+    it's the same zone-map effect Z-ordering generalizes to multiple
+    columns. repartitionByRange samples the key distribution, so file
+    sizes stay balanced even when ship dates are skewed.
+    tests/test_plans.py proves the physical property from the footers:
+    per-file min/max shipdate spans are narrow and non-overlapping.
+    The oracle runs the same query on the unsorted original — layout
+    must never change answers."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), "tgos_sorted_cache", tag)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out).filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ'1997-03-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ'1997-04-01'"))
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double"), 2
+        ).alias("revenue"),
+    )
