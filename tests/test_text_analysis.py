@@ -100,3 +100,33 @@ def test_chunk_documents_conserves_tokens(spark, sf_dir):
     plan = executed_plan(chunk_documents(spark, sf_dir))
     assert "Exchange" not in plan, plan  # map-only
     assert_no_python(chunk_documents(spark, sf_dir))
+
+
+def test_pack_training_sequences_invariants(spark, sf_dir):
+    from text_grabr_orc_spark.functions.text import token_count
+    from text_grabr_orc_spark.operators.pipeline import pack_training_sequences
+    from text_grabr_orc_spark.tables import load_table
+
+    rows = pack_training_sequences(spark, sf_dir).orderBy("seq_id").collect()
+    assert rows
+    # bins are consecutive from 0 and doc ranges are contiguous slices
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc
+    # token mass conserved
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.sum(token_count("text")))
+        .collect()[0][0]
+    )
+    assert sum(r.n_tokens for r in rows) == corpus
+    # every bin starts below capacity (a doc only opens a new bin when
+    # the previous one crossed capacity) -> fill per bin is bounded by
+    # capacity + the largest doc
+    max_doc = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.max(token_count("text")))
+        .collect()[0][0]
+    )
+    for r in rows[:-1]:
+        assert r.n_tokens <= 256 + max_doc

@@ -184,3 +184,67 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+#: tokens per packed training sequence (bin capacity)
+_PACK_CAPACITY = 256
+
+_PACK_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> t <> '')) AS n_tok
+        FROM documents
+    ), nonblank AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM tok WHERE n_tok > 0
+    )
+    SELECT (cum - n_tok) // {_PACK_CAPACITY} AS seq_id,
+           count(*) AS n_docs,
+           sum(n_tok) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM nonblank
+    GROUP BY seq_id
+"""
+
+
+@register("pack_training_sequences", oracle=_PACK_ORACLE)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-capacity training
+    sequences by running token count in corpus order (doc i lands in
+    bin floor(tokens_before_i / capacity)) — the deterministic
+    streaming-concatenation packing most LLM data loaders use, as a
+    relational plan. Reported per sequence: docs, token fill, doc-id
+    range (contiguity is an invariant — each bin is a corpus slice).
+
+    Scale shape: ONE global running sum. A naive unbounded-window
+    cumsum funnels 100 TB through a single task; Spark's window with
+    ROWS UNBOUNDED PRECEDING over a single ordering is exactly that,
+    which is fine at fixture scale but the 100 TB plan is the
+    two-pass prefix-sum: per-partition token subtotals (tiny) are
+    collected and broadcast as offsets, and each partition computes
+    its running sum locally — same results, fully parallel. The
+    docstring records the swap point deliberately: the packing
+    SEMANTICS (this oracle) stay fixed while the physical prefix-sum
+    strategy changes with scale."""
+    from text_grabr_orc_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = (
+        docs.filter(F.col("text").rlike(r"(?U)\S"))
+        .select("doc_id", token_count("text").alias("n_tok"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = nt.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_PACK_CAPACITY)),
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
