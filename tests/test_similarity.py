@@ -95,3 +95,35 @@ def test_rhp_lsh_hyperplanes_balanced(spark, sf_dir):
     )
     for r in frac:
         assert 0.25 <= r["pos"] <= 0.75, f"hyperplane {r['hid']} skewed: {r['pos']}"
+
+
+def test_kmeans_ivf_recall_at_least_stride_baseline(spark, sf_dir):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.similarity_topk_bruteforce(spark, sf_dir).collect()
+    }
+    stride = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.similarity_topk_ivf(spark, sf_dir).collect()
+    }
+    refined = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.similarity_topk_ivf_kmeans(spark, sf_dir).collect()
+    }
+    r_stride = len(exact & stride) / len(exact)
+    r_refined = len(exact & refined) / len(exact)
+    # Lloyd refinement exists to tighten buckets: it must not LOSE
+    # recall vs the unrefined seeds (small slack for boundary flips),
+    # and the result stays the structural top-k shape.
+    assert r_refined >= r_stride - 0.05, (r_refined, r_stride)
+    assert len(refined) == len(exact)
+
+
+def test_kmeans_ivf_is_deterministic(spark, sf_dir):
+    a = sorted(
+        map(tuple, similarity.similarity_topk_ivf_kmeans(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, similarity.similarity_topk_ivf_kmeans(spark, sf_dir).collect())
+    )
+    assert a == b

@@ -176,18 +176,24 @@ def similarity_topk_ivf(
             F.col("n").alias("cn"),
         )
     )
-    # assignment: every vector -> nearest centroid. max_by aggregation,
-    # NOT row_number over a window: the window must shuffle all n*c
-    # pair rows to rank them, while max_by partial-aggregates each
-    # vector's c candidates down to ONE row map-side (the pair rows
-    # are produced contiguously per vector by the broadcast nested
-    # loop, so the combine is perfect). first(e)/first(n) are safe —
-    # functionally dependent on the grouping key. Tie-break matches
-    # the oracle's ORDER BY ccos DESC, centroid_id ASC: struct
-    # comparison is lexicographic and -centroid_id makes the pair
-    # unique, so the argmax is deterministic.
+    assigned = _nearest_centroid_assign(emb, cent)
+    return _ivf_probe_search(emb, cent, assigned, n_queries, k, nprobe)
+
+
+def _nearest_centroid_assign(emb: DataFrame, cent) -> DataFrame:
+    """(vec_id, e, n, centroid_id): every vector -> nearest centroid
+    by cosine. max_by aggregation, NOT row_number over a window: the
+    window must shuffle all n*c pair rows to rank them, while max_by
+    partial-aggregates each vector's c candidates down to ONE row
+    map-side (the pair rows are produced contiguously per vector by
+    the broadcast nested loop, so the combine is perfect).
+    first(e)/first(n) are safe — functionally dependent on the
+    grouping key. Tie-break matches the oracles' ORDER BY ccos DESC,
+    centroid_id ASC: struct comparison is lexicographic and
+    -centroid_id makes the pair unique, so the argmax is
+    deterministic."""
     ccos = cosine_from_parts(dot(F.col("e"), F.col("ce")), F.col("n"), F.col("cn"))
-    assigned = (
+    return (
         emb.crossJoin(cent)
         .select("vec_id", "e", "n", "centroid_id", ccos.alias("ccos"))
         .groupBy("vec_id")
@@ -200,6 +206,13 @@ def similarity_topk_ivf(
             ).alias("centroid_id"),
         )
     )
+
+
+def _ivf_probe_search(
+    emb: DataFrame, cent, assigned: DataFrame, n_queries: int, k: int, nprobe: int
+) -> DataFrame:
+    """Probe the nprobe nearest centroid buckets per query and rank
+    exact cosine inside them — the shared IVF search tail."""
     # probes: each query -> nprobe nearest centroids
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -405,3 +418,63 @@ def similarity_topk_rhp_lsh(
             F.col("rk").cast("bigint"),
         )
     )
+
+
+@register("similarity_topk_ivf_kmeans")  # iterative refinement -> the
+# driver records a rows-only check; exactness is pinned by the recall
+# test in tests/test_similarity.py instead (floating-point centroid
+# means make a bit-exact cross-engine oracle brittle by construction).
+def similarity_topk_ivf_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_stride: int = 50,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF with k-means-refined centroids: start from the same
+    deterministic stride seeds as similarity_topk_ivf, run Lloyd
+    iterations (assign to nearest centroid, recenter on the
+    elementwise member mean), then search with the standard IVF tail.
+    Refined centroids track the data distribution, so buckets are
+    tighter and the same nprobe recovers more true neighbors — recall
+    vs brute force is asserted >= the stride baseline's in tests.
+
+    Scale shape per iteration: assignment is the map-side-combining
+    max_by aggregate (one row per vector into the shuffle); the
+    recenter step explodes vectors to (centroid, dim, value) rows —
+    64x fixed-width fan-out with map-side partial avg, so the shuffle
+    carries one row per (centroid, dim) PER MAPPER, independent of
+    corpus size; collect_list reassembles the 64 means into the new
+    centroid array. Centroids are localCheckpointed each round to
+    keep the lineage flat across iterations. Two iterations is the
+    knee of the curve for ANN bucketing — this is indexing, not
+    clustering research."""
+    emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") % centroid_stride == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("e").alias("ce"),
+            F.col("n").alias("cn"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _nearest_centroid_assign(emb, cent)
+        means = (
+            assigned.select("centroid_id", F.posexplode("e").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"]).alias("ce"),
+            )
+            .withColumn("cn", l2_norm(F.col("ce")))
+        )
+        cent = F.broadcast(means.localCheckpoint())
+    assigned = _nearest_centroid_assign(emb, cent)
+    return _ivf_probe_search(emb, cent, assigned, n_queries, k, nprobe)
