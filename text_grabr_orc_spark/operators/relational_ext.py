@@ -688,3 +688,107 @@ def sorted_layout_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double"), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "window_rank_variants",
+    oracle="""
+    SELECT c_custkey,
+           round(c_acctbal, 2) AS acctbal,
+           dense_rank() OVER w AS drank,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-function family beyond row_number: dense_rank, ntile
+    quartiles, percent_rank, cume_dist — per-nation account-balance
+    standings. The window ordering includes c_custkey as tiebreak so
+    every function is total-order deterministic (percent_rank/
+    cume_dist over a non-total order would be engine-dependent for
+    ties). One shuffle on c_nationkey serves all four functions —
+    Spark evaluates them in a single Window operator pass."""
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "profile_orders_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling primitive: per-column row/null/distinct counts
+    and min/max (stringified for a uniform schema) — the audit run
+    before any 100 TB ingest is trusted. Shaped as ONE pass over the
+    table computing all columns' profiles together (count_distinct
+    per column in a single aggregate) rather than a scan per column;
+    min/max stringification happens after aggregation, so the scan
+    stays typed and pushdown-friendly. At extreme cardinalities the
+    exact count_distinct becomes approx_count_distinct — the swap
+    point is a one-line change per column and the output contract
+    stays fixed."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            x
+            for c in ("o_orderkey", "o_orderstatus", "o_orderpriority")
+            for x in (
+                F.count(c).alias(f"{c}_nn"),
+                F.count_distinct(c).alias(f"{c}_nd"),
+                F.min(c).alias(f"{c}_min"),
+                F.max(c).alias(f"{c}_max"),
+            )
+        ],
+    )
+    rows = []
+    for c in ("o_orderkey", "o_orderstatus", "o_orderpriority"):
+        rows.append(
+            agg.select(
+                F.lit(c).alias("col"),
+                F.col("n_rows"),
+                (F.col("n_rows") - F.col(f"{c}_nn")).alias("n_nulls"),
+                F.col(f"{c}_nd").alias("n_distinct"),
+                F.col(f"{c}_min").cast("string").alias("min_val"),
+                F.col(f"{c}_max").cast("string").alias("max_val"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
