@@ -792,3 +792,46 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+@register(
+    "stats_price_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+           round(stddev_samp(l_quantity), 6) AS qty_sd,
+           round(avg(l_quantity), 6) AS qty_mean,
+           -- Spark reports POPULATION skewness g1 and excess kurtosis
+           -- g2; DuckDB's skewness is the sample-corrected G1, so
+           -- un-correct it (g1 = G1*(n-2)/sqrt(n*(n-1))) and use
+           -- kurtosis_pop directly
+           round(skewness(l_quantity) * (count(*) - 2)
+                 / sqrt(count(*) * (count(*) - 1.0)), 6) AS qty_skew,
+           round(kurtosis_pop(l_quantity), 6) AS qty_kurt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: correlation, stddev, skewness,
+    kurtosis per return flag — one pass, all moments together (Spark
+    merges the co-moment sketches associatively, so partial
+    aggregation holds and the shuffle carries one small state row per
+    group per mapper; the same property is what makes these exact on
+    100 TB without a second pass). Quantities are integer-valued
+    doubles, so the moment sums are exact and both engines agree at
+    6 dp despite different summation orders. Formula trap the oracle
+    gate caught: Spark reports POPULATION skewness/kurtosis (g1, g2)
+    while DuckDB defaults to the sample-corrected G1/G2 — the oracle
+    un-corrects skewness algebraically and uses kurtosis_pop, because
+    'skewness' does not name one formula across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qp_corr"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_sd"),
+        F.round(F.avg("l_quantity"), 6).alias("qty_mean"),
+        F.round(F.skewness("l_quantity"), 6).alias("qty_skew"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("qty_kurt"),
+    )
