@@ -226,3 +226,18 @@ def test_sorted_layout_produces_disjoint_file_ranges(spark, sf_dir):
         assert lo2 >= lo1
         overlap = (min(hi1, _hi2) - max(lo1, lo2)).total_seconds()
         assert overlap <= global_span / 8, (lo1, hi1, lo2, _hi2)
+
+
+def test_nested_schema_pruning_reads_only_leaves(spark, sf_dir):
+    from text_grabr_orc_spark.operators.relational_ext import (
+        nested_struct_pruning,
+    )
+
+    df = nested_struct_pruning(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the scan's ReadSchema must contain the referenced leaves...
+    assert "priority" in plan and "total" in plan
+    # ...and must NOT read the unreferenced leaves of the same structs
+    for dropped in ("tax_estimate", "month", "status"):
+        assert f"{dropped}" not in plan.split("ReadSchema")[1][:400], plan
+    df.collect()

@@ -835,3 +835,63 @@ def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 6).alias("qty_skew"),
         F.round(F.kurtosis("l_quantity"), 6).alias("qty_kurt"),
     )
+
+
+@register(
+    "nested_struct_pruning",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_price
+    FROM orders
+    WHERE year(o_orderdate) = 1998
+    GROUP BY priority
+    """,
+)
+def nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type round trip + nested schema pruning: orders are
+    rewritten with the payload folded into a STRUCT (meta.priority,
+    meta.placed.year, amounts.total) — the shape event logs and API
+    dumps actually arrive in — then the query touches only three leaf
+    fields. Spark's nestedSchemaPruning pushes the projection INTO the
+    parquet scan: ReadSchema lists just the referenced leaves, not the
+    whole struct (tests/test_plans.py pins it). At 100 TB of deeply
+    nested logs, reading 3 leaves instead of the full struct is the
+    difference between a column scan and a table scan. The oracle runs
+    the equivalent flat query on the original table — nesting must
+    not change a single aggregate."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), "tgos_nested_cache", tag)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        orders = load_table(spark, sf_dir, "orders")
+        nested = orders.select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderpriority").alias("priority"),
+                F.struct(
+                    F.year("o_orderdate").alias("year"),
+                    F.month("o_orderdate").alias("month"),
+                ).alias("placed"),
+                F.col("o_orderstatus").alias("status"),
+            ).alias("meta"),
+            F.struct(
+                F.col("o_totalprice").alias("total"),
+                (F.col("o_totalprice") * 0.1).alias("tax_estimate"),
+            ).alias("amounts"),
+        )
+        nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("meta.placed.year") == 1998)
+        .groupBy(F.col("meta.priority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.expr("CAST(amounts.total AS DECIMAL(18,2))")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+        )
+    )
