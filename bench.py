@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "similarity_topk_ivf",
     "text_quality_by_source",
     "corpus_clean_pipeline",
+    "chunk_documents",
+    "pack_training_sequences",
+    "dedup_incremental_batch",
     "doc_fingerprint",
     "asof_purchase_last_click",
     "multires_rollup_daily",

@@ -24,7 +24,7 @@ never changes the *answer*, only the work.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -608,4 +608,79 @@ def dedup_clusters(
     edges.unpersist()
     return labels.select(
         F.col("node").alias("node_id"), F.col("label").alias("cluster_id")
+    )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH corpus AS (
+        SELECT * FROM documents WHERE doc_id < 250
+    ), incoming AS (
+        SELECT * FROM documents WHERE doc_id >= 250
+    ), seen AS (
+        SELECT DISTINCT text FROM corpus
+    ), flagged AS (
+        SELECT i.doc_id,
+               CASE
+                 WHEN s.text IS NOT NULL THEN 'dup_of_corpus'
+                 WHEN row_number() OVER (PARTITION BY i.text
+                                         ORDER BY i.doc_id) > 1
+                      THEN 'dup_in_batch'
+                 ELSE 'new'
+               END AS status
+        FROM incoming i LEFT JOIN seen s ON i.text = s.text
+    )
+    SELECT status, count(*) AS n_docs,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM flagged
+    GROUP BY status
+    """,
+)
+def dedup_incremental_batch(
+    spark: SparkSession, sf_dir: str, split_id: int = 250
+) -> DataFrame:
+    """Incremental ingest dedup: classify an incoming batch against an
+    existing corpus — 'dup_of_corpus' (text already ingested),
+    'dup_in_batch' (first copy wins within the batch), or 'new'. This
+    is the shape EVERY production ingest takes: the corpus is never
+    re-deduplicated, only probed.
+
+    Scale: the corpus side reduces to a distinct DIGEST set before the
+    join (sha2 keys, not text — at 100 TB the seen-set is ~32 B x
+    n_docs and lives bucketed/partitioned by digest, so the probe is
+    a co-partitioned hash join, or a broadcast when the batch is the
+    small side — Spark picks per AQE statistics). Within-batch dedup
+    is the usual keep-first window over the digest. The oracle joins
+    on raw text; digest equality decides identically (2^-128
+    collisions). The status column makes the decision auditable —
+    counts per class are what an ingest pipeline alerts on."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_hashes = (
+        docs.filter(F.col("doc_id") < split_id)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") >= split_id).select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    status = (
+        F.when(F.col("in_corpus"), "dup_of_corpus")
+        .when(F.col("batch_rank") > 1, "dup_in_batch")
+        .otherwise("new")
+    )
+    flagged = (
+        incoming.join(
+            corpus_hashes.withColumn("in_corpus_flag", F.lit(True)),
+            "h",
+            "left",
+        )
+        .withColumn("in_corpus", F.coalesce("in_corpus_flag", F.lit(False)))
+        .withColumn("batch_rank", F.row_number().over(w))
+    )
+    return flagged.select(status.alias("status"), "doc_id").groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
