@@ -130,18 +130,20 @@ def dedup_ngram_jaccard(
     Only pairs sharing >=1 shingle are generated, which is exactly the
     J > 0 support set, so the result equals brute force.
 
-    Scale: the self-join shuffles on the shingle string; a stop-shingle
-    appearing in d docs contributes d^2 pair rows — AQE's skew split
-    handles moderate cases, and partial aggregation collapses pairs
-    before the final shuffle. (A df-cap that drops ultra-common
-    shingles is the standard lossy escape hatch at extreme scale; left
-    off here because it changes J.)"""
+    Scale: the self-join shuffles on the 8-byte shingle hash (hashed
+    ONCE at the source — see hashed_shingle_table; the string form
+    never leaves the mapper); a stop-shingle appearing in d docs
+    contributes d^2 pair rows — AQE's skew split handles moderate
+    cases, and partial aggregation collapses pairs before the final
+    shuffle. (A df-cap that drops ultra-common shingles is the
+    standard lossy escape hatch at extreme scale; left off here
+    because it changes J.)"""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs).persist(
+    sh = hashed_shingle_table(docs).persist(
         StorageLevel.MEMORY_AND_DISK  # read by sizes + inverted index
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("hs").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("hs").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(
@@ -210,6 +212,24 @@ def shingle_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def hashed_shingle_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<bigint>) — shingles hashed to xxhash64 ONCE
+    at the source. Every downstream consumer (minhash permutations,
+    inverted-index join keys, exact-intersect verification) operates
+    on 8-byte ints instead of ~25-byte gram strings: the persisted
+    table is ~3x smaller, join keys shuffle fewer bytes, and
+    array_intersect compares longs instead of strings. Jaccard over
+    hashed sets equals Jaccard over the grams themselves unless two
+    distinct grams of the SAME doc pair collide in 64 bits
+    (~|sh|^2/2^64 per pair — below any realistic corpus noise floor;
+    the string-side DuckDB oracles stay bit-identical in practice and
+    gate it)."""
+    sh = shingle_table(docs)
+    return sh.select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
+    )
+
+
 def minhash_signatures_from_shingles(
     sh: DataFrame, n_hashes: int = _N_HASHES
 ) -> DataFrame:
@@ -226,9 +246,12 @@ def minhash_signatures_from_shingles(
     whole-stage-codegen'd aggregates, and explode+agg also partial-
     aggregates map-side — each doc's 64 mins are computed before the
     shuffle, so the exchange carries one 64-long row per doc per
-    mapper. That is the right plan at 100 TB too."""
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h")
+    mapper. That is the right plan at 100 TB too.
+
+    Input is the HASHED shingle table (doc_id, hs) — the string
+    xxhash64 already happened once at the source."""
+    exploded = sh.select("doc_id", F.explode("hs").alias("s")).select(
+        "doc_id", F.pmod(F.col("s"), F.lit(_MERSENNE)).alias("h")
     )
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(f"m{i}")
@@ -242,8 +265,9 @@ def minhash_signatures_from_shingles(
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     """(doc_id, sig) MinHash signatures straight from a documents
-    table — convenience wrapper over the shingle_table two-step."""
-    return minhash_signatures_from_shingles(shingle_table(docs), n_hashes)
+    table — convenience wrapper over the hashed_shingle_table
+    two-step."""
+    return minhash_signatures_from_shingles(hashed_shingle_table(docs), n_hashes)
 
 
 @register(
@@ -288,9 +312,11 @@ def dedup_minhash_lsh(
     # measured 12x slower. rlike '\\S' is exactly tokens != [] and
     # evaluates on the scan.
     nonblank = docs.filter(F.col("text").rlike(r"(?U)\S"))
-    # ONE shingling pass feeds both signature generation and exact
-    # verification — persisted because three subplans read it
-    sh = shingle_table(nonblank).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE shingling+hashing pass feeds both signature generation and
+    # exact verification — persisted because three subplans read it,
+    # and persisted as int64 arrays (hashed_shingle_table), not gram
+    # strings: ~3x smaller cache, long-vs-long intersects
+    sh = hashed_shingle_table(nonblank).persist(StorageLevel.MEMORY_AND_DISK)
     # persisted: the band self-join reads both aliases from ONE
     # materialization — unpersisted, Spark recomputes the whole
     # explode + 64-min aggregation once PER SIDE (signatures are 8
@@ -325,8 +351,8 @@ def dedup_minhash_lsh(
         )
         .distinct()
     )
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
