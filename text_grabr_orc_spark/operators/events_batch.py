@@ -122,3 +122,35 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "map_type_roundtrip",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def map_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + explosion round trip: per-user event
+    counts folded into a MAP<event_type, count> (the per-entity
+    feature-map shape profile stores use), then exploded back to
+    rows. collect_list is order-nondeterministic under parallel
+    aggregation, so the entry array is array_sort'ed BEFORE
+    map_from_entries — without it the map's internal order (and any
+    downstream serialization of it) varies run to run. Exploding back
+    must reproduce exactly the flat group-by the oracle computes —
+    the map layer adds structure, never data."""
+    ev = load_events(spark, sf_dir)
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return maps.select(
+        "user_id", F.explode("m").alias("event_type", "cnt")
+    )
