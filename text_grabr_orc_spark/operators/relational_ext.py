@@ -895,3 +895,53 @@ def nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_price"),
         )
     )
+
+
+@register(
+    "array_functions_showcase",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    )
+    SELECT vec_id,
+           len(e) AS dim,
+           len(list_filter(e, x -> x > 0)) AS n_pos,
+           CAST(len(list_filter(e, x -> abs(x) > 2)) > 0 AS INT) AS any_big,
+           CAST(len(list_filter(e, x -> abs(x) >= 4)) = 0 AS INT) AS all_small,
+           round(list_sum(e), 6) AS total,
+           round(list_reverse_sort(e)[1], 6) AS max0,
+           round(list_reverse_sort(e)[2], 6) AS max1
+    FROM v
+    """,
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function surface over the embedding column:
+    transform (double widening), filter, exists/forall (emitted as
+    ints — nullable-boolean columns hash differently per engine),
+    aggregate (sequential left fold — matches DuckDB's list_sum
+    ordering exactly, same reason the cosine oracles agree to the
+    ulp), and sort_array for ranked element access. These lambdas run
+    on Spark's interpreted higher-order evaluator — fine for per-row
+    feature math, and exactly what the hot paths in dedup/similarity
+    deliberately AVOID by reshaping into explode + codegen aggregates
+    (see minhash_signatures_from_shingles); this query documents both
+    sides of that tradeoff."""
+    from text_grabr_orc_spark.functions.vectors import to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    desc = F.reverse(F.array_sort("e"))
+    return emb.select(
+        "vec_id",
+        F.size("e").cast("bigint").alias("dim"),
+        F.size(F.filter("e", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.exists("e", lambda x: F.abs(x) > 2).cast("int").alias("any_big"),
+        F.forall("e", lambda x: F.abs(x) < 4).cast("int").alias("all_small"),
+        F.round(
+            F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("total"),
+        F.round(desc.getItem(0), 6).alias("max0"),
+        F.round(desc.getItem(1), 6).alias("max1"),
+    )
