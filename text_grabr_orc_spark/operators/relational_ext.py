@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from text_grabr_orc_spark.registry import register
-from text_grabr_orc_spark.tables import load_table
+from text_grabr_orc_spark.tables import cache_tag, load_table
 
 
 @register(
@@ -162,7 +162,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back with an explicit schema, aggregate. Equality with the
     parquet-side oracle proves losslessness. Explicit schemas on read
     skip the inference scan — mandatory at scale."""
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = cache_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), "tgos_json_cache", tag)
     docs = load_table(spark, sf_dir, "documents")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -291,7 +291,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     to region. Read uses an explicit schema (header inference is an
     extra full scan at scale) — losslessness proven by matching the
     parquet-side oracle."""
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = cache_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), "tgos_csv_cache", tag)
     nation = load_table(spark, sf_dir, "nation")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -498,7 +498,7 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra scan AND type-guesses (acctbal could flip double/decimal),
     both wrong at scale. Losslessness proven by matching the
     parquet-side oracle."""
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = cache_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), "tgos_xml_cache", tag)
     supp = load_table(spark, sf_dir, "supplier")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -543,7 +543,7 @@ def schema_evolution_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces the same split from the unevolved table.
     (mergeSchema is a read-time footer union — it costs a footer scan,
     not a data rewrite; at scale you set it per-table, not globally.)"""
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = cache_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), "tgos_evo_cache", tag)
     orders = load_table(spark, sf_dir, "orders")
     cut = F.expr("TIMESTAMP_NTZ'1999-01-01'")
@@ -594,7 +594,7 @@ def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     FAILFAST is the right mode only when upstream guarantees schema."""
     from text_grabr_orc_spark.sources.events import load_events
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = cache_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), "tgos_badjson_cache", tag)
     marker = os.path.join(out, "_DONE")
     ev = load_events(spark, sf_dir)
@@ -668,7 +668,7 @@ def sorted_layout_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-file min/max shipdate spans are narrow and non-overlapping.
     The oracle runs the same query on the unsorted original — layout
     must never change answers."""
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = cache_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), "tgos_sorted_cache", tag)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         li = load_table(spark, sf_dir, "lineitem")
@@ -861,7 +861,7 @@ def nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between a column scan and a table scan. The oracle runs
     the equivalent flat query on the original table — nesting must
     not change a single aggregate."""
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = cache_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), "tgos_nested_cache", tag)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         orders = load_table(spark, sf_dir, "orders")

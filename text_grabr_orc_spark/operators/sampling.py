@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from text_grabr_orc_spark.registry import register
-from text_grabr_orc_spark.tables import load_table
+from text_grabr_orc_spark.tables import cache_tag, load_table
 
 # (key * KNUTH) % 2^32 % scale < threshold  — identical in any engine
 # with 64-bit integer arithmetic; keys here are < ~2^24 so the product
@@ -121,7 +121,7 @@ def partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     column). Matching the unpartitioned oracle proves the layout is
     lossless. Partition count stays bounded because lang has 5
     values — never partition by a high-cardinality key."""
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = cache_tag(sf_dir)
     out = os.path.join(tempfile.gettempdir(), "tgos_part_cache", tag)
     docs = load_table(spark, sf_dir, "documents")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):

@@ -45,3 +45,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all fixture tables keyed by name."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def cache_tag(sf_dir: str) -> str:
+    """Cache-directory tag for derived /tmp artifacts: the sf path
+    plus a fingerprint of every source table's (mtime, size). Derived
+    caches (CSV/JSON/XML round-trips, sorted layouts, ...) are guarded
+    by a does-it-exist check — keying them by fixture CONTENT means a
+    regenerated testdata directory invalidates them automatically
+    instead of silently serving rows from the previous fixture
+    generation."""
+    import hashlib
+
+    base = sf_dir.strip("/").replace("/", "_")
+    h = hashlib.sha256()
+    for name in TABLE_NAMES:
+        p = table_path(sf_dir, name)
+        try:
+            st = os.stat(p)
+            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size};".encode())
+        except OSError:
+            h.update(f"{name}:absent;".encode())
+    return f"{base}-{h.hexdigest()[:12]}"
