@@ -44,3 +44,14 @@ def test_queries_run_at_smoke_sf(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, f"{name} returned no columns"
         assert df.count() >= 0
+
+
+def test_repeated_contract_calls_are_stable():
+    """The driver may call queries()/oracle_sql() any number of times;
+    the registry must not double-register (it would raise) and the
+    returned dicts must be equal and defensive copies."""
+    q1, q2 = entrymod.queries(), entrymod.queries()
+    o1, o2 = entrymod.oracle_sql(), entrymod.oracle_sql()
+    assert set(q1) == set(q2) and o1 == o2
+    q1.clear()  # mutating the returned dict must not affect the registry
+    assert entrymod.queries()
