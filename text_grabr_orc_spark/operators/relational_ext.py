@@ -945,3 +945,55 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(desc.getItem(0), 6).alias("max0"),
         F.round(desc.getItem(1), 6).alias("max1"),
     )
+
+
+@register(
+    "set_ops_multiset",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ), b AS (
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_totalprice > 200000
+    )
+    SELECT 'intersect_all' AS op, count(*) AS n
+    FROM (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b)
+    UNION ALL
+    SELECT 'except_all', count(*)
+    FROM (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b)
+    UNION ALL
+    SELECT 'union_all', count(*)
+    FROM (SELECT custkey FROM a UNION ALL SELECT custkey FROM b)
+    """,
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — intersectAll / exceptAll /
+    unionAll — which keep DUPLICATE multiplicity: a customer with
+    three urgent orders and one big order contributes min(3,1)=1 row
+    to INTERSECT ALL and 3-1=2 rows to EXCEPT ALL. The distinct
+    variants (set_ops_customer_cohorts) answer "which customers"; the
+    ALL variants answer "how many order events" — different questions
+    that a complete engine must keep apart. Spark plans intersectAll/
+    exceptAll as count-aggregated joins on the key, so the shuffle
+    carries (key, count) rows, not the multiset itself."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    counts = [
+        ("intersect_all", a.intersectAll(b)),
+        ("except_all", a.exceptAll(b)),
+        ("union_all", a.unionAll(b)),
+    ]
+    parts = [
+        df.agg(F.lit(op).alias("op"), F.count(F.lit(1)).alias("n"))
+        for op, df in counts
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
