@@ -117,3 +117,40 @@ def test_dedup_clusters_invariants(spark, sf_dir):
     # 3. exactly the nodes that appear in some pair are labeled
     in_pairs = {p.vec_a for p in pairs} | {p.vec_b for p in pairs}
     assert set(labels) == in_pairs
+
+
+def test_embedding_rhp_matches_exact_allpairs(spark, sf_dir):
+    # full-recall contract: the bucketed LSH variant must produce the
+    # IDENTICAL row set as the exact all-pairs operator (banding is
+    # sized so a miss at the 0.4 threshold has p < 1e-7)
+    exact = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dedup.dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dedup.dedup_embedding_rhp(spark, sf_dir).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_embedding_rhp_plan_has_no_allpairs_join(spark, sf_dir):
+    from text_grabr_orc_spark.plans import executed_plan
+
+    plan = executed_plan(dedup.dedup_embedding_rhp(spark, sf_dir))
+    # candidate generation must be a keyed equi-join on the band keys —
+    # an all-pairs plan would show a CartesianProduct or a nested-loop
+    # join between two full-corpus relations instead
+    assert "CartesianProduct" not in plan
+    assert any(
+        "Join" in line and "band_idx" in line and "band_val" in line
+        for line in plan.splitlines()
+    ), "band self-join is not a keyed equi-join"
+    # every nested-loop node must be the tiny hyperplane broadcast
+    # (IdentityBroadcastMode over the vec_id < 64 slice), never a
+    # corpus-by-corpus cross
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "IdentityBroadcastMode"
+    )
+    # signatures are computed once and reused via the cache
+    assert "InMemoryTableScan" in plan

@@ -130,3 +130,18 @@ def test_pack_training_sequences_invariants(spark, sf_dir):
     )
     for r in rows[:-1]:
         assert r.n_tokens <= 256 + max_doc
+
+
+def test_pack_training_sequences_two_pass_prefix_sum(spark, sf_dir):
+    from text_grabr_orc_spark.operators.pipeline import pack_training_sequences
+    from text_grabr_orc_spark.plans import executed_plan
+
+    df = pack_training_sequences(spark, sf_dir)
+    plan = executed_plan(df)
+    # the global cumsum must NOT be a single-task unpartitioned window:
+    # every Window node needs a partition spec (the range-partition id)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "pid" in line, f"unpartitioned window in plan: {line}"
+    # offsets arrive via a broadcast join, not a global sort
+    assert "BroadcastHashJoin" in plan

@@ -489,9 +489,10 @@ def dedup_simhash(
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle="""
+#: exact all-pairs near-dup oracle — shared by the exact operator AND
+#: the bucketed RHP-LSH variant (whose banding is sized for full
+#: recall at the 0.4 threshold, so both must produce identical rows).
+_EMB_EXACT_ORACLE = """
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
@@ -503,8 +504,10 @@ def dedup_simhash(
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.e, b.e) /
           (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
-    """,
-)
+    """
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_EXACT_ORACLE)
 def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:
@@ -542,6 +545,124 @@ def dedup_embedding_cosine(
     cos = cosine_from_parts(dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= threshold)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+#: RHP-LSH banding for the bucketed near-dup variant. 64 sign bits in
+#: 32 bands of 2 bits: at the 0.4 cosine threshold a qualifying pair
+#: agrees on a given bit with p = 1 - acos(0.4)/pi ~= 0.63, so it
+#: collides in a 2-bit band with p ~= 0.40 and MISSES all 32 bands
+#: with p ~= (1-0.40)^32 < 1e-7 — the banding is sized for full recall
+#: at the threshold, which is what lets the exact all-pairs SQL serve
+#: as this operator's oracle. (Higher thresholds would take longer
+#: bands/fewer of them; the tradeoff is the standard LSH S-curve.)
+_RHP_BITS = 64
+_RHP_BLOCK_BITS = 2
+
+
+@register("dedup_embedding_rhp", oracle=_EMB_EXACT_ORACLE)
+def dedup_embedding_rhp(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Bucketed embedding near-dup: random-hyperplane (sign) LSH
+    candidate generation + exact cosine verification — the 100 TB
+    shape of ``dedup_embedding_cosine`` (same output contract, same
+    exact oracle, NO all-pairs join anywhere in the plan).
+
+    Hyperplanes are the first 64 corpus vectors (deterministic and
+    SQL-expressible, the same device as similarity_topk_rhp_lsh);
+    each vector gets a 64-bit sign code, codes are banded into 32
+    2-bit bands, and candidates come from a self-equi-join on
+    (band_idx, band_value) — a keyed shuffle whose volume is
+    sum-over-buckets quadratic instead of corpus quadratic. Exact
+    cosine then verifies every candidate, so LSH changes the WORK,
+    never the answer (banding above is sized so recall at the
+    threshold is 1 up to p < 1e-7 — verified against the exact
+    operator in tests).
+
+    Scale: codes are one broadcast (64 planes) of map-side dot
+    products; signatures persist so the self-join's two sides don't
+    recompute them; AQE splits skewed buckets (near-zero vectors all
+    landing in one band value is the skew magnet here)."""
+    from text_grabr_orc_spark.functions.vectors import (
+        cosine_from_parts,
+        dot,
+        l2_norm,
+        to_double_array,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", to_double_array("embedding").alias("e"))
+        .withColumn("n", l2_norm(F.col("e")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hyp = F.broadcast(
+        emb.filter(F.col("vec_id") < _RHP_BITS).select(
+            F.col("vec_id").alias("hid"), F.col("e").alias("he")
+        )
+    )
+    # persisted like dedup_simhash's sigs: the band self-join would
+    # otherwise run the hyperplane crossJoin + 64-bit aggregation once
+    # per join side
+    code = (
+        emb.crossJoin(hyp)
+        .select(
+            "vec_id",
+            F.when(
+                dot(F.col("e"), F.col("he")) > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hid AS INT))"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("term"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("term").cast("bigint").alias("code"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_bands = _RHP_BITS // _RHP_BLOCK_BITS
+    mask = (1 << _RHP_BLOCK_BITS) - 1
+    bands = code.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftright(F.col("code"), j * _RHP_BLOCK_BITS)
+                        .bitwiseAND(mask)
+                        .alias("band_val"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.band_idx", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("n").alias("na")
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("n").alias("nb")
+    )
+    cos = cosine_from_parts(dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .filter(cos >= threshold)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )

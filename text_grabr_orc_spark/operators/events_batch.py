@@ -23,7 +23,8 @@ _NS_PER_HOUR = 3_600 * 1_000_000_000
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+           CAST(coalesce(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                                  AS BIGINT)), -1) AS BIGINT) AS sum_k,
            round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
     FROM events
     GROUP BY event_type
@@ -33,12 +34,15 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json over the ``props`` JSON-string column (FIXTURES.md:
     `{"k": 87}`) + aggregate by event type. The oracle uses a regex
     because DuckDB-side JSON is an extension; Spark side is real
-    ``from_json`` with an explicit schema as SURVEY §7 requires."""
+    ``from_json`` with an explicit schema as SURVEY §7 requires.
+    sum_k is coalesced non-null and CAST BIGINT on both sides —
+    DuckDB's sum(BIGINT) returns HUGEINT, which pandas-based
+    comparators render as float64 (the round-1 driver hash miss)."""
     ev = load_events(spark, sf_dir)
     parsed = ev.withColumn("k", F.from_json("props", "k BIGINT").getField("k"))
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("k").alias("sum_k"),
+        F.coalesce(F.sum("k"), F.lit(-1)).cast("bigint").alias("sum_k"),
         F.round(
             F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).cast("double"), 2
         ).alias("sum_value"),

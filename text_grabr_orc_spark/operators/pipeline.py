@@ -66,8 +66,9 @@ _ORACLE = f"""
     )
     SELECT outcome,
            count(*) AS n_docs,
-           sum(n_tok) AS total_tokens,
-           round(avg(q), 4) AS avg_quality
+           CAST(coalesce(sum(n_tok), -1) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+               AS avg_quality
     FROM outcomes
     GROUP BY outcome
 """
@@ -91,7 +92,15 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     between shuffling key digests and the corpus itself; collision
     odds at 2^-128 are below hardware error rates, and the oracle's
     PARTITION BY text decides identically). The attrition rollup above
-    the window aggregates partially map-side into at most 8 groups."""
+    the window aggregates partially map-side into at most 8 groups.
+
+    Bit-stability contract (driver hash gate): the quality mean is the
+    exact DECIMAL(18,6) sum of the already-6dp-rounded per-doc scores
+    divided in double — identical on every engine and partitioning
+    (raw double avg is summation-order-sensitive and flipped the 4dp
+    rounding under the driver in round 1); integer sums are coalesced
+    and CAST BIGINT on both sides because DuckDB's sum(BIGINT) returns
+    HUGEINT, which pandas-based comparators render as float64."""
     docs = load_table(spark, sf_dir, "documents")
     pred, _hits = lang_id(F.col("text"))
     q = quality_columns("text")
@@ -115,8 +124,13 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("outcome")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("total_tokens"),
-            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.coalesce(F.sum("n_tok"), F.lit(-1)).cast("bigint")
+            .alias("total_tokens"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_quality"),
         )
     )
 
@@ -201,11 +215,11 @@ _PACK_ORACLE = f"""
                                 ROWS UNBOUNDED PRECEDING) AS cum
         FROM tok WHERE n_tok > 0
     )
-    SELECT (cum - n_tok) // {_PACK_CAPACITY} AS seq_id,
+    SELECT CAST((cum - n_tok) // {_PACK_CAPACITY} AS BIGINT) AS seq_id,
            count(*) AS n_docs,
-           sum(n_tok) AS n_tokens,
-           min(doc_id) AS first_doc,
-           max(doc_id) AS last_doc
+           CAST(coalesce(sum(n_tok), -1) AS BIGINT) AS n_tokens,
+           CAST(coalesce(min(doc_id), -1) AS BIGINT) AS first_doc,
+           CAST(coalesce(max(doc_id), -1) AS BIGINT) AS last_doc
     FROM nonblank
     GROUP BY seq_id
 """
@@ -220,31 +234,63 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational plan. Reported per sequence: docs, token fill, doc-id
     range (contiguity is an invariant — each bin is a corpus slice).
 
-    Scale shape: ONE global running sum. A naive unbounded-window
-    cumsum funnels 100 TB through a single task; Spark's window with
-    ROWS UNBOUNDED PRECEDING over a single ordering is exactly that,
-    which is fine at fixture scale but the 100 TB plan is the
-    two-pass prefix-sum: per-partition token subtotals (tiny) are
-    collected and broadcast as offsets, and each partition computes
-    its running sum locally — same results, fully parallel. The
-    docstring records the swap point deliberately: the packing
-    SEMANTICS (this oracle) stay fixed while the physical prefix-sum
-    strategy changes with scale."""
+    Scale shape: a GLOBAL running sum, computed as the two-pass
+    distributed prefix-sum (a naive ``Window.orderBy`` with no
+    partitionBy funnels the whole corpus through ONE task):
+
+    1. range-partition the tiny ``(doc_id, n_tok)`` projection by
+       doc_id (so partition i holds strictly smaller doc_ids than
+       partition i+1) and persist it, pinning ONE partitioning for
+       both passes;
+    2. pass 1 — per-partition token subtotals: one row per partition,
+       collected to the driver (a vector of numPartitions ints — the
+       documented legitimate collect) and turned into exclusive
+       prefix offsets;
+    3. pass 2 — each partition computes its LOCAL running sum with a
+       window partitioned by the range-partition id (fully parallel)
+       and adds its broadcast offset.
+
+    Same semantics as the oracle's single ORDER BY cumsum, but every
+    stage is parallel; the only serial object is the numPartitions-
+    length offset vector. The persist is what makes the two passes see
+    identical range boundaries (repartitionByRange samples range
+    bounds; two independent evaluations could split differently)."""
     from text_grabr_orc_spark.functions.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     nt = (
         docs.filter(F.col("text").rlike(r"(?U)\S"))
         .select("doc_id", token_count("text").alias("n_tok"))
+        .repartitionByRange(n_parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = nt.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
-        "seq_id",
-        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_PACK_CAPACITY)),
+    # pass 1: per-partition subtotals -> exclusive prefix offsets
+    subtotals = nt.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect()
+    offsets, running = [], 0
+    for row in sorted(subtotals, key=lambda r: r["pid"]):
+        offsets.append((row["pid"], running))
+        running += row["tot"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off bigint")
+    # pass 2: partition-local running sums + broadcast offset
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = (
+        nt.withColumn("local_cum", F.sum("n_tok").over(wp))
+        .join(F.broadcast(off_df), "pid")
+        .withColumn("cum", F.col("local_cum") + F.col("off"))
+        .withColumn(
+            "seq_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_PACK_CAPACITY)),
+        )
     )
     return packed.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("n_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
+        F.coalesce(F.sum("n_tok"), F.lit(-1)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.min("doc_id"), F.lit(-1)).cast("bigint").alias("first_doc"),
+        F.coalesce(F.max("doc_id"), F.lit(-1)).cast("bigint").alias("last_doc"),
     )

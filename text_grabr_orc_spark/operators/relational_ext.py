@@ -152,7 +152,8 @@ def events_user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_roundtrip",
     oracle="""
-    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, count(*) AS n_docs,
+           CAST(coalesce(sum(n_chars), -1) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     """,
@@ -169,7 +170,9 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "n_chars").write.mode("overwrite").json(out)
     back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(out)
     return back.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_chars"), F.lit(-1)).cast("bigint")
+        .alias("total_chars"),
     )
 
 
@@ -572,10 +575,10 @@ def schema_evolution_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'good' AS record_class,
            count(*) AS n,
-           sum(CAST(event_id AS BIGINT)) AS id_sum
+           CAST(coalesce(sum(CAST(event_id AS BIGINT)), -1) AS BIGINT) AS id_sum
     FROM events
     UNION ALL
-    SELECT 'corrupt', 7, -1
+    SELECT 'corrupt', CAST(7 AS BIGINT), CAST(-1 AS BIGINT)
     """,
 )
 def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -77,7 +77,7 @@ def sample_orders_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(coalesce(sum(n_chars), -1) AS BIGINT) AS total_chars
     FROM documents
     WHERE ((doc_id * 2654435761) % 4294967296) % 1000
           < CASE WHEN lang = 'en' THEN 50 ELSE 500 END
@@ -97,7 +97,8 @@ def sample_docs_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
+            F.coalesce(F.sum("n_chars"), F.lit(-1)).cast("bigint")
+            .alias("total_chars"),
         )
     )
 
@@ -107,7 +108,7 @@ def sample_docs_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(coalesce(sum(n_chars), -1) AS BIGINT) AS total_chars
     FROM documents
     WHERE lang IN ('fr', 'de')
     GROUP BY source
@@ -132,6 +133,7 @@ def partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
+            F.coalesce(F.sum("n_chars"), F.lit(-1)).cast("bigint")
+            .alias("total_chars"),
         )
     )

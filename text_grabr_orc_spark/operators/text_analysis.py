@@ -195,22 +195,32 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS ({_ORACLE_QUALITY})
     SELECT source,
            count(*) AS n_docs,
-           round(avg(quality_score), 4) AS avg_quality,
+           round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_quality,
            round(min(quality_score), 6) AS min_quality,
-           sum(n_tokens) AS total_tokens
+           CAST(coalesce(sum(n_tokens), -1) AS BIGINT) AS total_tokens
     FROM q GROUP BY source
     """,
 )
 def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-level quality rollup — the keep/drop decision table.
-    avg of already-rounded 6dp scores, re-rounded to 4dp: safe against
-    summation-order noise at any realistic group size."""
+    The mean aggregates the already-6dp-rounded scores through an
+    exact DECIMAL(18,6) sum, then divides in double: bit-identical
+    under any partitioning/summation order (a raw double avg flipped
+    the 4dp rounding under the driver in round 1). Integer sums are
+    coalesced non-null and CAST BIGINT on both sides (DuckDB
+    sum(BIGINT) is HUGEINT -> float64 under pandas comparators)."""
     q = text_quality_scores(spark, sf_dir)
     return q.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_quality"),
         F.round(F.min("quality_score"), 6).alias("min_quality"),
-        F.sum("n_tokens").alias("total_tokens"),
+        F.coalesce(F.sum("n_tokens"), F.lit(-1)).cast("bigint")
+        .alias("total_tokens"),
     )
 
 

@@ -52,9 +52,10 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            count(*) AS doc_cnt,
-           sum({_ORACLE_TOKEN_COUNT.format(col="text")}) AS total_tokens,
+           CAST(coalesce(sum({_ORACLE_TOKEN_COUNT.format(col="text")}), -1)
+                AS BIGINT) AS total_tokens,
            round(avg({_ORACLE_TOKEN_COUNT.format(col="text")}), 2) AS avg_tokens,
-           sum(n_chars) AS total_chars
+           CAST(coalesce(sum(n_chars), -1) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     """,
@@ -67,9 +68,11 @@ def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("doc_cnt"),
-        F.sum("tc").alias("total_tokens"),
+        F.coalesce(F.sum("tc"), F.lit(-1)).cast("bigint")
+        .alias("total_tokens"),
         F.round(F.avg("tc"), 2).alias("avg_tokens"),
-        F.sum("n_chars").alias("total_chars"),
+        F.coalesce(F.sum("n_chars"), F.lit(-1)).cast("bigint")
+        .alias("total_chars"),
     )
 
 

@@ -4,7 +4,21 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB at the given sf dir, then compares row count, schema (column
 names + comparable types) and an order-insensitive value hash.
 
-Usage:  python tools/check.py [sf_dir] [query ...]
+Modes:
+  (default)   fetchall-based, 12-significant-digit float canon —
+              fast iteration gate.
+  --exact     driver-faithful: BOTH sides fetched through pandas
+              (duckdb ``.df()`` / Spark ``.toPandas()``), full-repr
+              cell canon, int/float dtype distinction preserved.
+              This is stricter than the default and catches the
+              class of bug where value equality holds but pandas
+              dtype differs (e.g. DuckDB sum(BIGINT) -> HUGEINT ->
+              float64 while Spark emits int64 — every round-1
+              driver hash miss was this).
+  --vanilla   plain local[4] session + hostile TZ (driver rehearsal);
+              composes with --exact.
+
+Usage:  python tools/check.py [--exact] [--vanilla] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -42,9 +56,48 @@ def _canon(v) -> str:
     return str(v)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
+def _canon_exact(v) -> str:
+    """Full-precision canonical string; keeps the int/float distinction
+    (so a float64 3.0 does NOT equal an int64 3 — the driver's pandas
+    comparator sees exactly that difference)."""
+    import datetime
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "<null>"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "NaN" if f != f else repr(f)
+    if isinstance(v, (np.bool_, bool)):
+        return str(int(v))
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_canon_exact(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_exact(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (datetime.datetime, pd.Timestamp)):
+        return pd.Timestamp(v).isoformat()
+    return str(v)
+
+
+def _pandas_rows(df) -> tuple[list[str], list[tuple]]:
+    """(cols, rows) from a pandas DataFrame, column dtypes preserved."""
+    cols = list(df.columns)
+    rows = [tuple(df[c].iloc[i] for c in cols) for i in range(len(df))]
+    return cols, rows
+
+
+def value_hash(cols: list[str], rows: list[tuple], canon=_canon) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -57,6 +110,10 @@ def main() -> int:
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    exact = "--exact" in args
+    if exact:
+        args.remove("--exact")
+    canon = _canon_exact if exact else _canon
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     if args and os.path.isdir(args[0]):
         args = args[1:]
@@ -87,8 +144,11 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if exact:
+                scols, srows = _pandas_rows(sdf.toPandas())
+            else:
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
@@ -99,8 +159,11 @@ def main() -> int:
             continue
         try:
             rel = con.execute(oracles[name])
-            ocols = [d[0] for d in rel.description]
-            orows = rel.fetchall()
+            if exact:
+                ocols, orows = _pandas_rows(rel.df())
+            else:
+                ocols = [d[0] for d in rel.description]
+                orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
@@ -110,12 +173,14 @@ def main() -> int:
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
-        if not problems and value_hash(scols, srows) != value_hash(ocols, orows):
+        if not problems and value_hash(scols, srows, canon) != value_hash(
+            ocols, orows, canon
+        ):
             problems.append("value hash mismatch")
             so = sorted(
-                ["|".join(_canon(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i])) for r in srows])
+                ["|".join(canon(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i])) for r in srows])
             oo = sorted(
-                ["|".join(_canon(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i])) for r in orows])
+                ["|".join(canon(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i])) for r in orows])
             diffs = [(a, b) for a, b in zip(so, oo) if a != b][:3]
             for a, b in diffs:
                 problems.append(f"  spark={a!r}\n  duck ={b!r}")
