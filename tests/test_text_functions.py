@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from text_grabr_orc_spark.functions.text import (
     normalize_text,
+    py_field_count,
+    py_fields,
     token_count,
     tokens,
     word_shingles,
@@ -152,3 +154,24 @@ if _HAVE_HYPOTHESIS:
         )
         for r, t in zip(rows, texts):
             assert list(r.toks) == _go_fields(t), repr(t)
+            # the Python-side tokenizer (used by the OCR mapInPandas
+            # stage for textCount) must agree with the same reference
+            assert py_fields(t) == _go_fields(t), repr(t)
+
+
+def test_py_fields_diverges_from_str_split_where_go_does():
+    # the documented C0-separator divergence: str.split() treats
+    # \x1c-\x1f as whitespace, Go strings.Fields does not
+    s = "a\x1fb \x1c c"
+    assert py_fields(s) == ["a\x1fb", "\x1c", "c"]
+    assert s.split() == ["a", "b", "c"]
+    assert py_field_count(s) == 3
+
+
+def test_ocr_textcount_uses_go_parity_tokenizer():
+    # the OCR stage's Python path must route through py_field_count —
+    # pin the divergence case end-to-end at the function level
+    from text_grabr_orc_spark.functions.text import py_field_count as pfc
+
+    assert pfc("OCRSTUB 4x2 deadbeef") == 3
+    assert pfc("x\x1fy") == 1 and len("x\x1fy".split()) == 2

@@ -40,6 +40,42 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+#: Go unicode.IsSpace == the Unicode White_Space property, exactly.
+#: NOT Python str.split()'s set: Python also treats the C0 separators
+#: \x1c-\x1f as whitespace; Go and Java's (?U)\s do not.
+GO_WHITE_SPACE = frozenset(
+    "\t\n\v\f\r \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+
+
+def py_fields(s: str) -> list[str]:
+    """Plain-Python ``strings.Fields`` (`main.go:195`) for the few
+    places that must tokenize INSIDE a Python batch (the OCR
+    mapInPandas stage) — everywhere else use the Catalyst ``tokens``.
+    Split on runs of Unicode White_Space, no empty tokens; agrees
+    with ``tokens()``/``token_count()`` on arbitrary Unicode (fuzzed
+    in tests/test_text_functions.py), where ``str.split()`` does not."""
+    out, cur = [], []
+    for ch in s:
+        if ch in GO_WHITE_SPACE:
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def py_field_count(s: str) -> int:
+    """``len(strings.Fields(s))`` in plain Python — the OCR stage's
+    ``textCount`` with exact Go parity."""
+    return len(py_fields(s))
+
+
 def char_count(text: Column | str) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     return F.length(col)

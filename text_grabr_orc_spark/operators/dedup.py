@@ -372,14 +372,20 @@ _HAMMING_MAX = 5
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash: bigint) — 64-bit SimHash from xxhash64 token
+    """(doc_id, simhash: bigint) — 64-bit SimHash from md5-slice token
     hashes.
 
     Bit i is set iff more than half the doc's token hashes have bit i
-    set. Shaped as explode + 64 codegen'd conditional-sum aggregates
-    (like minhash_signatures): partial aggregation makes the shuffle
-    one 64-int row per doc per mapper, and the whole pipeline stays in
-    whole-stage codegen instead of the interpreted lambda evaluator."""
+    set. The 64 per-token bits come from two 32-bit integers parsed
+    out of the md5 hex digest (chars 1-8 and 9-16) — md5 is the one
+    keyed-quality hash BOTH engines expose with identical results
+    (xxhash64 is Spark-only, which is what kept this operator
+    rows-only in round 1; md5 slices make the whole algorithm
+    oracle-checkable). Shaped as explode + 64 codegen'd
+    conditional-sum aggregates (like minhash_signatures): partial
+    aggregation makes the shuffle one 64-int row per doc per mapper,
+    and the whole pipeline stays in whole-stage codegen instead of
+    the interpreted lambda evaluator."""
     spark = docs.sparkSession
     base = _spread(
         # blank docs dropped on the raw text (cheap, scan-level) — a
@@ -389,15 +395,27 @@ def simhash(docs: DataFrame) -> DataFrame:
         spark.sparkContext.defaultParallelism,
     )
     # tokens projected once (two-step, see shingles_from_tokens), then
-    # explode references the materialized array
+    # explode references the materialized array; md5 computed once per
+    # token, both 32-bit slices taken from the same digest column
     exploded = (
         base.select("doc_id", tokens("text").alias("t"))
         .select("doc_id", F.explode("t").alias("tok"))
-        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .select("doc_id", F.md5("tok").alias("d"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("d", 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring("d", 9, 8), 16, 10).cast("bigint").alias("h2"),
+        )
     )
     sums = [
         F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(
+                    F.col("h1") if i < 32 else F.col("h2"), i if i < 32 else i - 32
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"c{i}")
         for i in range(_SIMHASH_BITS)
     ]
@@ -413,8 +431,65 @@ def simhash(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
-@register("dedup_simhash")  # hash-function-specific -> rows-only driver check;
-# exact behavior pinned by tests/test_dedup.py golden corpus instead.
+def _simhash_oracle(max_distance: int = _HAMMING_MAX) -> str:
+    """DuckDB replica of the full SimHash pipeline — generated from
+    the same constants as the Spark side so the two provably agree:
+    md5-slice token hashes, 64 conditional-sum bit votes, signed-64
+    signature reconstruction, pigeonhole blocks, hamming verify."""
+    n_blocks = max_distance + 1
+    bb = [(i * 64) // n_blocks for i in range(n_blocks + 1)]
+    csums = ",\n               ".join(
+        (
+            f"sum(CASE WHEN ((h1 >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS c{i}"
+            if i < 32
+            else f"sum(CASE WHEN ((h2 >> {i - 32}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f" AS c{i}"
+        )
+        for i in range(_SIMHASH_BITS)
+    )
+    # distinct powers of two: arithmetic + == bitwise OR; bit 63 is the
+    # sign bit of a signed long, same wrap as the Spark side
+    terms = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN "
+        + (f"{1 << i}::BIGINT" if i < 63 else "(-9223372036854775808)::BIGINT")
+        + " ELSE 0::BIGINT END"
+        for i in range(_SIMHASH_BITS)
+    )
+    shift = " ".join(f"WHEN {j} THEN {bb[j]}" for j in range(n_blocks))
+    mask = " ".join(
+        f"WHEN {j} THEN {(1 << (bb[j + 1] - bb[j])) - 1}" for j in range(n_blocks)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest({_ORACLE_TOKS}) AS tok
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+               ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+        FROM tok
+    ), votes AS (
+        SELECT doc_id,
+               {csums}
+        FROM h GROUP BY doc_id
+    ), sig AS (
+        SELECT doc_id, CAST({terms} AS BIGINT) AS sh
+        FROM votes
+    ), blocks AS (
+        SELECT doc_id, sh, j,
+               (sh >> CASE j {shift} END) & (CASE j {mask} END) AS bval
+        FROM sig CROSS JOIN (SELECT unnest(range({n_blocks}))::INT AS j)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM blocks a
+    JOIN blocks b ON a.j = b.j AND a.bval = b.bval AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_distance}
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(
     spark: SparkSession, sf_dir: str, max_distance: int = _HAMMING_MAX
 ) -> DataFrame:

@@ -42,7 +42,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from text_grabr_orc_spark.functions.text import token_count
+from text_grabr_orc_spark.functions.text import py_field_count, token_count
 from text_grabr_orc_spark.imaging.ops import BINARIZE_THRESHOLD, binarize, to_grayscale
 from text_grabr_orc_spark.imaging.png import PngError, decode_png, encode_png
 from text_grabr_orc_spark.registry import register
@@ -125,7 +125,10 @@ def ocr_extract(files: DataFrame) -> DataFrame:
                         )
                     else:
                         text = _stub_ocr(pre)
-                    out.append((path, text, len(text.split()), engine, None))
+                    # Go strings.Fields parity (main.go:195) — NOT
+                    # str.split(), whose whitespace set includes the
+                    # C0 separators \x1c-\x1f that Go's does not
+                    out.append((path, text, py_field_count(text), engine, None))
                 except (PngError, ValueError, OSError) as e:
                     out.append((path, None, None, engine, f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(
