@@ -1,0 +1,160 @@
+"""Golden tests for the pure-Python baseline JPEG codec — mirrors the
+PNG codec tests, plus a hand-built 4:2:0 stream for the subsampled
+decode path and the JPEG half of the OCR pipeline (main.go:73-80
+accepts .jpg/.jpeg; main.go:149 decodes them)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from text_grabr_orc_spark.imaging import ImageError, decode_image
+from text_grabr_orc_spark.imaging.jpeg import (
+    _AC_CHROMA,
+    _AC_LUMA,
+    _DC_CHROMA,
+    _DC_LUMA,
+    _QT_CHROMA,
+    _QT_LUMA,
+    _BitWriter,
+    _build_encode_table,
+    _encode_block,
+    _huff_segment,
+    JpegError,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def gradient(h=24, w=32):
+    g = np.add.outer(np.arange(h) * 5, np.arange(w) * 3) % 256
+    return g.astype(np.uint8)
+
+
+def test_jpeg_roundtrip_gray_close():
+    img = gradient()
+    back = decode_jpeg(encode_jpeg(img))
+    assert back.shape == img.shape and back.dtype == np.uint8
+    err = np.abs(back.astype(int) - img.astype(int))
+    assert err.max() <= 24 and err.mean() < 8  # lossy, but close
+
+
+def test_jpeg_roundtrip_rgb_close():
+    g = gradient()
+    rgb = np.stack([g, 255 - g, np.roll(g, 5, axis=1)], axis=-1)
+    back = decode_jpeg(encode_jpeg(rgb))
+    assert back.shape == rgb.shape
+    assert np.abs(back.astype(int) - rgb.astype(int)).mean() < 12
+
+
+def test_jpeg_flat_block_is_exact():
+    # a constant image quantizes to DC-only blocks: zero loss
+    img = np.full((9, 13), 200, np.uint8)  # odd size -> edge padding
+    assert (decode_jpeg(encode_jpeg(img)) == 200).all()
+
+
+def test_jpeg_deterministic_bytes():
+    img = gradient()
+    assert encode_jpeg(img) == encode_jpeg(img)
+
+
+def test_jpeg_decode_rejects_garbage():
+    for bad in (b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8trunc"):
+        with pytest.raises(JpegError):
+            decode_jpeg(bad)
+
+
+def test_jpeg_rejects_progressive_sof():
+    # splice a SOF2 marker into a valid stream: must error clearly
+    good = bytearray(encode_jpeg(gradient()))
+    idx = good.index(b"\xff\xc0")
+    good[idx + 1] = 0xC2
+    with pytest.raises(JpegError, match="baseline"):
+        decode_jpeg(bytes(good))
+
+
+def _encode_420_gray_chroma(y_img: np.ndarray) -> bytes:
+    """Hand-assemble a single-scan 4:2:0 JPEG (Y at full res, flat
+    chroma at half res) to exercise the subsampled MCU interleave +
+    upsampling decode path the 4:4:4 encoder never produces."""
+    h, w = y_img.shape
+    assert h % 16 == 0 and w % 16 == 0
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(x) for x in _QT_LUMA)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(
+        int(x) for x in _QT_CHROMA)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0])  # Y: 2x2 sampling
+    sof += bytes([2, 0x11, 1])  # Cb: 1x1
+    sof += bytes([3, 0x11, 1])  # Cr: 1x1
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _huff_segment(0, 0, *_DC_LUMA)
+    out += _huff_segment(1, 0, *_AC_LUMA)
+    out += _huff_segment(0, 1, *_DC_CHROMA)
+    out += _huff_segment(1, 1, *_AC_CHROMA)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    dc = {0: _build_encode_table(*_DC_LUMA), 1: _build_encode_table(*_DC_CHROMA)}
+    ac = {0: _build_encode_table(*_AC_LUMA), 1: _build_encode_table(*_AC_CHROMA)}
+    qt = {0: _QT_LUMA.astype(float), 1: _QT_CHROMA.astype(float)}
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    flat = np.full((8, 8), 128.0)  # neutral chroma
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for by in range(2):
+                for bx in range(2):
+                    blk = y_img[
+                        my * 16 + by * 8: my * 16 + by * 8 + 8,
+                        mx * 16 + bx * 8: mx * 16 + bx * 8 + 8,
+                    ].astype(float)
+                    pred[0] = _encode_block(bw, blk, qt[0], dc[0], ac[0], pred[0])
+            pred[1] = _encode_block(bw, flat, qt[1], dc[1], ac[1], pred[1])
+            pred[2] = _encode_block(bw, flat, qt[1], dc[1], ac[1], pred[2])
+    out += bw.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_420_subsampled_decode():
+    y = gradient(16, 32)
+    rgb = decode_jpeg(_encode_420_gray_chroma(y))
+    assert rgb.shape == (16, 32, 3)
+    # neutral chroma -> R=G=B=Y (within quantization noise)
+    assert np.abs(rgb[..., 0].astype(int) - rgb[..., 2].astype(int)).max() <= 2
+    assert np.abs(rgb[..., 1].astype(int) - y.astype(int)).mean() < 8
+
+
+def test_decode_image_magic_dispatch():
+    from text_grabr_orc_spark.imaging.png import encode_png
+
+    img = gradient(8, 8)
+    assert (decode_image(encode_png(img)) == img).all()
+    assert decode_image(encode_jpeg(img)).shape == (8, 8)
+    with pytest.raises(ImageError):
+        decode_image(b"GIF89a not supported")
+
+
+def test_ocr_pipeline_decodes_jpegs(spark, tmp_path):
+    """JPEG uploads must now produce text rows, not ocr_error rows —
+    the round-1 parity gap (reference decodes JPEG, main.go:149)."""
+    from text_grabr_orc_spark.operators import ocr
+
+    img = np.full((16, 16), 200, np.uint8)
+    (tmp_path / "flat.jpg").write_bytes(encode_jpeg(img))
+    (tmp_path / "flat.jpeg").write_bytes(encode_jpeg(img))
+    (tmp_path / "flat.png").write_bytes(
+        __import__(
+            "text_grabr_orc_spark.imaging.png", fromlist=["encode_png"]
+        ).encode_png(img)
+    )
+    out = {r["path"].rsplit("/", 1)[-1]: r
+           for r in ocr.ocr_pipeline(spark, str(tmp_path)).collect()}
+    assert set(out) == {"flat.jpg", "flat.jpeg", "flat.png"}
+    for r in out.values():
+        assert r["ocr_error"] is None and r["text"].startswith("OCRSTUB 16x16")
+    # flat 200 > threshold: binarizes all-white regardless of codec ->
+    # identical preprocessed pixels -> identical stub text
+    assert out["flat.jpg"]["text"] == out["flat.png"]["text"]

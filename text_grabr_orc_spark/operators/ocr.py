@@ -43,8 +43,9 @@ from pyspark.sql.types import (
 )
 
 from text_grabr_orc_spark.functions.text import py_field_count, token_count
+from text_grabr_orc_spark.imaging import ImageError, decode_image
 from text_grabr_orc_spark.imaging.ops import BINARIZE_THRESHOLD, binarize, to_grayscale
-from text_grabr_orc_spark.imaging.png import PngError, decode_png, encode_png
+from text_grabr_orc_spark.imaging.png import PngError, encode_png
 from text_grabr_orc_spark.registry import register
 
 #: accepted extensions (main.go:73-80; lowercased first, so IMG.PNG passes)
@@ -115,7 +116,10 @@ def ocr_extract(files: DataFrame) -> DataFrame:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 try:
-                    img = decode_png(bytes(content))
+                    # PNG or baseline JPEG by magic bytes (main.go:149
+                    # image.Decode parity — JPEGs pass the accept
+                    # filter AND decode, they no longer error out)
+                    img = decode_image(bytes(content))
                     pre = binarize(to_grayscale(img), BINARIZE_THRESHOLD)
                     if tess:  # pragma: no cover - needs tesseract binary
                         text = tess.image_to_string(
@@ -197,9 +201,10 @@ _IMG_CACHE: dict[str, str] = {}
 
 
 def synthesize_image_dir(spark: SparkSession, sf_dir: str, n: int = 24) -> str:
-    """Deterministic PNG fixtures derived from the embeddings table:
-    each vector quantizes to an 8x8 gray image. Gives the binaryFile->
-    OCR pipeline real, reproducible image input in any environment."""
+    """Deterministic PNG/JPEG fixtures derived from the embeddings
+    table: each vector quantizes to an 8x8 gray image (even ids PNG,
+    odd ids baseline JPEG). Gives the binaryFile->OCR pipeline real,
+    reproducible image input in any environment."""
     import tempfile
 
     if sf_dir in _IMG_CACHE:
@@ -210,13 +215,20 @@ def synthesize_image_dir(spark: SparkSession, sf_dir: str, n: int = 24) -> str:
         .select("vec_id", "embedding")
         .collect()
     )
+    from text_grabr_orc_spark.imaging.jpeg import encode_jpeg
+
     out = tempfile.mkdtemp(prefix="tgos_imgs_")
     for r in rows:
         v = np.asarray(r["embedding"], dtype=np.float64)
         img = ((v - v.min()) / max(v.max() - v.min(), 1e-9) * 255).astype(np.uint8)
-        png = encode_png(img.reshape(8, 8))
-        with open(os.path.join(out, f"vec_{r['vec_id']:05d}.png"), "wb") as f:
-            f.write(png)
+        # alternate PNG / JPEG so the pipeline exercises BOTH halves of
+        # the reference's accept list (main.go:73-80) end-to-end
+        if r["vec_id"] % 2 == 0:
+            name, blob = f"vec_{r['vec_id']:05d}.png", encode_png(img.reshape(8, 8))
+        else:
+            name, blob = f"vec_{r['vec_id']:05d}.jpg", encode_jpeg(img.reshape(8, 8))
+        with open(os.path.join(out, name), "wb") as f:
+            f.write(blob)
     # distractors the extension filter must reject (main.go:73-80)
     for name in ("notes.txt", "doc.pdf"):
         with open(os.path.join(out, name), "wb") as f:
@@ -227,15 +239,16 @@ def synthesize_image_dir(spark: SparkSession, sf_dir: str, n: int = 24) -> str:
 
 @register("ocr_pipeline_stub")  # no SQL oracle: binaryFile + Python stage
 def ocr_pipeline_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal pipeline on synthesized PNGs: binaryFile
-    scan -> extension/size filters -> decode -> grayscale ->
-    binarize(128) -> (stub) OCR -> {text, textCount}. Deterministic
-    output (stub text is a pixel-hash marker), checked rows-only by
-    the driver and by pixel-golden pytest fixtures."""
+    """End-to-end multimodal pipeline on synthesized PNGs AND JPEGs:
+    binaryFile scan -> extension/size filters -> decode (magic-byte
+    dispatch, main.go:149) -> grayscale -> binarize(128) -> (stub)
+    OCR -> {text, textCount}. Deterministic output (stub text is a
+    pixel-hash marker), checked rows-only by the driver and by
+    pixel-golden pytest fixtures."""
     img_dir = synthesize_image_dir(spark, sf_dir)
     out = ocr_pipeline(spark, img_dir)
     return out.select(
-        F.regexp_extract("path", r"(vec_\d+\.png)$", 1).alias("file"),
+        F.regexp_extract("path", r"(vec_\d+\.(?:png|jpg))$", 1).alias("file"),
         "text",
         F.col("textCount").cast("bigint"),
         "ocr_engine",
