@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_rhp",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "text_quality_by_source",
@@ -50,6 +51,15 @@ BENCH_QUERIES = [
     "streaming_hourly_counts",
     "ocr_pipeline_stub",
 ]
+
+#: queries whose wall time is dominated by fixed per-invocation
+#: micro-batch machinery (~2.5-3 s stream startup regardless of data
+#: volume — measured flat from sf0.001 to sf0.1). They are timed and
+#: reported in `queries` like everything else, but excluded from the
+#: headline `value` so data-dependent regressions stay visible
+#: instead of drowning in a constant; their sum is reported
+#: separately as `streaming_sec`.
+STREAMING_QUERIES = {"streaming_hourly_counts"}
 
 
 def main() -> None:
@@ -90,13 +100,16 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    batch_wall = sum(t for n, t in timings.items() if n not in STREAMING_QUERIES)
+    stream_wall = sum(t for n, t in timings.items() if n in STREAMING_QUERIES)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": round(batch_wall, 3),
                 "unit": "sec",
                 "queries": timings,
+                "streaming_sec": round(stream_wall, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

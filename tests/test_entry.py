@@ -55,3 +55,60 @@ def test_repeated_contract_calls_are_stable():
     assert set(q1) == set(q2) and o1 == o2
     q1.clear()  # mutating the returned dict must not affect the registry
     assert entrymod.queries()
+
+
+def test_cache_tag_tracks_fixture_content(tmp_path):
+    """Every derived /tmp cache keys by cache_tag: regenerating a
+    fixture (new mtime/size) MUST change the tag, or a does-it-exist
+    cache guard would silently serve the previous generation's rows
+    (the round-1 json_roundtrip driver failure)."""
+    import os
+    import time
+
+    from text_grabr_orc_spark.tables import cache_tag
+
+    d = tmp_path / "sfx"
+    d.mkdir()
+    (d / "documents.parquet").write_bytes(b"gen-one")
+    t1 = cache_tag(str(d))
+    assert t1 == cache_tag(str(d))  # stable while content is stable
+    time.sleep(0.01)
+    (d / "documents.parquet").write_bytes(b"gen-two!")  # new size+mtime
+    t2 = cache_tag(str(d))
+    assert t2 != t1
+    # same size, newer mtime (the nastiest regeneration case)
+    time.sleep(0.01)
+    (d / "documents.parquet").write_bytes(b"gen-2~~!")
+    assert cache_tag(str(d)) not in (t1, t2)
+    # adding a previously-absent table also changes the tag
+    (d / "events.parquet").write_bytes(b"ev")
+    t4 = cache_tag(str(d))
+    assert t4 not in (t1, t2)
+
+
+def test_all_derived_tmp_caches_key_by_cache_tag():
+    """Static guard: every gettempdir()-based cache dir in the package
+    must incorporate cache_tag (content fingerprint), never a bare
+    sf-path tag."""
+    import os
+    import re
+
+    import text_grabr_orc_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    offenders = []
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            src = open(path).read()
+            if "gettempdir()" not in src:
+                continue
+            # session warehouse dir is per-process scratch, not a
+            # fixture-derived cache
+            if fn == "session.py":
+                continue
+            if "cache_tag" not in src:
+                offenders.append(os.path.relpath(path, root))
+    assert not offenders, f"caches without content fingerprint: {offenders}"

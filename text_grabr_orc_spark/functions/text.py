@@ -22,6 +22,16 @@ from pyspark.sql import functions as F
 #: does (NBSP, ideographic space, ...), not just ASCII whitespace.
 TOKEN_SPLIT_REGEX = r"(?U)\s+"
 
+#: DuckDB/RE2 whitespace-run regex equal to Java's ``(?U)\s+`` (the
+#: Unicode White_Space property = Go unicode.IsSpace) for ORACLE SQL.
+#: RE2's bare ``\s`` is ASCII-only (and excludes \x0b), so oracles
+#: built on it would disagree with a correct engine the moment a
+#: fixture document contains NBSP / ideographic space / U+2028 —
+#: this explicit class keeps oracle parity independent of fixture
+#: content. [\t\n\v\f\r] ∪ {U+85} ∪ {U+2028,U+2029} ∪ \p{Zs} is
+#: exactly White_Space.
+ORACLE_WS_RUN = r"[\t\n\x0b\f\r\x{85}\x{2028}\x{2029}\p{Zs}]+"
+
 
 def tokens(text: Column | str) -> Column:
     """``strings.Fields`` equivalent: array of non-empty tokens.

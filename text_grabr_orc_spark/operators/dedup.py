@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from text_grabr_orc_spark.functions.text import (
+    ORACLE_WS_RUN,
     normalize_text,
     shingles_from_tokens,
     tokens,
@@ -43,7 +44,10 @@ _ORACLE_SHINGLES = """
     list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
                    for i in range(1, greatest(len(toks)-2, 1) + 1)])
 """
-_ORACLE_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+_ORACLE_TOKS = (
+    "list_filter(regexp_split_to_array(text, "
+    f"'{ORACLE_WS_RUN}'), t -> t <> '')"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -53,10 +57,10 @@ _ORACLE_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
 
 @register(
     "dedup_exact",
-    oracle="""
+    oracle=f"""
     WITH hashed AS (
         SELECT doc_id, source,
-               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+               sha256(trim(regexp_replace(lower(text), '{ORACLE_WS_RUN}', ' ', 'g'))) AS h
         FROM documents
     )
     SELECT h AS text_hash,

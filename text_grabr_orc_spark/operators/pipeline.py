@@ -15,8 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from text_grabr_orc_spark.functions.text import ORACLE_WS_RUN
 from text_grabr_orc_spark.operators.text_analysis import (
     STOPWORDS,
+    _PUNCT,
     _oracle_hits,
     _oracle_lang_pred,
     lang_id,
@@ -31,8 +33,8 @@ _MIN_QUALITY = 0.5
 _ORACLE = f"""
     WITH tok AS (
         SELECT doc_id, source, text,
-               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks,
-               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+               list_filter(regexp_split_to_array(text, '{ORACLE_WS_RUN}'), t -> t <> '') AS toks,
+               len(regexp_extract_all(text, '{_PUNCT}')) AS punct,
                length(text) AS n_chars
         FROM documents
     ), scored AS (
@@ -141,7 +143,7 @@ _CHUNK_TOKENS = 32
 _CHUNK_ORACLE = f"""
     WITH tok AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+               list_filter(regexp_split_to_array(text, '{ORACLE_WS_RUN}'), t -> t <> '') AS toks
         FROM documents
     )
     SELECT doc_id,
@@ -206,7 +208,7 @@ _PACK_CAPACITY = 256
 _PACK_ORACLE = f"""
     WITH tok AS (
         SELECT doc_id,
-               len(list_filter(regexp_split_to_array(text, '\\s+'),
+               len(list_filter(regexp_split_to_array(text, '{ORACLE_WS_RUN}'),
                                t -> t <> '')) AS n_tok
         FROM documents
     ), nonblank AS (

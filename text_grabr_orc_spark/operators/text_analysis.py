@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from text_grabr_orc_spark.functions.text import normalize_text, token_count, tokens
+from text_grabr_orc_spark.functions.text import (
+    ORACLE_WS_RUN,
+    normalize_text,
+    token_count,
+    tokens,
+)
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.tables import load_table
 
@@ -73,7 +78,7 @@ def _oracle_lang_pred() -> str:
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, lang,
-               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+               list_filter(regexp_split_to_array(text, '{ORACLE_WS_RUN}'), t -> t <> '') AS toks
         FROM documents
     ), scored AS (
         SELECT doc_id, lang,
@@ -102,11 +107,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Quality scoring
 # ---------------------------------------------------------------------------
 
-#: regex classes shared verbatim by both engines (ASCII on purpose —
-#: RE2 and Java agree on these).
+#: regex classes shared verbatim by both engines. The whitespace
+#: exclusion in _PUNCT is written as an EXPLICIT ASCII class because
+#: bare \s differs between Java ([ \t\n\x0b\f\r]) and RE2
+#: ([\t\n\f\r ], no \x0b) — spelling it out pins identical
+#: semantics in both engines.
 _ALPHA = "[A-Za-z]"
 _DIGIT = "[0-9]"
-_PUNCT = r"[^A-Za-z0-9\s]"
+_PUNCT = r"[^A-Za-z0-9 \t\n\x0b\f\r]"
 
 #: composite-score weights (sum to 1); mirrors common LLM-corpus
 #: heuristics: long-enough, wordy, low symbol noise.
@@ -148,7 +156,7 @@ def quality_columns(text: Column | str) -> dict[str, Column]:
 _ORACLE_QUALITY = f"""
     WITH base AS (
         SELECT doc_id, source, text,
-               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks,
+               list_filter(regexp_split_to_array(text, '{ORACLE_WS_RUN}'), t -> t <> '') AS toks,
                len(regexp_extract_all(text, '{_ALPHA}')) AS alpha,
                len(regexp_extract_all(text, '{_DIGIT}')) AS digit,
                len(regexp_extract_all(text, '{_PUNCT}')) AS punct,
@@ -230,7 +238,7 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: GPT-2-style pre-tokenizer approximation, restricted to syntax RE2
 #: and Java both support: words, numbers, single non-space symbols.
-_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
 
 
 @register(
@@ -238,7 +246,7 @@ _BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     oracle=f"""
     SELECT doc_id,
            len(regexp_extract_all(text, '{_BPE_ISH}')) AS bpe_tokens,
-           len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+           len(list_filter(regexp_split_to_array(text, '{ORACLE_WS_RUN}'), t -> t <> ''))
                AS ws_tokens
     FROM documents
     """,
@@ -268,7 +276,7 @@ _WIN_K = 16  # winnowing window length (chars)
     oracle=f"""
     WITH norm AS (
         SELECT doc_id,
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+               trim(regexp_replace(lower(text), '{ORACLE_WS_RUN}', ' ', 'g')) AS t
         FROM documents
     )
     SELECT doc_id,
@@ -329,10 +337,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_tfidf_top_terms",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
         SELECT doc_id, lang, unnest(list_filter(
-            regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
+            regexp_split_to_array(text, '{ORACLE_WS_RUN}'), t -> t <> '')) AS term
         FROM documents
     ), tf AS (
         SELECT doc_id, lang, term, count(*) AS tf
@@ -400,10 +408,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pandas_hist_tokens_by_lang",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT lang,
-               least(len(list_filter(regexp_split_to_array(text, '\\s+'),
+               least(len(list_filter(regexp_split_to_array(text, '{ORACLE_WS_RUN}'),
                                      x -> x <> '')) // 50, 4) AS bucket
         FROM documents
     )

@@ -15,15 +15,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from text_grabr_orc_spark.functions.text import token_count
+from text_grabr_orc_spark.functions.text import ORACLE_WS_RUN, token_count
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.tables import load_table
 
-#: DuckDB equivalent of the `strings.Fields` token count (ASCII
-#: whitespace is all the fixture corpus contains; Unicode parity is
-#: covered by Spark-side golden tests).
+#: DuckDB equivalent of the `strings.Fields` token count — the
+#: whitespace class mirrors Java's (?U)\s exactly (see
+#: functions.text.ORACLE_WS_RUN), so the oracle agrees with the
+#: engine even on non-ASCII whitespace.
 _ORACLE_TOKEN_COUNT = (
-    "len(list_filter(regexp_split_to_array({col}, '\\s+'), t -> t <> ''))"
+    "len(list_filter(regexp_split_to_array({col}, '"
+    + ORACLE_WS_RUN.replace("{", "{{").replace("}", "}}")
+    + "'), t -> t <> ''))"
 )
 
 

@@ -31,9 +31,12 @@ _CACHE_DIR = os.path.join(tempfile.gettempdir(), "tgos_orc_cache")
 
 def write_lineitem_orc(spark: SparkSession, sf_dir: str) -> str:
     """Write lineitem as ORC partitioned by return flag; cached per
-    sf_dir so repeated queries (and the bench) don't rewrite."""
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(_CACHE_DIR, tag)
+    fixture CONTENT (tables.cache_tag) so a regenerated testdata dir
+    invalidates the cache instead of silently serving stale rows —
+    the same guard every other derived /tmp cache uses."""
+    from text_grabr_orc_spark.tables import cache_tag
+
+    out = os.path.join(_CACHE_DIR, cache_tag(sf_dir))
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         (
