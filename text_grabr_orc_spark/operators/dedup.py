@@ -11,9 +11,11 @@ Five dedup families over the ``documents`` table, each Spark-first:
 - embedding cosine: exact pair cosine over the embeddings table
 
 Determinism: no randomness anywhere — MinHash permutations are
-xxhash64 seeded by position, SimHash bits come from xxhash64 token
-hashes — so every run (and every engine wired the same way) produces
-identical output, which is what makes the LSH paths testable.
+xxhash64 seeded by position, SimHash bits come from md5-slice token
+hashes (md5 so DuckDB can replicate them — see simhash()), RHP
+hyperplanes are the first corpus vectors — so every run (and every
+engine wired the same way) produces identical output, which is what
+makes every LSH path oracle-checkable, not just spot-tested.
 
 Scale design notes are on each operator; the common theme is that
 candidate generation is always an equi-join on a derived key (bucket,

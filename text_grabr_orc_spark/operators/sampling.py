@@ -137,3 +137,58 @@ def partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_chars"),
         )
     )
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    WITH tagged AS (
+        SELECT CASE
+                 WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+                 WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               n_chars, doc_id
+        FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(coalesce(sum(n_chars), -1) AS BIGINT) AS total_chars,
+           CAST(coalesce(min(doc_id), -1) AS BIGINT) AS min_doc,
+           CAST(coalesce(max(doc_id), -1) AS BIGINT) AS max_doc
+    FROM tagged
+    GROUP BY split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split — the assignment
+    every training-data pipeline needs to be STABLE: hash-bucketed on
+    doc_id, so a document lands in the same split on every run, every
+    engine, and every incremental append (new docs never reshuffle old
+    ones — the property rand()-based splits lack, and the reason
+    leakage audits can re-derive membership from the key alone).
+
+    Scale: the split tag is a row-local integer expression (no
+    shuffle); the rollup aggregates into 3 groups map-side. Writing
+    the actual splits is `partitionBy('split')` on this tag — the
+    layout operator partitioned_write_pruning already covers."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", 100)
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(-1)).cast("bigint")
+            .alias("total_chars"),
+            F.coalesce(F.min("doc_id"), F.lit(-1)).cast("bigint")
+            .alias("min_doc"),
+            F.coalesce(F.max("doc_id"), F.lit(-1)).cast("bigint")
+            .alias("max_doc"),
+        )
+    )

@@ -454,3 +454,97 @@ def pandas_hist_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         hist, schema="lang string, bucket int, n bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{{ws}}'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), big AS (
+        SELECT doc_id,
+               unnest([toks[i] || ' ' || toks[i+1]
+                       for i in range(1, len(toks))]) AS bigram
+        FROM tok WHERE len(toks) >= 2
+    ), c2 AS (
+        SELECT bigram, count(*) AS n2 FROM big GROUP BY bigram
+    ), c1 AS (
+        SELECT w, count(*) AS n1
+        FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
+    ), scored AS (
+        SELECT big.doc_id,
+               CAST(round(ln(c2.n2::DOUBLE / c1.n1), 9)
+                    AS DECIMAL(12,9)) AS lp
+        FROM big
+        JOIN c2 USING (bigram)
+        JOIN c1 ON split_part(big.bigram, ' ', 1) = c1.w
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """.replace("{ws}", ORACLE_WS_RUN),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document: the
+    mean of ln(C(w1 w2) / C(w1)) over the doc's bigrams — the
+    classic cheap fluency/perplexity proxy a cleaning pipeline uses to
+    rank documents (high = phrasing the corpus itself considers
+    likely; gibberish and boilerplate-shuffled text score low).
+
+    Self-trained and fully deterministic, so the whole model fits the
+    oracle: bigram and unigram counts are plain aggregations, each
+    conditional log-probability is quantized to 9 decimals and summed
+    as exact DECIMAL (the tfidf convention — engine ln() agrees to
+    well past 9dp, and the exact sum kills summation-order noise).
+
+    Scale: one explode for bigrams (map-side, array built with
+    transform over the token array — no self-join for adjacency), two
+    keyed count aggregations, then two equi-joins back on the bigram /
+    first-word keys. All shuffles are on token-ish keys with partial
+    aggregation; at 100 TB the count tables are the only state and
+    they are dictionary-sized, not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.filter(F.col("text").rlike(r"(?U)\S")).select(
+        "doc_id", tokens("text").alias("t")
+    )
+    grams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat(
+                F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = with_toks.select("doc_id", F.explode(grams).alias("bigram"))
+    c2 = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = (
+        with_toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    lp = F.round(F.log(F.col("n2").cast("double") / F.col("n1")), 9).cast(
+        "decimal(12,9)"
+    )
+    return (
+        big.join(c2, "bigram")
+        .join(c1, F.substring_index(F.col("bigram"), " ", 1) == F.col("w"))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )

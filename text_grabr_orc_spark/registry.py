@@ -57,6 +57,7 @@ def load_all() -> None:
         relational_ext,
         sampling,
         similarity,
+        sketches,
         text_analysis,
         text_stats,
         timeseries,
