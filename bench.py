@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "text_quality_by_source",
+    "text_bigram_logprob",
     "corpus_clean_pipeline",
     "chunk_documents",
     "pack_training_sequences",

@@ -64,7 +64,26 @@ def test_video_frames_sampled_every_2(spark, sf_dir):
 
 def test_image_resize_pipeline(spark, sf_dir):
     rows = mm.multimodal_image_resize(spark, sf_dir).collect()
-    assert len(rows) == 8
+    # 8 originals + 2 planted brightness-shifted near-dups
+    assert len(rows) == 10
     assert all(r["width"] == 4 and r["height"] == 4 and r["error"] is None
                for r in rows)
-    assert len({r["resized_sha"] for r in rows}) == 8  # distinct images
+    # dups differ in raw pixels (brightness), so all shas distinct
+    assert len({r["resized_sha"] for r in rows}) == 10
+
+
+def test_image_dhash_brightness_invariant_and_dedup(spark, sf_dir):
+    from text_grabr_orc_spark.operators.multimodal import (
+        multimodal_image_dedup_dhash,
+    )
+
+    pairs = {
+        (r["file_a"], r["file_b"]): r["hamming"]
+        for r in multimodal_image_dedup_dhash(spark, sf_dir).collect()
+    }
+    # the planted brightness-shifted copies must pair with their
+    # originals at hamming 0 (gradient signs unchanged)
+    assert pairs[("img_000.png", "img_000_dup.png")] == 0
+    assert pairs[("img_001.png", "img_001_dup.png")] == 0
+    # a dup never pairs with the WRONG original
+    assert ("img_000.png", "img_001_dup.png") not in pairs

@@ -158,3 +158,59 @@ def map_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maps.select(
         "user_id", F.explode("m").alias("event_type", "cnt")
     )
+
+
+@register(
+    "events_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), tot AS (SELECT count(*) AS total FROM events),
+    ranked AS (
+        SELECT user_id, n,
+               row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+               sum(n) OVER (ORDER BY n DESC, user_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counts
+    )
+    SELECT rk, user_id, n,
+           round(n::DOUBLE / total, 6) AS share,
+           round(CAST(cum AS BIGINT)::DOUBLE / total, 6) AS cum_share
+    FROM ranked CROSS JOIN tot
+    WHERE rk <= 10
+    """,
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hottest shuffle keys with their share and cumulative
+    share of all events — the diagnostic you run BEFORE a big keyed
+    join/agg to decide whether salting or AQE skew-split is needed
+    (a key holding >1% of a 100 TB shuffle is the task that never
+    finishes). Exact by construction, so it doubles as the oracle
+    check for the ranking machinery.
+
+    Scale shape: per-key counts are one partial-aggregated shuffle;
+    the top-10 is orderBy+limit — Spark plans TakeOrderedAndProject
+    (per-partition heaps + driver merge of 10-row tops), NOT a global
+    window over the full key table. The running cumulative share is a
+    window over the 10 surviving rows only (constant-size relation —
+    the same argument as the packing operator's offset vector), and
+    the total arrives as a 1-row broadcast."""
+    ev = load_events(spark, sf_dir).select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "user_id").limit(10)
+    tot = ev.agg(F.count(F.lit(1)).alias("total"))
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn("cum", F.sum("n").over(run))
+        .select(
+            "rk",
+            "user_id",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 6)
+            .alias("cum_share"),
+        )
+    )

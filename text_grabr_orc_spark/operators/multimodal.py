@@ -262,6 +262,15 @@ def synthesize_media_dir(spark: SparkSession, sf_dir: str) -> str:
         frames = [np.roll(img, k, axis=1) for k in range(4)]
         with open(os.path.join(out, f"vid_{r['vec_id']:03d}.bin"), "wb") as f:
             f.write(encode_video(frames))
+        if r["vec_id"] < 2:
+            # planted near-duplicates for the perceptual-hash dedup:
+            # a uniform brightness shift preserves every horizontal
+            # gradient sign, so dHash distance is exactly 0
+            bright = np.clip(img.astype(np.int16) + 10, 0, 255).astype(np.uint8)
+            with open(
+                os.path.join(out, f"img_{r['vec_id']:03d}_dup.png"), "wb"
+            ) as f:
+                f.write(encode_png(bright))
     _MM_CACHE[sf_dir] = out
     return out
 
@@ -312,3 +321,107 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_sha",
         "error",
     ).orderBy("file", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup via difference hash (perceptual dedup for image corpora)
+# ---------------------------------------------------------------------------
+
+_DHASH_W = 8  # 8x8 gradient bits -> 64-bit hash
+_DHASH_MAX_DIST = 5
+
+
+def image_dhash(files: DataFrame) -> DataFrame:
+    """(path, dhash bigint, error) — difference hash: grayscale,
+    nearest-resize to (h=8, w=9), bit (r, c) = px[r, c+1] > px[r, c].
+    Brightness/contrast shifts preserve gradient signs, so visually
+    identical re-encodes collapse to hamming 0 — the standard cheap
+    perceptual fingerprint for image corpus dedup. The Python stage
+    emits ONE int64 per image; everything pairwise stays relational."""
+    from text_grabr_orc_spark.imaging import decode_image
+    from text_grabr_orc_spark.imaging.ops import to_grayscale
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    g = to_grayscale(decode_image(bytes(content)))
+                    small = resize_nearest(g, _DHASH_W, _DHASH_W + 1)
+                    bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+                    h = 0
+                    for i, b in enumerate(bits):
+                        if b:
+                            h |= 1 << i
+                    if h >= 1 << 63:  # two's-complement into int64
+                        h -= 1 << 64
+                    out.append((path, h, None))
+                except Exception as e:  # noqa: BLE001 - errors become rows
+                    out.append((path, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(out, columns=["path", "dhash", "error"])
+
+    return files.select("path", "content").mapInPandas(
+        run, "path string, dhash bigint, error string"
+    )
+
+
+@register("multimodal_image_dedup_dhash")  # Python decode stage -> rows-only;
+# hamming semantics pinned by tests/test_multimodal.py goldens
+def multimodal_image_dedup_dhash(
+    spark: SparkSession, sf_dir: str, max_distance: int = _DHASH_MAX_DIST
+) -> DataFrame:
+    """Image near-dup pairs over the synthesized PNG fixtures
+    (including the planted brightness-shifted duplicates): dHash per
+    image in one Arrow batch pass, then the SAME pigeonhole block
+    self-join the SimHash text dedup uses — signatures split into
+    max_distance+1 blocks, candidates from an equi-join on
+    (block_idx, block_val), exact popcount verify. No all-pairs join:
+    at a 10^9-image corpus the shuffle carries block keys, and AQE
+    splits the all-flat-images hot bucket.
+
+    This is the image twin of dedup_simhash — same scale shape, the
+    only modality-specific part is the 1-int-per-image Python stage."""
+    d = synthesize_media_dir(spark, sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(d, "*.png"))
+    sigs = image_dhash(files).filter(F.col("error").isNull()).select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file"), "dhash"
+    ).persist()
+    n_blocks = max_distance + 1
+    bb = [(i * 64) // n_blocks for i in range(n_blocks + 1)]
+    blocks = sigs.select(
+        "file",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftright(F.col("dhash"), bb[i])
+                        .bitwiseAND((1 << (bb[i + 1] - bb[i])) - 1)
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("file", "dhash", "b.block_idx", "b.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    dist = F.bit_count(F.expr("h_a ^ h_b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.file") < F.col("b.file")),
+        )
+        .select(
+            F.col("a.file").alias("file_a"),
+            F.col("b.file").alias("file_b"),
+            F.col("a.dhash").alias("h_a"),
+            F.col("b.dhash").alias("h_b"),
+        )
+        .filter(dist <= max_distance)
+        .select("file_a", "file_b", dist.cast("bigint").alias("hamming"))
+        .distinct()
+        .orderBy("file_a", "file_b")
+    )
