@@ -196,8 +196,9 @@ def test_sorted_layout_produces_disjoint_file_ranges(spark, sf_dir):
     sorted_layout_zone_maps(spark, sf_dir).collect()  # materialize the cache
     import tempfile as _tf
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(_tf.gettempdir(), "tgos_sorted_cache", tag)
+    from text_grabr_orc_spark.tables import cache_tag
+
+    out = os.path.join(_tf.gettempdir(), "tgos_sorted_cache", cache_tag(sf_dir))
     spans = []
     for f in glob.glob(os.path.join(out, "*.parquet")):
         md = pq.ParquetFile(f).metadata
