@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "similarity_topk_ivf",
     "text_quality_by_source",
     "text_bigram_logprob",
+    "text_repetition_stats",
+    "decontaminate_ngram_overlap",
+    "dedup_semantic_clusters",
+    "global_shuffle_order",
     "corpus_clean_pipeline",
     "chunk_documents",
     "pack_training_sequences",

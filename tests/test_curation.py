@@ -1,0 +1,130 @@
+"""Tests for the curation operators (operators/curation.py).
+
+Correctness against DuckDB is covered by the oracle gate
+(tools/check.py); these tests pin the semantic invariants and the
+physical plan shapes that the oracle cannot see.
+"""
+
+from __future__ import annotations
+
+from text_grabr_orc_spark.operators.curation import (
+    _N_SHARDS,
+    _REP_DISTINCT_MIN,
+    _REP_TOP_BIGRAM_MAX,
+    _SEM_THRESHOLD,
+    dedup_semantic_clusters,
+    decontaminate_ngram_overlap,
+    global_shuffle_order,
+    source_mixing_weights,
+    text_pii_scrub,
+    text_repetition_stats,
+    vocab_top_tokens,
+)
+
+
+def test_repetition_stats_invariants(spark, sf_dir):
+    rows = text_repetition_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens >= 0
+        assert 0.0 <= r.distinct_ratio <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        # a bigram occurs at most n_tokens-1 times
+        assert r.top_bigram_n <= max(r.n_tokens - 1, 0)
+        expected_flag = int(
+            r.distinct_ratio < _REP_DISTINCT_MIN
+            or r.top_bigram_frac > _REP_TOP_BIGRAM_MAX
+        )
+        assert r.repetitive == expected_flag
+
+
+def test_pii_scrub_finds_all_planted_pii(spark, sf_dir):
+    """The operator plants exactly 2 emails, 1 IPv4 and 1 phone per
+    document; the counters must see precisely those (the word-soup
+    corpus contains no digits or @, so there are no accidental
+    matches), and phone counting runs post-email/IP-scrub."""
+    rows = text_pii_scrub(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails == 2
+        assert r.n_ips == 1
+        assert r.n_phones_pre_scrub == 1
+        assert r.clean_len > 0
+
+
+def test_global_shuffle_is_a_permutation(spark, sf_dir):
+    rows = global_shuffle_order(spark, sf_dir).collect()
+    docs = {r.doc_id for r in rows}
+    assert len(docs) == len(rows)  # every doc exactly once
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard_id < _N_SHARDS
+        by_shard.setdefault(r.shard_id, []).append(r.pos_in_shard)
+    # positions in each shard are dense 1..len
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_global_shuffle_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, global_shuffle_order(spark, sf_dir).collect()))
+    b = sorted(map(tuple, global_shuffle_order(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_vocab_ranks_are_dense_and_sorted(spark, sf_dir):
+    rows = sorted(vocab_top_tokens(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert rows
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert (prev.n, cur.token) > (cur.n, prev.token) or prev.n > cur.n or (
+            prev.n == cur.n and prev.token < cur.token
+        )
+
+
+def test_source_mixing_weights_shares_sum_to_one(spark, sf_dir):
+    rows = source_mixing_weights(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        # weight * actual share == uniform share (up to rounding)
+        assert abs(r.mix_weight * r.n_tokens * len(rows) - sum(
+            x.n_tokens for x in rows
+        )) / sum(x.n_tokens for x in rows) < 1e-3
+
+
+def test_semantic_dedup_pairs_subset_of_exact(spark, sf_dir):
+    """Every SemDeDup pair must appear in the exact all-pairs result
+    with the identical cosine — clustering prunes, never invents."""
+    from text_grabr_orc_spark.registry import QUERIES, load_all
+
+    load_all()
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
+    }
+    sem = dedup_semantic_clusters(spark, sf_dir).collect()
+    assert sem
+    for r in sem:
+        assert r.cosine >= _SEM_THRESHOLD
+        assert exact.get((r.vec_a, r.vec_b)) == r.cosine
+
+
+def test_decontaminate_excludes_benchmark_docs(spark, sf_dir):
+    from text_grabr_orc_spark.operators.curation import _DECON_MOD
+
+    rows = decontaminate_ngram_overlap(spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_id % _DECON_MOD != 0
+        assert r.n_shared_grams >= 1
+        assert r.n_benchmark_docs >= 1
+
+
+def test_curation_plans_have_no_cartesian(spark, sf_dir):
+    """The decontamination join and the semantic-cluster pair join are
+    equi-joins on derived keys — neither may plan as a cartesian
+    product (the centroid assignment's broadcast nested loop against
+    the tiny centroid set is the one legitimate product and carries a
+    broadcast hint)."""
+    for fn in (decontaminate_ngram_overlap,):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan

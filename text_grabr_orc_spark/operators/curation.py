@@ -1,0 +1,589 @@
+"""Training-corpus curation operators beyond dedup: the filters and
+bookkeeping a 100 TB pretraining pipeline runs between "raw crawl" and
+"tokenized shards".
+
+Seven operators over the ``documents``/``embeddings`` fixtures, each
+with a DuckDB oracle generated from the same constants:
+
+- ``text_repetition_stats``   Gopher-style repetition signals
+  (distinct-token ratio, top-bigram fraction) + a repetition flag
+- ``text_pii_scrub``          PII detection/redaction (emails, IPv4,
+  phone fragments) with bit-checked scrubbed output
+- ``decontaminate_ngram_overlap``  benchmark decontamination: flag
+  corpus docs sharing word n-grams with a held-out eval slice
+- ``vocab_top_tokens``        tokenizer-vocabulary seed: global top-k
+  tokens by frequency with deterministic tie-breaks
+- ``source_mixing_weights``   domain-mixture weights to rebalance
+  per-source token budgets toward a uniform target
+- ``global_shuffle_order``    deterministic hash shuffle into training
+  shards (shard id + intra-shard position)
+- ``dedup_semantic_clusters`` SemDeDup-style semantic near-dup pairs
+  inside coarse embedding clusters
+
+Scale notes live on each operator; the common themes are the same as
+``dedup.py``: candidate generation by equi-join on a derived key,
+partial aggregation before any shuffle, windows always partitioned,
+and every float that crosses the comparator either an exact int ratio
+or an exact DECIMAL sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.functions.text import (
+    ORACLE_WS_RUN,
+    shingles_from_tokens,
+    tokens,
+)
+from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.tables import load_table
+
+#: DuckDB fragment: Go strings.Fields-parity token array of ``text``.
+_ORACLE_TOKS = (
+    "list_filter(regexp_split_to_array(text, "
+    f"'{ORACLE_WS_RUN}'), t -> t <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+#: flag thresholds — applied to the ROUNDED ratios on both engines so
+#: the boundary comparison can never flip on a last-ulp difference.
+_REP_DISTINCT_MIN = 0.3
+_REP_TOP_BIGRAM_MAX = 0.2
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+    ), base AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+                   AS bgs
+        FROM tok
+    ), top AS (
+        SELECT doc_id, max(n) AS top_n FROM (
+            SELECT doc_id, bg, count(*) AS n
+            FROM (SELECT doc_id, unnest(bgs) AS bg FROM base)
+            GROUP BY doc_id, bg
+        ) GROUP BY doc_id
+    ), scored AS (
+        SELECT b.doc_id,
+               CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               round(CASE WHEN b.n_tokens > 0
+                          THEN b.n_distinct::DOUBLE / b.n_tokens
+                          ELSE 0.0 END, 6) AS distinct_ratio,
+               CAST(coalesce(t.top_n, 0) AS BIGINT) AS top_bigram_n,
+               round(CASE WHEN b.n_tokens >= 2
+                          THEN coalesce(t.top_n, 0)::DOUBLE / (b.n_tokens - 1)
+                          ELSE 0.0 END, 6) AS top_bigram_frac
+        FROM base b LEFT JOIN top t USING (doc_id)
+    )
+    SELECT *,
+           CAST(CASE WHEN distinct_ratio < {_REP_DISTINCT_MIN}
+                       OR top_bigram_frac > {_REP_TOP_BIGRAM_MAX}
+                     THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+    FROM scored
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText rules):
+    distinct-token ratio and the fraction of bigram slots taken by the
+    single most-frequent bigram, plus a 0/1 ``repetitive`` flag.
+
+    Scale: the token-level stats are map-only expressions. The
+    top-bigram count explodes bigrams and partial-aggregates
+    (doc_id, bigram) counts map-side before one shuffle on doc_id —
+    per-doc work is linear (explode + hash agg), never the quadratic
+    all-slots comparison a naive higher-order-function max would do.
+    The flag compares ROUNDED ratios so both engines apply the
+    threshold to identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    stats = base.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_n"))
+    )
+    distinct_ratio = F.round(
+        F.when(
+            F.col("n_tokens") > 0, F.col("n_distinct").cast("double") / F.col("n_tokens")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    top_n = F.coalesce(F.col("top_n"), F.lit(0)).cast("bigint")
+    top_frac = F.round(
+        F.when(
+            F.col("n_tokens") >= 2,
+            top_n.cast("double") / (F.col("n_tokens") - 1),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    scored = stats.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        distinct_ratio.alias("distinct_ratio"),
+        top_n.alias("top_bigram_n"),
+        top_frac.alias("top_bigram_frac"),
+    )
+    return scored.withColumn(
+        "repetitive",
+        F.when(
+            (F.col("distinct_ratio") < _REP_DISTINCT_MIN)
+            | (F.col("top_bigram_frac") > _REP_TOP_BIGRAM_MAX),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+#: regexes written in the RE2 ∩ java.util.regex common dialect (ASCII
+#: classes, no lookaround) so both engines match identically.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def _augmented_sql() -> str:
+    """DuckDB expression for the deterministic PII-bearing text (the
+    fixture corpus is synthetic word soup with no PII, so the operator
+    plants PII derived from row keys — same expression both engines)."""
+    return (
+        "text || ' reach ' || source || '@example.com or ' || source || "
+        "'.admin@mail.test tel 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+        " || ' from 10.' || (doc_id % 256)::VARCHAR || '.0.' || "
+        "((doc_id * 7) % 256)::VARCHAR"
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, {_augmented_sql()} AS t FROM documents
+    ), pre AS (
+        SELECT doc_id, t,
+               regexp_replace(
+                   regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_IP_RE}', '<IP>', 'g') AS partial
+        FROM aug
+    ), scrubbed AS (
+        SELECT doc_id, t, partial,
+               regexp_replace(partial, '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM pre
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(partial, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones_pre_scrub,
+           md5(clean) AS clean_hash,
+           CAST(length(clean) AS BIGINT) AS clean_len
+    FROM scrubbed
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and replace emails, IPv4 addresses, and
+    phone fragments with typed placeholders; emit an md5 of the
+    scrubbed text so the redaction itself is bit-checked, not just the
+    counts.
+
+    The fixture corpus carries no PII, so the operator first plants
+    deterministic PII derived from (doc_id, source) — the scrub then
+    has real matches to find, and the oracle plants the identical
+    strings. Phone counting runs on the email/IP-scrubbed text
+    (replacement ORDER is part of the contract: an IP inside an email
+    must already be gone).
+
+    Scale: pure map-side regexp work inside whole-stage codegen — no
+    shuffle at all; the regexes use the RE2∩Java common dialect so the
+    same patterns run on any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach "),
+        F.col("source"),
+        F.lit("@example.com or "),
+        F.col("source"),
+        F.lit(".admin@mail.test tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    base = docs.select("doc_id", aug.alias("t"))
+    partial = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+    )
+    step = base.withColumn("partial", partial).withColumn(
+        "clean", F.regexp_replace(F.col("partial"), _PHONE_RE, "<PHONE>")
+    )
+    return step.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_IP_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count(F.col("partial"), F.lit(_PHONE_RE))
+        .cast("bigint")
+        .alias("n_phones_pre_scrub"),
+        F.md5(F.col("clean")).alias("clean_hash"),
+        F.length("clean").cast("bigint").alias("clean_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4  # word n-gram size
+_DECON_MOD = 23  # doc_id % MOD == 0 -> held-out benchmark slice
+
+#: DuckDB 4-gram shingles (parity with shingles_from_tokens(toks, 4):
+#: docs shorter than n yield their whole joined token run).
+_ORACLE_SHINGLES4 = f"""
+    list_distinct([list_aggregate(toks[i:i+{_DECON_N - 1}], 'string_agg', ' ')
+                   for i in range(1, greatest(len(toks)-{_DECON_N - 1}, 1) + 1)])
+"""
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_ORACLE_SHINGLES4} AS grams
+        FROM (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents)
+    ), bench AS (
+        SELECT doc_id AS bench_id, unnest(grams) AS g
+        FROM sh WHERE doc_id % {_DECON_MOD} = 0
+    ), corp AS (
+        SELECT doc_id, unnest(grams) AS g
+        FROM sh WHERE doc_id % {_DECON_MOD} <> 0
+    )
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_benchmark_docs
+    FROM corp c JOIN bench b ON b.g = c.g
+    GROUP BY c.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    word 4-grams with a held-out benchmark slice (docs whose id is
+    divisible by {MOD}) — the standard n-gram-overlap check run before
+    pretraining so eval answers don't leak into the corpus.
+
+    Scale: the same inverted-index shape as dedup_ngram_jaccard — both
+    sides explode to (gram, doc) postings and meet in ONE equi-join on
+    the gram; no document ever compares against all benchmark docs.
+    The benchmark side is a tiny fraction of the corpus, so Spark
+    broadcasts it after AQE sees its size. Join keys are xxhash64-ed
+    to 8 bytes map-side (hash-collision risk per the hashed_shingle
+    analysis in dedup.py — far below fixture noise); the oracle joins
+    the gram strings themselves and must agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks"), _DECON_N).alias("grams"))
+        .select("doc_id", F.explode("grams").alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("h"))
+    )
+    bench = grams.filter(F.col("doc_id") % _DECON_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    corp = grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return (
+        corp.join(bench, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 64
+
+
+@register(
+    "vocab_top_tokens",
+    oracle=f"""
+    SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token)
+                          AS BIGINT) AS rank
+    FROM (
+        SELECT lower(tok) AS token, count(*) AS n
+        FROM (SELECT unnest({_ORACLE_TOKS}) AS tok FROM documents)
+        GROUP BY lower(tok)
+    )
+    QUALIFY rank <= {_VOCAB_K}
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary seed: the corpus's top-k lowercased tokens
+    by frequency, ranked with a deterministic (count DESC, token ASC)
+    tie-break — the first step of wordpiece/BPE vocab induction.
+
+    Scale: explode + hash-aggregate partial-combines map-side, so the
+    shuffle carries one row per distinct token per partition, bounded
+    by vocab size, not corpus size. The top-k runs as orderBy+limit
+    (distributed TakeOrdered) and only THEN ranks — the unpartitioned
+    row_number window sees at most k rows, never the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .select(F.lower("tok").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(_VOCAB_K)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Source mixing weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_mixing_weights",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(len({_ORACLE_TOKS})), -1) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS s
+        FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens::DOUBLE / t, 6) AS token_share,
+           round(t::DOUBLE / s / n_tokens, 6) AS mix_weight
+    FROM per CROSS JOIN tot
+    """,
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: per-source token totals, each
+    source's share of the corpus, and the sampling weight that would
+    equalize token budgets across sources (weight = uniform target
+    share / actual share) — how pretraining mixes re-weight crawl vs
+    curated domains.
+
+    Scale: one partial-aggregated shuffle on source; everything after
+    operates on the source-cardinality table (tiny by construction),
+    where the grand total rides an unpartitioned window that sees one
+    row per SOURCE, not per document. All ratios are single int/int
+    double divisions — exact inputs, deterministic rounding, written
+    in the identical operation order on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size(tokens("text"))), F.lit(-1))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    per = per.withColumn("t", F.sum("n_tokens").over(w)).withColumn(
+        "s", F.count(F.lit(1)).over(w)
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias(
+            "token_share"
+        ),
+        F.round(
+            F.col("t").cast("double") / F.col("s") / F.col("n_tokens"), 6
+        ).alias("mix_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle into training shards
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+@register(
+    "global_shuffle_order",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, md5('shuf:' || doc_id::VARCHAR) AS hx
+        FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substr(hx, 1, 8))::BIGINT % {_N_SHARDS} AS shard_id,
+           CAST(row_number() OVER (
+               PARTITION BY ('0x' || substr(hx, 1, 8))::BIGINT % {_N_SHARDS}
+               ORDER BY hx, doc_id) AS BIGINT) AS pos_in_shard
+    FROM h
+    """,
+)
+def global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order assignment:
+    hash every doc, route it to one of N shards by a hash slice, and
+    number it inside its shard by hash order — a reproducible random
+    permutation with no RNG state, so re-runs (and backfills) place
+    every document identically.
+
+    Scale: the only exchange is the shard hash partitioning; each
+    shard's ordering is a partition-local sort under a PARTITIONED
+    window (never a global row_number). N_SHARDS is a parameter — at
+    100 TB you'd raise it so one shard ≈ one output file."""
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    base = docs.select("doc_id", hx.alias("hx")).withColumn(
+        "shard_id",
+        (F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint") % _N_SHARDS),
+    )
+    w = Window.partitionBy("shard_id").orderBy("hx", "doc_id")
+    return base.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup inside coarse clusters
+# ---------------------------------------------------------------------------
+
+_SEM_STRIDE = 50  # centroid stride (same coarse quantizer as IVF)
+_SEM_THRESHOLD = 0.4
+
+#: DuckDB cosine (same fragment as similarity.py's oracles)
+_DK_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS centroid_id, e AS ce FROM v
+        WHERE vec_id % {_SEM_STRIDE} = 0
+    ), assigned AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_DK_COS.format(a="v.e", b="cent.ce")} DESC,
+                                cent.centroid_id
+                   ) AS crk
+            FROM v CROSS JOIN cent
+        ) WHERE crk = 1
+    )
+    SELECT a.centroid_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DK_COS.format(a="a.e", b="b.e")}, 6) AS cosine
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE {_DK_COS.format(a="a.e", b="b.e")} >= {_SEM_THRESHOLD}
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: assign every embedding
+    to its nearest coarse centroid (deterministic quantizer — every
+    50th vector, as in similarity_topk_ivf), then compare pairs ONLY
+    inside each cluster and keep those with cosine >= 0.4.
+
+    This is the pruning insight of SemDeDup (Abbas et al., 2023):
+    semantic duplicates land in the same coarse cluster, so the
+    quadratic pair scan runs per-cluster (n/k docs each), never
+    corpus-wide. Approximate by design — a dup pair straddling a
+    cluster boundary is missed — yet fully deterministic, so the
+    oracle replicates the exact same assignment and pair set.
+
+    Scale: centroid assignment is a broadcast nested loop + map-side
+    max_by argmin (one row per vector enters the shuffle); the pair
+    stage shuffles vectors once on centroid_id, and AQE's skew-join
+    splitting caps any oversized cluster. Same output contract as
+    dedup_embedding_cosine/_rhp: (vec_a, vec_b, cosine)."""
+    from text_grabr_orc_spark.functions.vectors import (
+        cosine_from_parts,
+        dot,
+    )
+    from text_grabr_orc_spark.operators.similarity import (
+        _emb,
+        _nearest_centroid_assign,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") % _SEM_STRIDE == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("e").alias("ce"),
+            F.col("n").alias("cn"),
+        )
+    )
+    assigned = _nearest_centroid_assign(emb, cent)
+    a = assigned.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("n").alias("na"),
+    )
+    b = assigned.select(
+        F.col("centroid_id").alias("centroid_id_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    cos = cosine_from_parts(dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb"))
+    return (
+        a.join(
+            b,
+            (F.col("centroid_id") == F.col("centroid_id_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .filter(cos >= _SEM_THRESHOLD)
+        .select("centroid_id", "vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )
