@@ -6,13 +6,20 @@ main.go:73-80``) and decodes them with the Go stdlib ``image.Decode``
 this implements the needed subset straight from the public JPEG
 specs (ITU-T T.81 / ISO 10918-1 baseline DCT, JFIF 1.02):
 
-- decode: baseline sequential (SOF0), 8-bit, grayscale or YCbCr with
-  4:4:4 / 4:2:2 / 4:2:0 sampling, byte stuffing, restart markers.
-  Progressive (SOF2) and arithmetic coding are rejected with a clear
-  error (the Go stdlib does decode progressive; documented gap).
+- decode: baseline sequential (SOF0) AND progressive (SOF2), 8-bit,
+  grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, byte
+  stuffing, restart markers. Progressive covers the full T.81 Annex G
+  Huffman mode: spectral selection, successive approximation (DC and
+  AC refinement scans), EOB runs, interleaved DC scans and
+  non-interleaved per-component AC scans — the same feature set the
+  Go stdlib decoder accepts (``main.go:149``). Arithmetic coding and
+  hierarchical mode are rejected with a clear error (the Go stdlib
+  rejects them too).
 - encode: baseline grayscale / YCbCr 4:4:4 with the T.81 Annex K
-  example quantization + Huffman tables — enough to synthesize
-  deterministic fixtures and round-trip tests without PIL.
+  example quantization + Huffman tables, plus a progressive encoder
+  (libjpeg-style scan script with DC/AC successive approximation)
+  used to synthesize fixtures that exercise every progressive decode
+  path — enough for deterministic round-trip tests without PIL.
 
 JPEG is lossy: round-trips assert closeness, not equality. The OCR
 pipeline binarizes at 128 afterward, so codec-level rounding noise
@@ -228,7 +235,7 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 HxW (grayscale) or HxWx3 (RGB)."""
+    """Baseline or progressive JPEG -> uint8 HxW (gray) or HxWx3 (RGB)."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -236,6 +243,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    coef = None  # progressive: per-component zigzag coefficient store
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -258,7 +266,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg[i:i + 128], ">u2").astype(np.int32)
                     i += 128
                 qt[tid] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline / ext. sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if precision != 8:
                 raise JpegError(f"unsupported precision {precision}")
@@ -267,12 +275,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, sampling, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": sampling >> 4, "v": sampling & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegError(
                 f"unsupported SOF marker 0xFF{marker:02X} "
-                "(only baseline sequential is implemented)"
+                "(baseline sequential and progressive are implemented)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -292,15 +301,30 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
             scan_map = {}
+            scan_comps = []
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_map[cid] = (tables >> 4, tables & 15)
-            return _decode_scan(
-                data, pos + 2 + seglen, frame, scan_map, qt, huff_dc, huff_ac,
-                restart_interval,
+                scan_comps.append(cid)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos + 2 + seglen, frame, scan_map, qt, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            if coef is None:
+                coef = _init_coef_store(frame)
+            pos = _decode_progressive_scan(
+                data, pos + 2 + seglen, frame, scan_comps, scan_map,
+                ss, se, ah, al, huff_dc, huff_ac, restart_interval, coef,
             )
+            continue
         # APPn / COM / others: skip
         pos += 2 + seglen
+    if coef is not None:
+        return _reconstruct_progressive(frame, qt, coef)
     raise JpegError("no scan data found")
 
 
@@ -353,7 +377,13 @@ def _decode_scan(data, pos, frame, scan_map, qt, huff_dc, huff_ac, dri):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_index += 1
-    # upsample chroma to full resolution and crop to (h, w)
+    return _assemble_planes(planes, comps, hmax, vmax, h, w)
+
+
+def _assemble_planes(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+    """Upsample chroma to full resolution, crop to (h, w), and
+    color-convert — the shared reconstruction tail of the baseline and
+    progressive decoders."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -368,6 +398,216 @@ def _decode_scan(data, pos, frame, scan_map, qt, huff_dc, huff_ac, dri):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (T.81 Annex G, Huffman coding)
+# ---------------------------------------------------------------------------
+
+
+def _mcu_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _init_coef_store(frame) -> list[np.ndarray]:
+    """Per-component (blocks_y, blocks_x, 64) int32 arrays in ZIGZAG
+    coefficient order, sized for the full interleaved-MCU grid (so
+    interleaved DC scans can write the padding blocks of subsampled
+    components; non-interleaved AC scans touch only the real blocks)."""
+    _, _, mcus_x, mcus_y = _mcu_geometry(frame)
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _comp_blocks(frame, c) -> tuple[int, int]:
+    """Non-interleaved block grid of one component: blocks covering
+    ceil(dim * sampling / max_sampling) samples (T.81 A.1.1)."""
+    hmax, vmax, _, _ = _mcu_geometry(frame)
+    cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _dc_first_block(reader, table, blk, al, pred_box):
+    t = reader.decode_symbol(table)
+    diff = _extend(reader.read_bits(t), t)
+    pred_box[0] += diff
+    blk[0] = pred_box[0] << al
+
+
+def _dc_refine_block(reader, blk, al):
+    if reader.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _ac_first_block(reader, table, blk, ss, se, al, eobrun):
+    """Returns the updated EOB-run counter (blocks still to skip)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise JpegError("AC run overflow in progressive scan")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, table, blk, ss, se, al, eobrun):
+    """T.81 G.1.2.3 AC successive-approximation refinement; returns
+    the updated EOB-run counter. History-nonzero coefficients receive
+    correction bits; newly-significant ones arrive as ±1 << al."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(table)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegError("invalid AC refinement symbol")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.read_bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0 and reader.read_bit() and (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan_comps, scan_map, ss, se, ah, al,
+    huff_dc, huff_ac, dri, coef,
+) -> int:
+    """Decode one progressive scan into the coefficient store; returns
+    the byte position of the next marker after the entropy data.
+
+    Scan kinds (T.81 G.1): DC first (Ss=0, Ah=0; may be interleaved),
+    DC refinement (Ss=0, Ah>0), AC first (Ss>0, Ah=0) and AC
+    refinement (Ss>0, Ah>0) — AC scans are always single-component and
+    traverse the component's own block grid, not the MCU grid."""
+    comps = frame["comps"]
+    hmax, vmax, mcus_x, mcus_y = _mcu_geometry(frame)
+    if ss > 0 and len(scan_comps) != 1:
+        raise JpegError("progressive AC scan must be single-component")
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    # unit list: each entry is the blocks of one MCU as (ci, by, bx)
+    units: list[list[tuple[int, int, int]]] = []
+    if len(scan_comps) == 1:
+        ci = by_id[scan_comps[0]]
+        nby, nbx = _comp_blocks(frame, comps[ci])
+        for by in range(nby):
+            for bx in range(nbx):
+                units.append([(ci, by, bx)])
+    else:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                mcu = []
+                for cid in scan_comps:
+                    ci = by_id[cid]
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            mcu.append((ci, my * c["v"] + by, mx * c["h"] + bx))
+                units.append(mcu)
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    for mcu_index, mcu in enumerate(units):
+        if dri and mcu_index and mcu_index % dri == 0:
+            reader.sync_restart()
+            pred = [0] * len(comps)
+            eobrun = 0
+        for ci, by, bx in mcu:
+            td, ta = scan_map[comps[ci]["id"]]
+            blk = coef[ci][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    pred_box = [pred[ci]]
+                    _dc_first_block(reader, huff_dc[td], blk, al, pred_box)
+                    pred[ci] = pred_box[0]
+                else:
+                    _dc_refine_block(reader, blk, al)
+            elif ah == 0:
+                eobrun = _ac_first_block(
+                    reader, huff_ac[ta], blk, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _ac_refine_block(
+                    reader, huff_ac[ta], blk, ss, se, al, eobrun
+                )
+    # advance to the next marker (skip stuffed 0xFF00 and RSTn)
+    p = reader.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise JpegError("no marker after progressive scan")
+
+
+def _reconstruct_progressive(frame, qt, coef) -> np.ndarray:
+    comps = frame["comps"]
+    hmax, vmax, mcus_x, mcus_y = _mcu_geometry(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        nby, nbx = coef[ci].shape[0], coef[ci].shape[1]
+        plane = np.zeros((nby * 8, nbx * 8), np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = np.zeros(64, np.float64)
+                block[_ZIGZAG] = coef[ci][by, bx] * q
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _idct2(block.reshape(8, 8)) + 128.0
+                )
+        planes.append(plane)
+    return _assemble_planes(planes, comps, hmax, vmax, frame["h"], frame["w"])
 
 
 # ---------------------------------------------------------------------------
@@ -499,4 +739,236 @@ def encode_jpeg(img: np.ndarray) -> bytes:
                 )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixtures for the Annex G decoder paths)
+# ---------------------------------------------------------------------------
+
+#: flat AC Huffman table for progressive scans: every AC symbol the
+#: mode can emit — EOBn (n<=14), ZRL, and (run<<4)|size for size 1-10
+#: — at code length 8 (176 codes < 255, so the table is canonical and
+#: the all-ones code stays unused as T.81 requires). Unlike the Annex
+#: K baseline tables it contains EOBn for n>0, which lets fixtures
+#: exercise multi-block EOB runs in the decoder.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted({(n << 4) for n in range(15)} | {0xF0}
+           | {(r << 4) | s for r in range(16) for s in range(1, 11)}),
+)
+
+
+class _ProgState:
+    """Pending EOB run + the correction bits buffered behind it."""
+
+    def __init__(self):
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+
+def _emit_eobrun(bw: _BitWriter, actab, state: _ProgState) -> None:
+    if state.eobrun > 0:
+        nbits = state.eobrun.bit_length() - 1
+        code, ln = actab[nbits << 4]
+        bw.write(code, ln)
+        if nbits:
+            bw.write(state.eobrun & ((1 << nbits) - 1), nbits)
+        state.eobrun = 0
+        for b in state.pending_bits:
+            bw.write(b, 1)
+        state.pending_bits = []
+
+
+def _encode_dc_first_block(bw, dctab, blk, al, pred: int) -> int:
+    t = int(blk[0]) >> al  # arithmetic shift: point transform
+    diff = t - pred
+    s = int(diff != 0 and abs(diff).bit_length())
+    code, ln = dctab[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return t
+
+
+def _encode_dc_refine_block(bw, blk, al) -> None:
+    bw.write((int(blk[0]) >> al) & 1, 1)
+
+
+def _encode_ac_first_block(bw, actab, blk, ss, se, al, state) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        _emit_eobrun(bw, actab, state)
+        while r > 15:
+            code, ln = actab[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s = t.bit_length()
+        code, ln = actab[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(t if v > 0 else t ^ ((1 << s) - 1), s)
+        r = 0
+    if r > 0:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            _emit_eobrun(bw, actab, state)
+
+
+def _encode_ac_refine_block(bw, actab, blk, ss, se, al, state) -> None:
+    """T.81 G.1.2.3 encoder side, mirroring the decoder: corrections
+    for history-nonzero coefficients ride behind run/EOB symbols."""
+    absv = [0] * (se + 1)
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(int(blk[k])) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _emit_eobrun(bw, actab, state)
+            code, ln = actab[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _emit_eobrun(bw, actab, state)
+        code, ln = actab[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(blk[k]) >= 0 else 0, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state.eobrun += 1
+        state.pending_bits.extend(br)
+        if state.eobrun == 0x7FFF:
+            _emit_eobrun(bw, actab, state)
+
+
+def encode_jpeg_progressive(img: np.ndarray) -> bytes:
+    """uint8 HxW (gray) or HxWx3 (RGB) -> progressive JPEG (SOF2,
+    4:4:4) with a libjpeg-style scan script: DC first at Al=1, AC
+    bands with successive approximation, then DC and AC refinement
+    scans down to Al=0. Decodes to EXACTLY the same pixels as
+    ``encode_jpeg`` of the same image (identical quantized
+    coefficients, delivered progressively)."""
+    if img.dtype != np.uint8:
+        raise JpegError(f"expected uint8, got {img.dtype}")
+    if img.ndim == 2:
+        ycc = img[:, :, None].astype(np.float64)
+        ncomp = 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        ycc = np.stack([y, cb, cr], axis=-1)
+        ncomp = 3
+    else:
+        raise JpegError(f"unsupported shape {img.shape}")
+    h, w = img.shape[:2]
+    blocks_y = (h + 7) // 8
+    blocks_x = (w + 7) // 8
+    padded = np.pad(
+        ycc, ((0, blocks_y * 8 - h), (0, blocks_x * 8 - w), (0, 0)), mode="edge"
+    )
+    qts = {0: _QT_LUMA.astype(np.float64), 1: _QT_CHROMA.astype(np.float64)}
+    # quantized zigzag coefficients for every (component, block)
+    coef = [
+        np.zeros((blocks_y, blocks_x, 64), np.int32) for _ in range(ncomp)
+    ]
+    for c in range(ncomp):
+        q = qts[0 if c == 0 else 1]
+        for by in range(blocks_y):
+            for bx in range(blocks_x):
+                block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, c]
+                coef[c][by, bx] = np.round(
+                    _fdct2(block - 128.0).reshape(64)[_ZIGZAG] / q
+                ).astype(np.int32)
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00"
+            + b"\x00\x01\x00\x01\x00\x00")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(x) for x in _QT_LUMA)
+    if ncomp == 3:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(
+            int(x) for x in _QT_CHROMA)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out += _huff_segment(0, 0, *_DC_LUMA)
+    if ncomp == 3:
+        out += _huff_segment(0, 1, *_DC_CHROMA)
+    out += _huff_segment(1, 0, *_AC_PROG)
+    dc_enc = {0: _build_encode_table(*_DC_LUMA), 1: _build_encode_table(*_DC_CHROMA)}
+    ac_enc = _build_encode_table(*_AC_PROG)
+    if ncomp == 3:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([2], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    for scan_comps, ss, se, ah, al in script:
+        sos = bytes([len(scan_comps)])
+        for c in scan_comps:
+            td = 0 if c == 0 else 1
+            sos += bytes([c + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        bw = _BitWriter()
+        state = _ProgState()
+        pred = [0] * ncomp
+        # 4:4:4 => the MCU grid equals every component's block grid
+        for by in range(blocks_y):
+            for bx in range(blocks_x):
+                for c in scan_comps:
+                    blk = coef[c][by, bx]
+                    if ss == 0:
+                        if ah == 0:
+                            pred[c] = _encode_dc_first_block(
+                                bw, dc_enc[0 if c == 0 else 1], blk, al, pred[c]
+                            )
+                        else:
+                            _encode_dc_refine_block(bw, blk, al)
+                    elif ah == 0:
+                        _encode_ac_first_block(bw, ac_enc, blk, ss, se, al, state)
+                    else:
+                        _encode_ac_refine_block(bw, ac_enc, blk, ss, se, al, state)
+        _emit_eobrun(bw, ac_enc, state)
+        out += bw.flush()
+    out += b"\xff\xd9"
     return bytes(out)
