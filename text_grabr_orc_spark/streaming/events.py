@@ -12,11 +12,11 @@ micro-batches) whose RESULT equals the batch semantics, which is
 exactly what makes a DuckDB oracle possible. On a live cluster the
 same builders run with a real source/sink and a continuous trigger.
 
-Timestamps: the parquet carries nanosecond timestamps; we rebuild a
-TIMESTAMP_NTZ with integer arithmetic (see sources/events.py) and set
-the session timezone to UTC for the streaming run, because streaming
-``window()`` state keys are zone-sensitive; outputs are formatted
-strings, so results stay environment-independent.
+Timestamps: the parquet carries TIMESTAMP(MICROS) read as NTZ; we
+derive epoch integers with tz-free arithmetic (see sources/events.py)
+and set the session timezone to UTC for the streaming run, because
+streaming ``window()`` state keys are zone-sensitive; outputs are
+formatted strings, so results stay environment-independent.
 """
 
 from __future__ import annotations
@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.sources.events import EPOCH_US_EXPR
 from text_grabr_orc_spark.tables import table_path
 
 _COUNTER = itertools.count()
@@ -38,8 +39,7 @@ _COUNTER = itertools.count()
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the same tz-free
-    timestamp rebuild as the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    timestamp normalization as the batch loader."""
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
     # the file streaming source wants a DIRECTORY; stream the sf dir
@@ -52,13 +52,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return raw.select(
         "event_id",
-        F.col("ts").alias("ts_ns"),
-        F.expr(
-            "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ'1970-01-01 00:00:00')"
-        ).alias("ts"),
+        F.expr(f"({EPOCH_US_EXPR}) * 1000").alias("ts_ns"),
+        "ts",
         # watermarks/windows demand TIMESTAMP (not NTZ): build the
         # instant straight from epoch micros — timezone-free
-        F.expr("timestamp_micros(ts div 1000)").alias("ts_utc"),
+        F.expr(f"timestamp_micros({EPOCH_US_EXPR})").alias("ts_utc"),
         "user_id",
         "event_type",
         "value",
