@@ -749,6 +749,136 @@ def dedup_embedding_rhp(
     )
 
 
+#: vectors per GEMM tile. Sized so one tile pair (2 * BLOCK * dim
+#: doubles in, BLOCK^2 scores out) stays comfortably inside one Arrow
+#: batch / one task's memory at dim 64: 2048^2 doubles = 32 MB of
+#: scores, the dominant term.
+_GEMM_BLOCK = 2048
+
+
+@register("dedup_embedding_gemm", oracle=_EMB_EXACT_ORACLE)
+def dedup_embedding_gemm(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Exact embedding near-dup via tiled matrix multiplication — the
+    physical shape a 100 TB engine actually uses for EXACT pairwise
+    cosine (FAISS brute-force / distributed GEMM): pack vectors into
+    fixed-size tiles, join the tiny tile index against itself
+    (blk_a <= blk_b), and score each tile pair with one vectorized
+    ``numpy`` matmul inside Arrow-batched ``mapInPandas``.
+
+    Why this exists next to ``dedup_embedding_rhp``: at threshold 0.4
+    an exact-recall RHP banding (2-bit bands) collides nearly every
+    random pair, so the LSH band join emits MORE rows than all-pairs
+    before distinct — banding only prunes at high thresholds. When the
+    contract is exact output at a moderate threshold, the optimal plan
+    is not candidate pruning but making the quadratic cheap: BLAS does
+    dim-64 multiply-adds ~2 orders of magnitude faster than a per-pair
+    expression tree, and tiling bounds task memory while the tile-pair
+    index gives sum(B^2)/2 perfectly even tasks (no skew by
+    construction).
+
+    Scale: shuffle volume is (#tiles) copies of each packed tile row
+    (~dim*BLOCK*8 bytes), i.e. data * sqrt(#pairs) — the classic
+    2D-blocked GEMM communication bound; the per-pair score never
+    enters an exchange (thresholded inside the task). Python here is
+    the fast path, not the slow path: one BLAS call per tile pair,
+    zero per-row Python.
+
+    Parity: scores are float64; numpy's blocked summation can differ
+    from the oracle's sequential sum only below ~1e-13 relative, far
+    inside the round(…, 6) output quantum."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # tile id from the dense vec_id range; a sparse id space would use
+    # row_number() over vec_id first (same one-pass shape)
+    tiles = emb.withColumn(
+        "blk", F.floor(F.col("vec_id") / _GEMM_BLOCK).cast("int")
+    )
+
+    pack_schema = "blk int, ids array<bigint>, mat array<double>"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf.sort_values("vec_id")
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in order["embedding"]]
+        )
+        return pd.DataFrame(
+            {
+                "blk": [int(order["blk"].iloc[0])],
+                "ids": [order["vec_id"].to_numpy(dtype=np.int64)],
+                "mat": [m.ravel()],
+            }
+        )
+
+    packed = tiles.groupBy("blk").applyInPandas(pack, pack_schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # tile-pair index from tile IDS only (ints), then equi-join the
+    # packed matrices in — the matrices never ride a non-equi join
+    blk_ids = packed.select("blk")
+    pair_idx = blk_ids.select(F.col("blk").alias("blk_a")).join(
+        blk_ids.select(F.col("blk").alias("blk_b")),
+        F.col("blk_a") <= F.col("blk_b"),
+    )
+    pairs = (
+        pair_idx.join(
+            packed.select(
+                F.col("blk").alias("blk_a"),
+                F.col("ids").alias("ids_a"),
+                F.col("mat").alias("mat_a"),
+            ),
+            "blk_a",
+        )
+        .join(
+            packed.select(
+                F.col("blk").alias("blk_b"),
+                F.col("ids").alias("ids_b"),
+                F.col("mat").alias("mat_b"),
+            ),
+            "blk_b",
+        )
+        # spread tile pairs across tasks instead of wherever the join
+        # left them (a handful of wide rows per partition)
+        .repartition(F.col("blk_a"), F.col("blk_b"))
+    )
+
+    out_schema = "vec_a bigint, vec_b bigint, cosine double"
+
+    def gemm(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                a = np.asarray(row.mat_a, dtype=np.float64).reshape(
+                    len(ids_a), -1
+                )
+                b = np.asarray(row.mat_b, dtype=np.float64).reshape(
+                    len(ids_b), -1
+                )
+                na = np.sqrt((a * a).sum(axis=1))
+                nb = np.sqrt((b * b).sum(axis=1))
+                scores = a @ b.T
+                denom = np.outer(na, nb)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, scores / denom, 0.0)
+                ii, jj = np.nonzero(cos >= threshold)
+                # strictly-upper pairs: across tiles every hit counts,
+                # within a tile keep id_a < id_b
+                keep = ids_a[ii] < ids_b[jj]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": ids_a[ii][keep],
+                        "vec_b": ids_b[jj][keep],
+                        "cosine": np.round(cos[ii, jj][keep], 6),
+                    }
+                )
+
+    return pairs.mapInPandas(gemm, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Duplicate clusters (connected components over the near-dup pair graph)
 # ---------------------------------------------------------------------------
