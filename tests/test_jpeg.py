@@ -25,6 +25,7 @@ from text_grabr_orc_spark.imaging.jpeg import (
     JpegError,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 
@@ -66,13 +67,42 @@ def test_jpeg_decode_rejects_garbage():
             decode_jpeg(bad)
 
 
-def test_jpeg_rejects_progressive_sof():
-    # splice a SOF2 marker into a valid stream: must error clearly
+def test_jpeg_rejects_unsupported_sof():
+    # splice a SOF3 (lossless) marker into a valid stream: must error
+    # clearly instead of mis-decoding
     good = bytearray(encode_jpeg(gradient()))
     idx = good.index(b"\xff\xc0")
-    good[idx + 1] = 0xC2
-    with pytest.raises(JpegError, match="baseline"):
+    good[idx + 1] = 0xC3
+    with pytest.raises(JpegError, match="SOF"):
         decode_jpeg(bytes(good))
+
+
+def test_jpeg_progressive_gray_matches_baseline():
+    # the progressive scan script delivers the SAME quantized
+    # coefficients as the sequential encoder: decoded pixels must be
+    # bit-identical, not merely close
+    img = gradient()
+    assert (
+        decode_jpeg(encode_jpeg_progressive(img)) == decode_jpeg(encode_jpeg(img))
+    ).all()
+
+
+def test_jpeg_progressive_rgb_matches_baseline():
+    g = gradient()
+    rgb = np.stack([g, 255 - g, np.roll(g, 5, axis=1)], axis=-1)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(rgb)) == decode_jpeg(encode_jpeg(rgb))
+    ).all()
+
+
+def test_jpeg_progressive_odd_size_and_flat():
+    img = np.full((9, 13), 200, np.uint8)  # edge-padded blocks
+    assert (decode_jpeg(encode_jpeg_progressive(img)) == 200).all()
+
+
+def test_jpeg_progressive_deterministic_bytes():
+    img = gradient()
+    assert encode_jpeg_progressive(img) == encode_jpeg_progressive(img)
 
 
 def _encode_420_gray_chroma(y_img: np.ndarray) -> bytes:

@@ -485,7 +485,11 @@ def _ac_refine_block(reader, table, blk, ss, se, al, eobrun):
             newval = 0
             if s == 0:
                 if r != 15:
-                    eobrun = (1 << r) - 1
+                    # the run INCLUDES the current block: its remaining
+                    # history-nonzero coefficients still receive
+                    # correction bits in the tail loop below (T.81
+                    # G.1.2.3; EOB0 -> run of exactly this block)
+                    eobrun = 1 << r
                     if r:
                         eobrun += reader.read_bits(r)
                     break
