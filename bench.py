@@ -37,7 +37,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_rhp",
+    # exact tiled-GEMM is the registered scale path for embedding
+    # near-dup at threshold 0.4; dedup_embedding_rhp stays registered
+    # and oracle-checked but at this threshold exact-recall banding
+    # cannot prune below all-pairs (see dedup.py), so benching it
+    # would just time the band join's overhead
+    "dedup_embedding_gemm",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "text_quality_by_source",

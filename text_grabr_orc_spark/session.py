@@ -44,6 +44,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.orc.filterPushdown", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate copies the generator's WHOLE child
+        # expression into an inferred size(..)>0 filter below every
+        # explode. For computed arrays (regex tokenize -> shingle, the
+        # hot path of every n-gram/dedup operator here) that
+        # re-evaluates the most expensive projection in the engine 2-3x
+        # per row per side — measured ~4x wall on
+        # decontaminate_ngram_overlap — while explode already skips
+        # empty arrays. The filter only ever helps when the generator
+        # input is a stored column that can prune a scan, which never
+        # holds for this engine's computed-shingle pipelines.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
