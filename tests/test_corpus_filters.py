@@ -1,0 +1,111 @@
+"""Tests for operators/corpus_filters.py (span dedup, boilerplate,
+stratified sampling, quality classifier).
+
+Correctness against DuckDB is covered by the oracle gate
+(tools/check.py); these pin semantic invariants the oracle cannot see.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.operators.corpus_filters import (
+    _BP_MIN_DOCS,
+    _BP_TOP_K,
+    _QC_PHASES,
+    _SPAN_W,
+    _span_postings,
+    boilerplate_spans_by_source,
+    dedup_repeated_spans,
+    quality_classifier_filter,
+    sample_stratified_hash,
+)
+from text_grabr_orc_spark.tables import load_table
+
+
+def test_span_postings_tile_geometry(spark, sf_dir):
+    """Every doc contributes floor(n_tokens / W) spans of exactly W
+    tokens, indexed contiguously from 0."""
+    sp = _span_postings(spark, sf_dir)
+    per_doc = (
+        sp.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("span_idx").alias("mx"))
+        .collect()
+    )
+    from text_grabr_orc_spark.functions.text import py_field_count
+
+    docs = {
+        r["doc_id"]: py_field_count(r["text"])
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    seen = set()
+    for r in per_doc:
+        seen.add(r.doc_id)
+        assert r.n == docs[r.doc_id] // _SPAN_W
+        assert r.mx == r.n - 1
+    for doc_id, n_tok in docs.items():
+        if n_tok >= _SPAN_W:
+            assert doc_id in seen
+    for r in sp.select("g").collect():
+        assert len(r.g.split(" ")) == _SPAN_W
+
+
+def test_repeated_spans_ratio_bounds(spark, sf_dir):
+    rows = dedup_repeated_spans(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert math.isclose(
+            r.dup_ratio, round(r.n_dup_spans / r.n_spans, 6), abs_tol=1e-9
+        )
+
+
+def test_boilerplate_rank_and_threshold(spark, sf_dir):
+    rows = boilerplate_spans_by_source(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert r.n_docs >= _BP_MIN_DOCS
+        by_source.setdefault(r.source, []).append(r)
+    for rs in by_source.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _BP_TOP_K
+        # ranked by n_docs desc with span tie-break
+        for a, b in zip(rs, rs[1:]):
+            assert (a.n_docs, b.span) >= (b.n_docs, a.span)
+
+
+def test_stratified_sample_hits_smallest_source(spark, sf_dir):
+    rows = sample_stratified_hash(spark, sf_dir).collect()
+    assert rows
+    target = min(r.n_docs for r in rows)
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+    # acceptance is u32*n < target*2^32, i.e. rate target/n: the kept
+    # count concentrates near the target (binomial, not exact)
+    for r in rows:
+        assert abs(r.n_kept - target) <= 4 * math.sqrt(target) + 1
+
+
+def test_quality_classifier_flag_and_phase_consistency(spark, sf_dir):
+    rows = quality_classifier_filter(spark, sf_dir).collect()
+    assert rows
+    seen_phases = set()
+    for r in rows:
+        assert 0.0 <= r.quality_prob <= 1.0
+        assert r.keep == int(r.quality_prob >= 0.5)
+        if r.quality_prob < _QC_PHASES[0]:
+            expect = 0
+        elif r.quality_prob < _QC_PHASES[1]:
+            expect = 1
+        elif r.quality_prob < _QC_PHASES[2]:
+            expect = 2
+        else:
+            expect = 3
+        assert r.curriculum_phase == expect
+        seen_phases.add(expect)
+    # the fixed weights must actually split the fixture, not collapse
+    # every document into one bucket
+    assert len(seen_phases) >= 2

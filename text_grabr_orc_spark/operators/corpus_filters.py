@@ -1,0 +1,400 @@
+"""Corpus-filtering operators: span-level dedup, boilerplate mining,
+stratified sampling, and model-based quality filtering.
+
+These fill out the curation surface of ``curation.py`` with the four
+remaining filters a 100 TB pretraining pipeline runs between raw crawl
+and tokenized shards (C4/RefinedWeb-style recipes):
+
+- ``dedup_repeated_spans``       span-level (line-level) dedup: fixed
+  8-token tiles repeated across documents, per-doc duplication ratio
+- ``boilerplate_spans_by_source``  per-source boilerplate mining: the
+  most document-frequent spans inside each source (header/footer
+  detection when documents have no newlines)
+- ``sample_stratified_hash``     deterministic hash-based stratified
+  downsampling to the smallest source, with EXACT integer acceptance
+  (no float thresholds anywhere)
+- ``quality_classifier_filter``  linear quality classifier (fixed
+  public-recipe-style weights over repetition/stopword/length
+  features), sigmoid score, keep flag and curriculum phase
+
+The documents fixture is single-line word soup, so the "line" unit of
+classic line-dedup is re-expressed as fixed-width token tiles — the
+same unit RefinedWeb-style span dedup uses; with newline-bearing text
+the tiling expression would swap for ``split(text, '\\n')`` and every
+plan below is unchanged.
+
+Scale themes (same as dedup.py/curation.py): span postings meet in ONE
+equi-join on the span key (inverted index, never doc×doc); per-source
+statistics are tiny aggregates broadcast back to the fact; every
+map-only classifier feature is a rounded exact ratio so the comparator
+can never flip on a last-ulp difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.functions.text import ORACLE_WS_RUN, tokens
+from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.tables import load_table
+
+#: DuckDB fragment: Go strings.Fields-parity token array of ``text``.
+_ORACLE_TOKS = (
+    "list_filter(regexp_split_to_array(text, "
+    f"'{ORACLE_WS_RUN}'), t -> t <> '')"
+)
+
+#: tokens per span tile ("line" substitute for single-line documents)
+_SPAN_W = 8
+
+#: DuckDB fragment: full 8-token tiles of ``toks`` (stride = width;
+#: docs shorter than one tile yield an empty list).
+_ORACLE_SPANS = f"""
+    [list_aggregate(toks[(i-1)*{_SPAN_W}+1:(i-1)*{_SPAN_W}+{_SPAN_W}],
+                    'string_agg', ' ')
+     for i in range(1, len(toks)//{_SPAN_W} + 1)]
+"""
+
+
+def _spans(toks) -> F.Column:
+    """Array of space-joined full _SPAN_W-token tiles of ``toks``."""
+    n_full = F.floor(F.size(toks) / _SPAN_W).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_full - 1),
+        lambda i: F.array_join(F.slice(toks, i * _SPAN_W + 1, _SPAN_W), " "),
+    )
+
+
+def _span_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, span_idx, g): one row per span slot. The
+    two-step select keeps the tokenize->tile expression evaluated
+    once (the repo-wide CollapseProject defence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "source", tokens("text").alias("toks"))
+        .select("doc_id", "source", _spans(F.col("toks")).alias("spans"))
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode("spans").alias("span_idx", "g"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (line-level) dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+    ), sp AS (
+        SELECT doc_id, unnest({_ORACLE_SPANS}) AS g
+        FROM tok
+    ), df AS (
+        SELECT g, count(DISTINCT doc_id) AS nd FROM sp GROUP BY g
+    )
+    SELECT sp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(coalesce(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END), -1)
+                AS BIGINT) AS n_dup_spans,
+           round(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_ratio
+    FROM sp JOIN df USING (g)
+    GROUP BY sp.doc_id
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup statistics: tile every document into fixed
+    8-token spans and count, per document, how many of its span slots
+    also occur in at least one OTHER document — the span/line analogue
+    of exact dedup that catches template reuse whole-doc hashing
+    misses.
+
+    Scale: inverted-index shape. Span document-frequencies are one
+    hash aggregate on the span key (partial map-side combine bounds
+    the shuffle by distinct spans, not span slots); the postings join
+    back on the same key rides the same partitioning; the per-doc
+    rollup is a second small shuffle on doc_id. No document ever
+    compares against another document directly."""
+    sp = _span_postings(spark, sf_dir)
+    df_counts = sp.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        sp.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.coalesce(F.sum(dup), F.lit(-1)).cast("bigint").alias("n_dup_spans"),
+            F.round(
+                F.sum(dup).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate mining
+# ---------------------------------------------------------------------------
+
+#: a span is boilerplate inside a source when at least this many
+#: distinct documents of that source contain it (2 on the synthetic
+#: word-soup fixture, where any repeat is already rare; a real crawl
+#: uses a percentage of the domain's documents)
+_BP_MIN_DOCS = 2
+#: top boilerplate spans reported per source
+_BP_TOP_K = 3
+
+
+@register(
+    "boilerplate_spans_by_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, {_ORACLE_TOKS} AS toks FROM documents
+    ), sp AS (
+        SELECT DISTINCT doc_id, source, unnest({_ORACLE_SPANS}) AS g
+        FROM tok
+    ), df AS (
+        SELECT source, g, count(*) AS n_docs
+        FROM sp GROUP BY source, g
+        HAVING count(*) >= {_BP_MIN_DOCS}
+    )
+    SELECT source, g AS span, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY n_docs DESC, g
+        ) AS rk FROM df
+    ) WHERE rk <= {_BP_TOP_K}
+    """,
+)
+def boilerplate_spans_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: for each source, the top-3 spans by
+    document frequency among spans appearing in >= 2 distinct docs of
+    that source — the header/footer/navigation detector a crawl
+    pipeline runs per domain before content extraction.
+
+    Scale: (source, span) document frequency is one partial-combined
+    hash aggregate (distinct doc-per-span first, same exchange); the
+    HAVING prunes the long tail BEFORE the window, so the per-source
+    top-k window ranks only already-frequent spans — partitioned by
+    source, never global."""
+    sp = _span_postings(spark, sf_dir).select("doc_id", "source", "g").distinct()
+    df_counts = (
+        sp.groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n_docs").desc(), F.col("g"))
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _BP_TOP_K)
+        .select(
+            "source",
+            F.col("g").alias("span"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   AS u32
+        FROM documents
+    ), cnt AS (
+        SELECT source, count(*) AS n FROM u GROUP BY source
+    ), m AS (SELECT min(n) AS target FROM cnt)
+    SELECT u.source,
+           CAST(cnt.n AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN u.u32 * cnt.n < m.target * 4294967296
+                                  THEN 1 ELSE 0 END), -1) AS BIGINT) AS n_kept
+    FROM u JOIN cnt USING (source) CROSS JOIN m
+    GROUP BY u.source, cnt.n
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: every source is sampled
+    toward the SMALLEST source's document count by an md5-derived
+    uniform u32 per document — accept iff u32 * count(source) <
+    target * 2^32, which is exact 64-bit integer arithmetic (the
+    acceptance fraction target/count is never materialized as a
+    float, so both engines agree on every single document). Reported
+    per source: population and kept counts.
+
+    Scale: per-source counts are a bounded aggregate (one row per
+    source) joined back broadcast; acceptance is then map-only on the
+    fact — the standard two-pass shape for any sampling that needs
+    corpus statistics. Swapping the uniform for xxhash64 is the
+    production choice; md5 is used so the oracle computes the SAME
+    stream (the repo-wide cross-engine hash device)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u = docs.withColumn(
+        "u32",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    cnt = u.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    target = cnt.agg(F.min("n").alias("target"))
+    kept = F.when(
+        F.col("u32") * F.col("n") < F.col("target") * F.lit(4294967296),
+        1,
+    ).otherwise(0)
+    return (
+        u.join(F.broadcast(cnt), "source")
+        .crossJoin(F.broadcast(target))
+        .groupBy("source", "n")
+        .agg(F.coalesce(F.sum(kept), F.lit(-1)).cast("bigint").alias("n_kept"))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            "n_kept",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality classifier
+# ---------------------------------------------------------------------------
+
+#: fixed classifier weights (a fastText-style linear model distilled
+#: to its decision function; constants chosen to exercise both sides
+#: of the keep boundary on the fixture)
+_QC_BIAS = -2.0
+_QC_W_DISTINCT = 3.5  # distinct-token ratio: higher -> less repetitive
+_QC_W_STOP = 2.0  # stopword ratio: natural text has function words
+_QC_W_LEN = 1.0  # saturating length feature
+_QC_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "it")
+
+#: curriculum phase boundaries over the rounded sigmoid score
+_QC_PHASES = (0.45, 0.55, 0.65)
+
+
+@register(
+    "quality_classifier_filter",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+    ), feat AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(CASE WHEN len(toks) > 0
+                          THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                          ELSE 0.0 END, 6) AS distinct_ratio,
+               round(CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks, t -> t IN
+                               {_QC_STOPWORDS!r}))::DOUBLE / len(toks)
+                          ELSE 0.0 END, 6) AS stop_ratio,
+               round(least(len(toks), 100)::DOUBLE / 100, 6) AS len_feat
+        FROM tok
+    ), scored AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               distinct_ratio, stop_ratio, len_feat,
+               round(1.0 / (1.0 + exp(-(({_QC_BIAS} +
+                     {_QC_W_DISTINCT} * distinct_ratio) +
+                     {_QC_W_STOP} * stop_ratio +
+                     {_QC_W_LEN} * len_feat))), 6) AS quality_prob
+        FROM feat
+    )
+    SELECT *,
+           CAST(CASE WHEN quality_prob >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+               AS keep,
+           CAST(CASE WHEN quality_prob < {_QC_PHASES[0]} THEN 0
+                     WHEN quality_prob < {_QC_PHASES[1]} THEN 1
+                     WHEN quality_prob < {_QC_PHASES[2]} THEN 2
+                     ELSE 3 END AS BIGINT) AS curriculum_phase
+    FROM scored
+    """,
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a linear classifier (fixed
+    weights over distinct-token ratio, stopword ratio and a saturating
+    length feature) scored with a sigmoid, thresholded into a 0/1
+    ``keep`` flag, and bucketed into a curriculum phase by fixed score
+    boundaries — the shape of fastText-quality/ DCLM-style filtering
+    with the learned weights frozen as constants.
+
+    Scale: entirely map-only — every feature is a per-row expression,
+    no shuffle anywhere; at 100 TB this runs at scan speed and is the
+    cheapest filter in the pipeline, which is why real recipes run it
+    before any join-bearing dedup. Determinism: each feature is a
+    ROUNDED exact ratio, the linear combination is parenthesized
+    identically on both engines, and the flag/phase compare the
+    ROUNDED sigmoid so a last-ulp exp() difference cannot flip a
+    boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    n_tok = F.size("toks")
+    feat = base.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(
+            F.when(
+                n_tok > 0,
+                F.size(F.array_distinct("toks")).cast("double") / n_tok,
+            ).otherwise(0.0),
+            6,
+        ).alias("distinct_ratio"),
+        F.round(
+            F.when(
+                n_tok > 0,
+                F.size(
+                    F.filter(F.col("toks"), lambda t: t.isin(*_QC_STOPWORDS))
+                ).cast("double")
+                / n_tok,
+            ).otherwise(0.0),
+            6,
+        ).alias("stop_ratio"),
+        F.round(F.least(n_tok, F.lit(100)).cast("double") / 100, 6).alias(
+            "len_feat"
+        ),
+    )
+    z = (
+        (F.lit(_QC_BIAS) + F.lit(_QC_W_DISTINCT) * F.col("distinct_ratio"))
+        + F.lit(_QC_W_STOP) * F.col("stop_ratio")
+        + F.lit(_QC_W_LEN) * F.col("len_feat")
+    )
+    scored = feat.withColumn(
+        "quality_prob", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    )
+    phase = (
+        F.when(F.col("quality_prob") < _QC_PHASES[0], 0)
+        .when(F.col("quality_prob") < _QC_PHASES[1], 1)
+        .when(F.col("quality_prob") < _QC_PHASES[2], 2)
+        .otherwise(3)
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "stop_ratio",
+        "len_feat",
+        "quality_prob",
+        F.when(F.col("quality_prob") >= 0.5, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("keep"),
+        phase.cast("bigint").alias("curriculum_phase"),
+    )

@@ -48,6 +48,7 @@ def load_all() -> None:
         return
     # Imports deferred so `import text_grabr_orc_spark` stays cheap.
     from text_grabr_orc_spark.operators import (  # noqa: F401
+        corpus_filters,
         curation,
         dedup,
         events_batch,
