@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "text_bigram_logprob",
     "text_repetition_stats",
     "decontaminate_ngram_overlap",
+    "dedup_repeated_spans",
+    "quality_classifier_filter",
     "dedup_semantic_clusters",
     "global_shuffle_order",
     "corpus_clean_pipeline",
