@@ -18,6 +18,7 @@ from text_grabr_orc_spark.operators.corpus_filters import (
     _SPAN_W,
     _span_postings,
     boilerplate_spans_by_source,
+    dedup_keep_best_canonical,
     dedup_repeated_spans,
     quality_classifier_filter,
     sample_stratified_hash,
@@ -87,6 +88,26 @@ def test_stratified_sample_hits_smallest_source(spark, sf_dir):
     # count concentrates near the target (binomial, not exact)
     for r in rows:
         assert abs(r.n_kept - target) <= 4 * math.sqrt(target) + 1
+
+
+def test_keep_best_one_canonical_per_cluster(spark, sf_dir):
+    from text_grabr_orc_spark.operators.dedup import dedup_minhash_lsh
+
+    rows = dedup_keep_best_canonical(spark, sf_dir).collect()
+    pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+    clustered = {r.doc_id for r in rows}
+    # every paired doc is clustered, and vice versa
+    assert clustered == {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        # label propagation converges to the component's min doc id
+        assert cid == min(m.doc_id for m in members)
+        canon = [m for m in members if m.is_canonical == 1]
+        assert len(canon) == 1
+        best = max(members, key=lambda m: (m.quality_prob, -m.doc_id))
+        assert canon[0].doc_id == best.doc_id
 
 
 def test_quality_classifier_flag_and_phase_consistency(spark, sf_dir):

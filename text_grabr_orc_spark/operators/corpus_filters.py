@@ -35,7 +35,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark.storagelevel import StorageLevel
+
 from text_grabr_orc_spark.functions.text import ORACLE_WS_RUN, tokens
+from text_grabr_orc_spark.operators.dedup import (
+    _ORACLE_SHINGLES,
+    dedup_minhash_lsh,
+)
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.tables import load_table
 
@@ -291,13 +297,9 @@ _QC_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "it")
 #: curriculum phase boundaries over the rounded sigmoid score
 _QC_PHASES = (0.45, 0.55, 0.65)
 
-
-@register(
-    "quality_classifier_filter",
-    oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
-    ), feat AS (
+#: shared oracle fragments (single source for every operator that
+#: joins the classifier score): tok -> feat -> scored CTE bodies
+_QC_FEAT_SQL = f"""
         SELECT doc_id,
                len(toks) AS n_tokens,
                round(CASE WHEN len(toks) > 0
@@ -309,7 +311,8 @@ _QC_PHASES = (0.45, 0.55, 0.65)
                           ELSE 0.0 END, 6) AS stop_ratio,
                round(least(len(toks), 100)::DOUBLE / 100, 6) AS len_feat
         FROM tok
-    ), scored AS (
+"""
+_QC_SCORED_SQL = f"""
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                distinct_ratio, stop_ratio, len_feat,
                round(1.0 / (1.0 + exp(-(({_QC_BIAS} +
@@ -317,6 +320,16 @@ _QC_PHASES = (0.45, 0.55, 0.65)
                      {_QC_W_STOP} * stop_ratio +
                      {_QC_W_LEN} * len_feat))), 6) AS quality_prob
         FROM feat
+"""
+
+
+@register(
+    "quality_classifier_filter",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+    ), feat AS ({_QC_FEAT_SQL}
+    ), scored AS ({_QC_SCORED_SQL}
     )
     SELECT *,
            CAST(CASE WHEN quality_prob >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
@@ -397,4 +410,123 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("keep"),
         phase.cast("bigint").alias("curriculum_phase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keep-best canonical selection over near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+#: DuckDB fragment: exact 3-gram-shingle Jaccard of a pair (a, b)
+_KB_J = """len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+           (len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles)))"""
+
+_KB_ORACLE = f"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id, {_ORACLE_SHINGLES} AS shingles FROM tok
+    ), p AS (
+        SELECT a.doc_id AS pa, b.doc_id AS pb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE {_KB_J} >= 0.5
+    ), e AS (
+        SELECT pa AS s, pb AS d FROM p
+        UNION
+        SELECT pb, pa FROM p
+    ), r(n, l) AS (
+        SELECT DISTINCT s, s FROM e
+        UNION
+        SELECT e.s, r.l FROM e JOIN r ON r.n = e.d
+    ), cc AS (
+        SELECT n AS doc_id, min(l) AS cluster_id FROM r GROUP BY n
+    ), feat AS ({_QC_FEAT_SQL}
+    ), scored AS ({_QC_SCORED_SQL}
+    )
+    SELECT cc.doc_id,
+           CAST(cc.cluster_id AS BIGINT) AS cluster_id,
+           s.quality_prob,
+           CAST(CASE WHEN row_number() OVER (
+                    PARTITION BY cc.cluster_id
+                    ORDER BY s.quality_prob DESC, cc.doc_id
+                ) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+    FROM cc JOIN scored s USING (doc_id)
+    """
+
+
+@register("dedup_keep_best_canonical", oracle=_KB_ORACLE)
+def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION operator: group textual near-duplicates
+    (MinHash-verified Jaccard >= 0.5 pairs) into connected components
+    and keep the highest-quality member of each cluster — real
+    cleaning runs keep the best representative, not the arbitrary
+    first. Emits every clustered doc with its cluster id, classifier
+    score and a 0/1 ``is_canonical`` flag (singletons pass through
+    untouched upstream and are not re-listed).
+
+    Composition: pairs come from ``dedup_minhash_lsh`` (banded LSH +
+    exact verify), labels from the same iterative min-label
+    propagation as ``dedup_clusters`` (diameter-bounded rounds, one
+    keyed shuffle each, localCheckpointed lineage), scores from
+    ``quality_classifier_filter`` (map-only). The canonical pick is a
+    per-cluster window over clusters only — cluster count is bounded
+    by duplicate mass, orders of magnitude below corpus size, so the
+    window's shuffle is tiny.
+
+    Oracle: recursive-CTE transitive closure over the brute-force
+    exact-Jaccard pair graph joined to the shared classifier-score
+    SQL — different algorithm, same fixpoint."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("s").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(25):
+        nbr = edges.join(labels, edges.d == F.col("doc_id")).select(
+            F.col("s").alias("doc_id"), "label"
+        )
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 25 rounds")
+    edges.unpersist()
+    quality = quality_classifier_filter(spark, sf_dir).select(
+        "doc_id", "quality_prob"
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("quality_prob").desc(), F.col("doc_id")
+    )
+    return (
+        labels.join(quality, "doc_id")
+        .withColumn(
+            "is_canonical",
+            F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("bigint"),
+        )
+        .select(
+            "doc_id",
+            F.col("label").cast("bigint").alias("cluster_id"),
+            "quality_prob",
+            "is_canonical",
+        )
     )
