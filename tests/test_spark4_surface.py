@@ -1,0 +1,82 @@
+"""Tests for operators/spark4_surface.py (Variant, UDTF, Python
+DataSource). Oracle equivalence is covered by tools/check.py; these
+pin cross-implementation agreement and partition behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.functions.text import tokens
+from text_grabr_orc_spark.operators.spark4_surface import (
+    _SEQ_PARTS,
+    _SEQ_ROWS,
+    _UDTF_MOD,
+    _make_sequence_datasource,
+    events_props_variant,
+    python_datasource_sequence,
+    udtf_tokenize_positions,
+)
+from text_grabr_orc_spark.tables import load_table
+
+
+def test_variant_agrees_with_typed_from_json(spark, sf_dir):
+    """variant_get('$.k') must see exactly what a typed from_json
+    schema sees — same totals per event type."""
+    from text_grabr_orc_spark.sources.events import load_events
+
+    variant = {r.event_type: r for r in events_props_variant(spark, sf_dir).collect()}
+    typed = {
+        r.event_type: r
+        for r in (
+            load_events(spark, sf_dir)
+            .select("event_type", F.from_json("props", "k INT").getField("k").alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+            .collect()
+        )
+    }
+    assert set(variant) == set(typed)
+    for et, v in variant.items():
+        assert v.n == typed[et].n
+        assert v.sum_k == typed[et].sum_k
+
+
+def test_udtf_agrees_with_native_posexplode(spark, sf_dir):
+    """The row-at-a-time UDTF and the codegen posexplode path must
+    produce identical (doc_id, pos, tok) sets — py_fields parity."""
+    got = {
+        (r.doc_id, r.pos, r.tok)
+        for r in udtf_tokenize_positions(spark, sf_dir).collect()
+    }
+    native = {
+        (r.doc_id, r.pos, r.tok)
+        for r in (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % _UDTF_MOD == 0)
+            .select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+            .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+            .collect()
+        )
+    }
+    assert got == native and got
+
+
+def test_python_datasource_partitions_reassemble_exactly(spark, sf_dir):
+    """Raw read: every id exactly once across the planned partitions,
+    and the scan actually uses the requested partition count."""
+    src = _make_sequence_datasource()
+    try:
+        spark.dataSource.register(src)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("tgos_sequence")
+        .option("n", str(_SEQ_ROWS))
+        .option("parts", str(_SEQ_PARTS))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == _SEQ_PARTS
+    ids = [r.id for r in df.collect()]
+    assert sorted(ids) == list(range(_SEQ_ROWS))
+    agg = {r.bucket: r.n for r in python_datasource_sequence(spark, sf_dir).collect()}
+    assert sum(agg.values()) == _SEQ_ROWS

@@ -492,7 +492,11 @@ def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(25):
-        nbr = edges.join(labels, edges.d == F.col("doc_id")).select(
+        # the label table is bounded by CLUSTERED-doc count (duplicate
+        # mass), orders of magnitude under corpus size — broadcast it
+        # so each round's neighbor join is exchange-free; at extreme
+        # duplicate mass flip to the shuffle join of dedup_clusters
+        nbr = edges.join(F.broadcast(labels), edges.d == F.col("doc_id")).select(
             F.col("s").alias("doc_id"), "label"
         )
         new_labels = (

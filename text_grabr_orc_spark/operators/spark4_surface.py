@@ -1,0 +1,241 @@
+"""Spark 4 API-surface operators: VariantType semi-structured data,
+Python UDTFs, and the Python DataSource API.
+
+These close the last API-surface rows of SURVEY.md §2b's checklist
+with Spark-4-native features:
+
+- ``events_props_variant``   semi-structured analytics through
+  VariantType (``parse_json`` + ``variant_get``) instead of a typed
+  ``from_json`` schema — the open-schema path for evolving event
+  payloads
+- ``udtf_tokenize_positions``  a Python UDTF in a LATERAL join,
+  emitting (position, token) rows per document — the user-defined
+  TABLE function surface (bounded input by construction: UDTFs are
+  row-at-a-time Python, the documented slow path; the same result at
+  corpus scale is the posexplode expression next to it)
+- ``python_datasource_sequence``  a custom Python DataSource with
+  explicit input partitions — the extension point for reading systems
+  Spark has no connector for; here a deterministic arithmetic table
+  so DuckDB can oracle it exactly
+
+Scale notes: variant_get is a JVM expression (codegen, no Python);
+the UDTF query bounds its input to a filtered slice before the
+LATERAL join reaches Python; the datasource demonstrates partition
+PLANNING (one InputPartition per split, read in parallel) which is
+the part that matters at 100 TB — a real connector swaps the
+generator body for client reads per split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.sources.events import load_events
+from text_grabr_orc_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# VariantType
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_props_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(sum(CAST(json_extract(props, '$.k') AS INT)), -1)
+                AS BIGINT) AS sum_k,
+           CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS INT))
+                AS BIGINT) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup through VariantType: ``parse_json`` the
+    raw ``props`` payload into a variant, extract ``$.k`` with
+    ``variant_get`` and aggregate per event type — the open-schema
+    twin of events_batch.events_json_props (which uses a typed
+    from_json). Variant keeps the full payload queryable when the
+    schema evolves; extraction stays a JVM expression.
+
+    Scale: parse_json/variant_get run inside codegen on the scan
+    projection; the aggregate partial-combines map-side, so the
+    shuffle carries one row per (event_type) per partition."""
+    ev = load_events(spark, sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("k"), F.lit(-1)).cast("bigint").alias("sum_k"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF
+# ---------------------------------------------------------------------------
+
+#: only documents with doc_id % UDTF_MOD == 0 flow through the UDTF —
+#: row-at-a-time Python is the slow path; the query exists for the
+#: API surface, bounded by construction
+_UDTF_MOD = 50
+
+
+def _make_tokenize_udtf():
+    """Build the UDTF class lazily (the decorator needs an active
+    Spark context on import in some versions; keep module import
+    side-effect free)."""
+    from pyspark.sql.functions import udtf
+
+    from text_grabr_orc_spark.functions.text import py_fields
+
+    @udtf(returnType="pos: bigint, tok: string")
+    class TokenizePositions:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(py_fields(text)):
+                yield i, tok
+
+    return TokenizePositions
+
+
+@register(
+    "udtf_tokenize_positions",
+    oracle=f"""
+    SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok
+    FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i - 1, 'tok': toks[i]}}
+                       for i in range(1, len(toks) + 1)]) AS u
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text,
+                       '[\\t\\n\\x0b\\f\\r\\x{{85}}\\x{{2028}}\\x{{2029}}\\p{{Zs}}]+'),
+                       t -> t <> '') AS toks
+            FROM documents WHERE doc_id % {_UDTF_MOD} = 0
+        )
+    )
+    """,
+)
+def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: a table function emitting (position,
+    token) per document, applied with a LATERAL join over a bounded
+    document slice. The tokenizer inside is the shared Go
+    strings.Fields-parity ``py_fields`` — the same function the
+    Catalyst expression path fuzz-tests against, so the UDTF and the
+    native ``posexplode(tokens(..))`` provably agree.
+
+    Scale: UDTFs are row-at-a-time Python (slower than an Arrow
+    pandas UDF, far slower than builtin explode) — the right use is
+    logic that genuinely needs per-row Python with table output, on
+    pre-filtered slices like this one; corpus-wide tokenization stays
+    on the native expression."""
+    cls = _make_tokenize_udtf()
+    spark.udtf.register("tgos_tokenize_positions", cls)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _UDTF_MOD == 0
+    )
+    docs.createOrReplaceTempView("tgos_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.tok
+        FROM tgos_udtf_docs d,
+             LATERAL tgos_tokenize_positions(d.text) t
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource
+# ---------------------------------------------------------------------------
+
+_SEQ_ROWS = 1000
+_SEQ_PARTS = 8
+
+
+def _make_sequence_datasource():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _SeqReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", _SEQ_ROWS))
+            self.parts = int(options.get("parts", _SEQ_PARTS))
+
+        def partitions(self):
+            # one InputPartition per contiguous id split — the planning
+            # half of the connector API (executors read splits in
+            # parallel; a real source returns file chunks / shards)
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            i = partition.value
+            lo = i * self.n // self.parts
+            hi = (i + 1) * self.n // self.parts
+            for x in range(lo, hi):
+                # deterministic arithmetic so DuckDB replicates exactly:
+                # integer bucket + an exact-in-double ratio
+                yield x, x % 7, (x * 3) % 1000 / 8.0
+
+    class SequenceSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "tgos_sequence"
+
+        def schema(self):
+            return "id bigint, bucket int, val double"
+
+        def reader(self, schema):
+            return _SeqReader(self.options)
+
+    return SequenceSource
+
+
+@register(
+    "python_datasource_sequence",
+    oracle=f"""
+    SELECT CAST(x % 7 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(sum(x), -1) AS BIGINT) AS sum_id,
+           round(sum((x * 3) % 1000 / 8.0), 6) AS sum_val
+    FROM (SELECT unnest(range({_SEQ_ROWS}))::BIGINT AS x)
+    GROUP BY bucket
+    """,
+)
+def python_datasource_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource API surface: a custom source with explicit
+    input partitions (the batch-read connector extension point Spark 4
+    exposes to Python), aggregated per bucket. The source yields a
+    deterministic arithmetic table, so the oracle replicates it from
+    ``range()`` — proving the partitioned reads reassemble the exact
+    full dataset (no split lost, none duplicated).
+
+    Scale: partition planning is the load-bearing half — splits read
+    in parallel on executors with no driver materialization. sum_val
+    sums eighths (exact in binary doubles), rounded only at the end."""
+    src = _make_sequence_datasource()
+    try:
+        spark.dataSource.register(src)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("tgos_sequence")
+        .option("n", str(_SEQ_ROWS))
+        .option("parts", str(_SEQ_PARTS))
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("id"), F.lit(-1)).cast("bigint").alias("sum_id"),
+        F.round(F.sum("val"), 6).alias("sum_val"),
+    )

@@ -60,6 +60,7 @@ def load_all() -> None:
         sampling,
         similarity,
         sketches,
+        spark4_surface,
         text_analysis,
         text_stats,
         timeseries,
