@@ -91,3 +91,23 @@ def test_multires_rollup_matches_direct_daily(spark, sf_dir):
         key = (r["day"], r["event_type"])
         assert d[key] == r["n"], key
         assert 1 <= r["n_active_minutes"] <= r["n"]
+
+
+def test_gapfill_grid_complete_and_locf_monotone(spark, sf_dir):
+    """Every (event_type, bucket) cell of the global grid appears
+    exactly once; gap rows carry the previous bucket's filled_sum."""
+    rows = timeseries.events_gapfill_locf(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    sizes = {len(v) for v in by_type.values()}
+    assert len(sizes) == 1  # same grid length for every type
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.bucket_start)
+        assert len({r.bucket_start for r in rs}) == len(rs)  # no dup cells
+        prev = 0.0
+        for r in rs:
+            assert (r.n_events == 0) == (r.is_gap == 1)
+            if r.is_gap:
+                assert r.filled_sum == prev  # LOCF carries forward
+            prev = r.filled_sum

@@ -18,6 +18,8 @@ from text_grabr_orc_spark.sources.events import load_events
 
 _NS_PER_SEC = 1_000_000_000
 _NS_PER_MIN = 60 * _NS_PER_SEC
+#: gap-fill resample bucket: 15 minutes
+_NS_PER_BUCKET = 15 * _NS_PER_MIN
 _NS_PER_DAY = 86_400 * _NS_PER_SEC
 
 
@@ -178,6 +180,103 @@ def multires_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_value",
             "n_active_minutes",
+        )
+    )
+
+
+@register(
+    "events_gapfill_locf",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               epoch_us(ts) * 1000 // {_NS_PER_BUCKET} AS minute_b,
+               count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,2))) AS sum_dec
+        FROM events
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(minute_b) AS lo, max(minute_b) AS hi FROM m
+    ), grid AS (
+        SELECT t.event_type, g.minute_b
+        FROM (SELECT DISTINCT event_type FROM m) t
+        CROSS JOIN (SELECT unnest(range((SELECT lo FROM bounds),
+                                        (SELECT hi FROM bounds) + 1))
+                        AS minute_b) g
+    )
+    SELECT strftime(to_timestamp(grid.minute_b * 900)::TIMESTAMP,
+                    '%Y-%m-%d %H:%M:00') AS bucket_start,
+           grid.event_type,
+           CAST(coalesce(m.n, 0) AS BIGINT) AS n_events,
+           round(CAST(coalesce(
+               last_value(m.sum_dec IGNORE NULLS) OVER (
+                   PARTITION BY grid.event_type ORDER BY grid.minute_b
+                   ROWS UNBOUNDED PRECEDING
+               ), 0) AS DOUBLE), 2) AS filled_sum,
+           CAST(CASE WHEN m.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+    FROM grid LEFT JOIN m
+      ON grid.event_type = m.event_type AND grid.minute_b = m.minute_b
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: project events onto the
+    full per-minute grid between the corpus's first and last minute,
+    one row per (event_type, minute), with empty minutes flagged and
+    their running sum carried forward from the last active minute —
+    the gap-fill/LOCF operator every monitoring/feature pipeline needs
+    and SQL engines ship as ``time_bucket_gapfill``/``interpolate``.
+
+    Scale: the minute rollup partial-aggregates before one shuffle
+    (bounded by distinct minutes x types, not events); the grid is
+    GENERATED (sequence + explode) not stored, and joins the rollup on
+    (type, minute) — at 100 TB the grid side is negligible (minutes in
+    a decade ~ 5M rows). The forward fill is a window PARTITIONED by
+    event_type ordered by minute — bounded partitions, never a global
+    unpartitioned window. Sums ride DECIMAL cents; the double cast
+    happens once at output."""
+    ev = load_events(spark, sf_dir)
+    m = ev.groupBy(
+        F.expr(f"ts_ns div {_NS_PER_BUCKET}").alias("minute_b"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).alias("sum_dec"),
+    )
+    bounds = m.agg(
+        F.min("minute_b").alias("lo"), F.max("minute_b").alias("hi")
+    )
+    types = m.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("minute_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    minute_start = F.expr(
+        "timestampadd(MINUTE, CAST(minute_b AS INT) * 15, "
+        "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+    )
+    return (
+        grid.join(m, ["event_type", "minute_b"], "left")
+        .withColumn(
+            "filled_dec", F.last("sum_dec", ignorenulls=True).over(w)
+        )
+        .select(
+            F.date_format(minute_start, "yyyy-MM-dd HH:mm:00").alias(
+                "bucket_start"
+            ),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.round(
+                F.coalesce(F.col("filled_dec"), F.lit(0)).cast("double"), 2
+            ).alias("filled_sum"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).cast("bigint").alias(
+                "is_gap"
+            ),
         )
     )
 
