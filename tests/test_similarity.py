@@ -127,3 +127,36 @@ def test_kmeans_ivf_is_deterministic(spark, sf_dir):
         map(tuple, similarity.similarity_topk_ivf_kmeans(spark, sf_dir).collect())
     )
     assert a == b
+
+
+def test_pq_adc_recall_beats_random(spark, sf_dir):
+    """PQ with init-only codebooks (first-16-vector subquantizers) on
+    uniform-random 64-d vectors is the adversarial case for product
+    quantization — recall is modest, but the ADC estimate must still
+    rank true neighbors far above chance (random recall@5 ~ 5/n)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from text_grabr_orc_spark.operators.similarity import similarity_topk_pq
+
+    got: dict[int, set] = {}
+    for r in similarity_topk_pq(spark, sf_dir).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) == set(range(10))
+    for neighbors in got.values():
+        assert len(neighbors) == 5
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.asarray(t["vec_id"])
+    V = np.asarray([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    recalls = []
+    for q in range(10):
+        qv = V[ids == q][0]
+        d = ((V - qv) ** 2).sum(axis=1)
+        d[ids == q] = np.inf
+        exact = set(ids[np.argsort(d)[:5]].tolist())
+        recalls.append(len(exact & got[q]) / 5)
+    mean_recall = sum(recalls) / len(recalls)
+    random_baseline = 5 / (len(ids) - 1)
+    assert mean_recall >= 0.15
+    assert mean_recall > 10 * random_baseline
