@@ -239,3 +239,137 @@ def python_datasource_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("id"), F.lit(-1)).cast("bigint").alias("sum_id"),
         F.round(F.sum("val"), 6).alias("sum_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4)
+# ---------------------------------------------------------------------------
+
+#: BFS depth bound for the recursive-SQL connected components. Spark's
+#: recursive CTEs support UNION ALL only (no UNION dedup yet), so an
+#: unbounded closure over a CYCLIC graph would never reach a fixpoint —
+#: the depth bound makes termination structural. Near-dup components
+#: are shallow (the iterative operator converges in 2-4 rounds); the
+#: oracle below is the UNBOUNDED DuckDB closure, so a pass proves the
+#: bound covers every real component diameter.
+_RCTE_DEPTH = 6
+
+#: Spark SQL fragment: exact pair cosine over double-widened arrays —
+#: the SQL twin of functions.vectors (sequential aggregate sum)
+_SQL_COS = """
+    aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+    / (sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x))
+       * sqrt(aggregate({b}, 0D, (acc, x) -> acc + x * x)))
+"""
+
+
+@register(
+    "dedup_clusters_rsql",
+    oracle="""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) *
+               sqrt(list_dot_product(b.e, b.e))) >= 0.4
+    ), e AS (
+        SELECT vec_a AS s, vec_b AS d FROM p
+        UNION
+        SELECT vec_b, vec_a FROM p
+    ), r(n, l) AS (
+        SELECT DISTINCT s, s FROM e
+        UNION
+        SELECT e.s, r.l FROM e JOIN r ON r.n = e.d
+    )
+    SELECT n AS node_id, min(l) AS cluster_id FROM r GROUP BY n
+    """,
+)
+def dedup_clusters_rsql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via Spark 4's recursive CTEs: the same
+    connected components as ``dedup_clusters`` expressed as ONE SQL
+    statement — min-label BFS where the recursive member expands each
+    label one hop per level, bounded at depth 6 (Spark recursion is
+    UNION ALL-only, so cycles require a structural bound; the oracle
+    runs DuckDB's UNBOUNDED closure, proving the bound covers every
+    component). ``min(l)`` per node collapses the path explosion.
+
+    Scale: each recursion level is one shuffle join of the frontier
+    against the edge list — the same per-round cost as the iterative
+    DataFrame loop, with the loop driven by the engine instead of the
+    driver. The path-counting blowup of UNION ALL recursion is real
+    on dense components: for those the iterative operator (or
+    small-star/large-star) is the production path; this one is the
+    declarative-surface twin."""
+    from text_grabr_orc_spark.operators.dedup import dedup_embedding_cosine
+
+    # materialize the pair graph ONCE — the recursive member re-reads
+    # its inputs at every level, and re-running the all-pairs cosine
+    # per level would multiply the dominant cost by the depth
+    pairs = (
+        dedup_embedding_cosine(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()
+    )
+    pairs.createOrReplaceTempView("tgos_rsql_pairs")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE e AS (
+            SELECT vec_a AS s, vec_b AS d FROM tgos_rsql_pairs
+            UNION
+            SELECT vec_b, vec_a FROM tgos_rsql_pairs
+        ), r(n, l, depth) AS (
+            SELECT DISTINCT s, s, 0 FROM e
+            UNION ALL
+            SELECT e.s, r.l, r.depth + 1
+            FROM e JOIN r ON r.n = e.d
+            WHERE r.depth < {_RCTE_DEPTH} AND r.l < e.s
+        )
+        SELECT n AS node_id, min(l) AS cluster_id FROM r GROUP BY n
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized scalar Python UDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "arrow_udf_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text,
+               '[\\t\\n\\x0b\\f\\r\\x{{85}}\\x{{2028}}\\x{{2029}}\\p{{Zs}}]+'),
+               t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(len(text) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % {_UDTF_MOD} = 0
+    """,
+)
+def arrow_udf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``udf(..., useArrow=True)``)
+    — the third Python execution flavor next to pandas UDFs (Arrow
+    batches, scalar Python semantics, no pandas dependency in the
+    function body). Same bounded-slice device as the UDTF query:
+    row-at-a-time Python never runs corpus-wide; the fuzz-shared
+    ``py_fields`` tokenizer guarantees the count agrees with the
+    Catalyst expression path."""
+    from pyspark.sql.functions import udf
+
+    from text_grabr_orc_spark.functions.text import py_field_count
+
+    count_udf = udf(
+        lambda s: 0 if s is None else py_field_count(s),
+        "bigint",
+        useArrow=True,
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _UDTF_MOD == 0
+    )
+    return docs.select(
+        "doc_id",
+        count_udf("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
