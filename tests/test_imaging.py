@@ -99,3 +99,114 @@ def test_results_as_json_shape(spark, tmp_path):
     j = ocr.results_as_json(ocr.ocr_pipeline(spark, str(tmp_path))).collect()
     assert len(j) == 1
     assert '"text":"OCRSTUB' in j[0]["json"] and '"textCount":3' in j[0]["json"]
+
+
+# ---------------------------------------------------------------------------
+# Extended PNG decode coverage (palette / bit depths / gray+alpha /
+# Adam7) — hand-assembled streams, mirroring Go stdlib image/png's
+# accepted feature set (the reference's image.Decode, main.go:149)
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+import zlib as _zlib
+
+from text_grabr_orc_spark.imaging.png import _SIGNATURE, _chunk
+
+
+def _png(w, h, depth, ctype, idat_rows, plte=None, trns=None, interlace=0):
+    ihdr = _struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = _SIGNATURE + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    out += _chunk(b"IDAT", _zlib.compress(idat_rows)) + _chunk(b"IEND", b"")
+    return out
+
+
+def test_png_palette_decodes_to_rgb():
+    # 4x2, 8-bit palette of 4 colors
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    idx = [[0, 1, 2, 3], [3, 2, 1, 0]]
+    raw = b"".join(b"\x00" + bytes(r) for r in idx)
+    img = decode_png(_png(4, 2, 8, 3, raw, plte=pal))
+    assert img.shape == (2, 4, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[1, 0].tolist() == [7, 8, 9]
+
+
+def test_png_palette_trns_adds_alpha():
+    pal = bytes([10, 10, 10, 20, 20, 20])
+    raw = b"\x00" + bytes([0, 1])
+    img = decode_png(_png(2, 1, 8, 3, raw, plte=pal, trns=bytes([128])))
+    assert img.shape == (1, 2, 4)
+    assert img[0, 0, 3] == 128 and img[0, 1, 3] == 255
+
+
+def test_png_4bit_palette_packing():
+    # 3 pixels of 4-bit indices in 2 bytes per row: 0x01, 0x20
+    pal = bytes([1, 1, 1, 2, 2, 2, 3, 3, 3])
+    raw = b"\x00" + bytes([0x01, 0x20])
+    img = decode_png(_png(3, 1, 4, 3, raw, plte=pal))
+    assert img[0].tolist() == [[1, 1, 1], [2, 2, 2], [3, 3, 3]]
+
+
+def test_png_1bit_gray_scales_to_255():
+    # 8x1: bits 10110001 -> 255/0 pattern
+    raw = b"\x00" + bytes([0b10110001])
+    img = decode_png(_png(8, 1, 1, 0, raw))
+    assert img.tolist() == [[255, 0, 255, 255, 0, 0, 0, 255]]
+
+
+def test_png_16bit_gray_high_byte():
+    # 2x1, 16-bit samples 0xABCD, 0x0102 -> high bytes AB, 01
+    raw = b"\x00" + bytes([0xAB, 0xCD, 0x01, 0x02])
+    img = decode_png(_png(2, 1, 16, 0, raw))
+    assert img.tolist() == [[0xAB, 0x01]]
+
+
+def test_png_gray_alpha_expands_rgba():
+    raw = b"\x00" + bytes([100, 200, 50, 25])
+    img = decode_png(_png(2, 1, 8, 4, raw))
+    assert img.shape == (1, 2, 4)
+    assert img[0, 0].tolist() == [100, 100, 100, 200]
+    assert img[0, 1].tolist() == [50, 50, 50, 25]
+
+
+def _adam7_passes(w, h):
+    steps = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    for x0, y0, dx, dy in steps:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy
+
+
+def test_png_adam7_gray_roundtrip():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (13, 17), np.uint8)  # odd dims hit edge passes
+    raw = bytearray()
+    for x0, y0, dx, dy in _adam7_passes(17, 13):
+        sub = img[y0::dy, x0::dx]
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    back = decode_png(_png(17, 13, 8, 0, bytes(raw), interlace=1))
+    assert (back == img).all()
+
+
+def test_png_adam7_rgb_roundtrip():
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (10, 9, 3), np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _adam7_passes(9, 10):
+        sub = img[y0::dy, x0::dx]
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    back = decode_png(_png(9, 10, 8, 2, bytes(raw), interlace=1))
+    assert (back == img).all()
+
+
+def test_png_rejects_bad_depth_type_combo():
+    with pytest.raises(PngError):
+        decode_png(_png(2, 1, 4, 2, b"\x00\x00"))  # 4-bit RGB is illegal

@@ -2,11 +2,14 @@
 
 The container has no PIL/OpenCV, but the reference's whole image
 pipeline (decode -> grayscale -> binarize -> encode,
-``/root/reference/main.go:99-190``) only needs straightforward PNG
-support: 8-bit depth, color types 0/2/6 (gray / RGB / RGBA), no
-interlace. This codec implements exactly that from the public PNG
-spec (RFC 2083), so the Spark-side pipeline is REAL — the only
-stubbed stage is Tesseract itself (see operators/ocr.py).
+``/root/reference/main.go:99-190``) needs real PNG support. The
+encoder emits straightforward 8-bit type 0/2/6 streams; the DECODER
+covers the full baseline feature set of Go's stdlib ``image/png``
+(what ``image.Decode`` at ``main.go:149`` accepts): all five color
+types (gray / RGB / palette / gray+alpha / RGBA), bit depths
+1/2/4/8/16, PLTE + tRNS transparency, and Adam7 interlace — from the
+public PNG spec (RFC 2083). The only stubbed stage in the pipeline is
+Tesseract itself (see operators/ocr.py).
 """
 
 from __future__ import annotations
@@ -67,36 +70,39 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNG -> uint8 array: HxW (gray), HxWx3/4 (RGB/RGBA)."""
-    if data[:8] != _SIGNATURE:
-        raise PngError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, []
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        kind = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if kind == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif kind == b"IDAT":
-            idat.append(body)
-        elif kind == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise PngError("missing IHDR/IDAT")
-    w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or color_type not in _CHANNELS or interlace:
-        raise PngError(
-            f"unsupported PNG: depth={depth} color_type={color_type} "
-            f"interlace={interlace}"
-        )
-    ch = _CHANNELS[color_type]
-    stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+#: channels per color type (all five PNG color types)
+_TYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: legal bit depths per color type (PNG spec table 11.1)
+_TYPE_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _defilter(raw: bytes, off: int, h: int, stride: int, bpp: int):
+    """Undo PNG scanline filtering for one (sub-)image of ``h`` rows of
+    ``stride`` bytes (+1 filter byte each); returns (rows, next_off)."""
+    need = h * (stride + 1)
+    if len(raw) - off < need:
         raise PngError("corrupt IDAT payload")
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    rows = np.frombuffer(raw, np.uint8, count=need, offset=off).reshape(
+        h, stride + 1
+    )
     filters, scan = rows[:, 0], rows[:, 1:]
     out = np.zeros((h, stride), np.uint8)
     for y in range(h):
@@ -110,9 +116,9 @@ def decode_png(data: bytes) -> np.ndarray:
         elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
             cur = out[y]
             for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
+                left = cur[x - bpp] if x >= bpp else 0
                 up = prev[x]
-                ul = prev[x - ch] if x >= ch else 0
+                ul = prev[x - bpp] if x >= bpp else 0
                 if f == 1:
                     cur[x] = (int(line[x]) + int(left)) & 0xFF
                 elif f == 3:
@@ -124,5 +130,115 @@ def decode_png(data: bytes) -> np.ndarray:
                     ) & 0xFF
         else:
             raise PngError(f"unknown filter {f}")
-    img = out.reshape(h, w, ch)
-    return img[:, :, 0] if ch == 1 else img
+    return out, off + need
+
+
+def _unpack_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """(h, stride_bytes) filtered-out rows -> (h, w, ch) uint8 samples.
+    depth<8 unpacks bit-packed samples; depth 16 keeps the high byte
+    (the standard 16->8 reduction, matching Go's color conversion to
+    within 1/257)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        return rows[:, : w * ch * 2].reshape(h, w, ch, 2)[..., 0]
+    # 1/2/4-bit: only single-channel types (gray or palette indices)
+    bits = np.unpackbits(rows, axis=1)
+    per = bits[:, : w * depth].reshape(h, w, depth)
+    vals = np.zeros((h, w), np.uint8)
+    for i in range(depth):
+        vals = (vals << 1) | per[:, :, i]
+    return vals[:, :, None]
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG -> uint8 array: HxW (gray), HxWx3/4 (RGB/RGBA).
+
+    Full baseline coverage mirroring Go's stdlib decoder (the
+    reference's ``image.Decode``, ``main.go:149``): all five color
+    types (gray / RGB / palette / gray+alpha / RGBA), bit depths
+    1/2/4/8/16, PLTE + tRNS, and Adam7 interlace. Palette resolves to
+    RGB (RGBA with tRNS); gray+alpha expands to RGBA; 16-bit reduces
+    to the high byte; sub-8-bit gray scales to the full 0-255 range.
+    """
+    if data[:8] != _SIGNATURE:
+        raise PngError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    plte: bytes | None = None
+    trns: bytes | None = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        kind = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if kind == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif kind == b"PLTE":
+            plte = body
+        elif kind == b"tRNS":
+            trns = body
+        elif kind == b"IDAT":
+            idat.append(body)
+        elif kind == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise PngError("missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if color_type not in _TYPE_CHANNELS or depth not in _TYPE_DEPTHS.get(
+        color_type, ()
+    ):
+        raise PngError(
+            f"unsupported PNG: depth={depth} color_type={color_type}"
+        )
+    if interlace not in (0, 1):
+        raise PngError(f"unsupported interlace method {interlace}")
+    if color_type == 3 and plte is None:
+        raise PngError("palette image without PLTE")
+    ch = _TYPE_CHANNELS[color_type]
+    bpp = max(1, ch * depth // 8)
+    raw = zlib.decompress(b"".join(idat))
+
+    def stride_of(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
+    samples = np.zeros((h, w, ch), np.uint8)
+    if interlace == 0:
+        rows, _ = _defilter(raw, 0, h, stride_of(w), bpp)
+        samples = _unpack_samples(rows, w, ch, depth)
+    else:  # Adam7: seven independently-filtered sub-images
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, off = _defilter(raw, off, ph, stride_of(pw), bpp)
+            sub = _unpack_samples(rows, pw, ch, depth)
+            samples[y0::dy, x0::dx] = sub
+
+    if color_type == 3:
+        pal = np.frombuffer(plte, np.uint8)
+        if len(pal) % 3:
+            raise PngError("PLTE length not a multiple of 3")
+        pal = pal.reshape(-1, 3)
+        idx = samples[:, :, 0]
+        if idx.max() >= len(pal):
+            raise PngError("palette index out of range")
+        rgb = pal[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(pal), 255, np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+        return np.dstack([rgb, alpha[idx]])
+    if color_type == 0:
+        g = samples[:, :, 0]
+        if depth < 8:  # scale to full range like Go's Gray conversion
+            g = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+                np.uint8
+            )
+        return g
+    if color_type == 4:  # gray+alpha -> RGBA
+        g, a = samples[:, :, 0], samples[:, :, 1]
+        return np.dstack([g, g, g, a])
+    return samples  # RGB / RGBA
