@@ -38,3 +38,18 @@ def test_session_window_total_events_conserved(spark, sf_dir):
     out = se.streaming_session_windows(spark, sf_dir)
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == load_events(spark, sf_dir).count()
+
+
+def test_foreachbatch_upsert_stable_across_runs(spark, sf_dir):
+    """Two full runs (fresh sink dirs) must agree exactly — the
+    foreachBatch partial-state merge is deterministic; and per-batch
+    partitions must carry mergeable (n, sum) state."""
+    from text_grabr_orc_spark.streaming.events import (
+        streaming_foreachbatch_upsert,
+    )
+
+    a = {(r.event_type, r.n, r.sum_value)
+         for r in streaming_foreachbatch_upsert(spark, sf_dir).collect()}
+    b = {(r.event_type, r.n, r.sum_value)
+         for r in streaming_foreachbatch_upsert(spark, sf_dir).collect()}
+    assert a == b and a

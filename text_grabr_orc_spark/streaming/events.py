@@ -404,3 +404,70 @@ def streaming_dedup_within_watermark(
         )
     )
     return run_to_memory(dedup, "append")
+
+
+@register(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch UPSERT sink: each micro-batch writes its partial
+    per-type aggregate into a parquet directory PARTITIONED BY the
+    batch id with dynamic partition overwrite — the standard
+    idempotent foreachBatch recipe (a retried batch overwrites its own
+    partition instead of appending duplicates, giving exactly-once
+    output on at-least-once execution). The final result re-merges the
+    mergeable partial states across batches; the oracle is the batch
+    group-by over all events, so equality proves no batch was lost,
+    duplicated, or double-merged.
+
+    Scale: this is how streaming pipelines maintain warehouse tables
+    without a transactional table format — partial aggregates are
+    bounded by (keys x batches), the merge is a tiny re-aggregation,
+    and per-batch work stays O(batch). With a lakehouse format the
+    sink body becomes a MERGE INTO keyed on event_type instead."""
+    ev = events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="tgos_febsink_")
+    data_dir = os.path.join(out_dir, "data")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    prev_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).alias("sum_dec"),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(data_dir)
+        )
+
+    try:
+        q = (
+            ev.select("event_type", "value")
+            .writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", os.path.join(out_dir, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_pom)
+    back = spark.read.parquet(data_dir)
+    return back.groupBy("event_type").agg(
+        F.coalesce(F.sum("n"), F.lit(-1)).cast("bigint").alias("n"),
+        F.round(F.sum("sum_dec").cast("double"), 2).alias("sum_value"),
+    )
