@@ -648,9 +648,15 @@ def dedup_embedding_rhp(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:
     """Bucketed embedding near-dup: random-hyperplane (sign) LSH
-    candidate generation + exact cosine verification — the 100 TB
-    shape of ``dedup_embedding_cosine`` (same output contract, same
-    exact oracle, NO all-pairs join anywhere in the plan).
+    candidate generation + exact cosine verification (same output
+    contract and exact oracle as ``dedup_embedding_cosine``, no
+    all-pairs join in the plan). Honest scope note: at threshold 0.4
+    the full-recall banding below (2-bit bands) collides nearly every
+    random pair, so the band join does NOT prune — this operator is
+    the candidate-pruning SHAPE, which pays off at high thresholds
+    (long bands stay selective) and for banded-key partitioning; at
+    moderate thresholds the exact tiled-GEMM path
+    (``dedup_embedding_gemm``) is the faster plan at every scale.
 
     Hyperplanes are the first 64 corpus vectors (deterministic and
     SQL-expressible, the same device as similarity_topk_rhp_lsh);
