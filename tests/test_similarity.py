@@ -160,3 +160,59 @@ def test_pq_adc_recall_beats_random(spark, sf_dir):
     random_baseline = 5 / (len(ids) - 1)
     assert mean_recall >= 0.15
     assert mean_recall > 10 * random_baseline
+
+
+def test_pq_lloyd_step_reduces_quantization_error(spark, sf_dir):
+    """One E/M refinement must not increase total quantization SSE
+    (M minimizes per-cell SSE for fixed assignment, E reassigns to
+    nearer cells) — the k-means descent invariant, checked on the
+    exact same fixed-point means the operator uses."""
+    from pyspark.sql import functions as F
+
+    import text_grabr_orc_spark.operators.similarity as S
+
+    emb = S._emb(spark, sf_dir).select("vec_id", "e")
+    j_idx = F.explode(F.sequence(F.lit(0), F.lit(S._PQ_M - 1))).alias("j")
+    sub = emb.select("vec_id", "e", j_idx).select(
+        "vec_id", "j",
+        F.expr(f"slice(e, j * {S._PQ_SUB} + 1, {S._PQ_SUB})").alias("s"))
+    cent0 = sub.filter(F.col("vec_id") < S._PQ_K).select(
+        "j", F.col("vec_id").cast("int").alias("c"), F.col("s").alias("cs"))
+    sq = F.aggregate(F.zip_with("s", "cs", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+
+    def sse(cent):
+        d = sub.join(F.broadcast(cent), "j").select("vec_id", "j", sq.alias("d"))
+        per = d.groupBy("vec_id", "j").agg(F.min("d").alias("m"))
+        return per.agg(F.sum("m")).collect()[0][0]
+
+    enc0 = (sub.join(F.broadcast(cent0), "j")
+            .select("vec_id", "j", "c", sq.alias("d"))
+            .groupBy("vec_id", "j")
+            .agg(F.min_by("c", F.struct("d", "c")).alias("code")))
+    comp = sub.join(enc0, ["vec_id", "j"]).select(
+        "j", F.col("code").alias("c"), F.posexplode("s").alias("i", "vv"))
+    means = comp.groupBy("j", "c", "i").agg(
+        (F.sum(F.floor(F.col("vv") * 1e12)).cast("double")
+         / F.count(F.lit(1)) / F.lit(1e12)).alias("m"))
+    cs1 = means.groupBy("j", "c").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda x: x["m"]).alias("cs"))
+    cent1 = (cent0.withColumnRenamed("cs", "cs0")
+             .join(cs1, ["j", "c"], "left")
+             .select("j", "c", F.coalesce("cs", "cs0").alias("cs")))
+    # the 1e-12 fixed-point floor can cost at most ~dim*1e-12 per cell
+    assert sse(cent1) <= sse(cent0) + 1e-6
+
+
+def test_pq_trained_output_shape(spark, sf_dir):
+    from text_grabr_orc_spark.operators.similarity import (
+        similarity_topk_pq_trained,
+    )
+
+    got: dict[int, list] = {}
+    for r in similarity_topk_pq_trained(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(r.rk)
+    assert set(got) == set(range(10))
+    for rks in got.values():
+        assert sorted(rks) == [1, 2, 3, 4, 5]

@@ -615,3 +615,185 @@ def similarity_topk_pq(
             F.col("rk").cast("bigint"),
         )
     )
+
+
+@register(
+    "similarity_topk_pq_trained",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), sub AS (
+        SELECT vec_id, j,
+               e[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS s
+        FROM v CROSS JOIN (SELECT unnest(range({_PQ_M}))::INT AS j)
+    ), cent0 AS (
+        SELECT j, vec_id::INT AS c, s AS cs FROM sub WHERE vec_id < {_PQ_K}
+    ), d0 AS (
+        SELECT sub.vec_id, sub.j, cent0.c,
+               CAST(round(list_sum([(sub.s[i] - cent0.cs[i])
+                                    * (sub.s[i] - cent0.cs[i])
+                                    for i in range(1, {_PQ_SUB} + 1)]), 9)
+                    AS DECIMAL(18,9)) AS d
+        FROM sub JOIN cent0 USING (j)
+    ), enc0 AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (
+                       PARTITION BY vec_id, j ORDER BY d, c) AS rn
+            FROM d0
+        ) WHERE rn = 1
+    ), comp AS (
+        SELECT s.j, e.code AS c, u.i, s.s[u.i] AS vv
+        FROM sub s
+        JOIN enc0 e ON s.vec_id = e.vec_id AND s.j = e.j
+        CROSS JOIN (SELECT unnest(range(1, {_PQ_SUB} + 1))::INT AS i) u
+    ), means AS (
+        SELECT j, c, i,
+               CAST(sum(CAST(floor(vv * 1000000000000.0) AS BIGINT))
+                    AS DOUBLE) / count(*) / 1000000000000.0 AS m
+        FROM comp GROUP BY j, c, i
+    ), cs1 AS (
+        SELECT j, c, list(m ORDER BY i) AS cs FROM means GROUP BY j, c
+    ), cent1 AS (
+        SELECT c0.j, c0.c, coalesce(cs1.cs, c0.cs) AS cs
+        FROM cent0 c0 LEFT JOIN cs1 ON c0.j = cs1.j AND c0.c = cs1.c
+    ), d1 AS (
+        SELECT sub.vec_id, sub.j, cent1.c,
+               CAST(round(list_sum([(sub.s[i] - cent1.cs[i])
+                                    * (sub.s[i] - cent1.cs[i])
+                                    for i in range(1, {_PQ_SUB} + 1)]), 9)
+                    AS DECIMAL(18,9)) AS d
+        FROM sub JOIN cent1 USING (j)
+    ), enc1 AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (
+                       PARTITION BY vec_id, j ORDER BY d, c) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ), qtab AS (
+        SELECT vec_id AS query_id, j, c, d FROM d1 WHERE vec_id < 10
+    ), est AS (
+        SELECT q.query_id, enc1.vec_id AS neighbor_id, sum(q.d) AS est_d
+        FROM enc1 JOIN qtab q ON enc1.j = q.j AND enc1.code = q.c
+        WHERE enc1.vec_id <> q.query_id
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT query_id, neighbor_id,
+               round(CAST(est_d AS DOUBLE), 6) AS est_dist,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY est_d, neighbor_id) AS rk
+        FROM est
+    )
+    SELECT query_id, neighbor_id, est_dist, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def similarity_topk_pq_trained(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """PQ with one exact Lloyd refinement per subquantizer: assign
+    every subvector to its nearest init centroid (first-16-vector
+    codebook), recompute each cell as the elementwise mean of its
+    members, re-encode against the refined codebook, then ADC-rank as
+    in ``similarity_topk_pq`` — the trained-codebook half of IVF-PQ.
+
+    The refinement stays EXACTLY oracle-checkable: component means
+    quantize every value to an integer (floor(v * 1e12), a 64-bit-safe
+    fixed-point) so the per-cell sums are exact integers on both
+    engines and the mean is a deterministic double; empty cells fall
+    back to their init centroid. Everything else reuses the plain-PQ
+    determinism story (DECIMAL-quantized subspace distances, (d, id)
+    tie-breaks).
+
+    Scale: one extra pass over (vec, subspace, dim) rows with
+    partial-combined integer sums — the k-means E/M steps are both
+    keyed aggregations, the same shape similarity_topk_ivf_kmeans
+    runs; M*K*dim refined cells broadcast back for re-encoding."""
+    emb = _emb(spark, sf_dir).select("vec_id", "e")
+    j_idx = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j")
+    sub = emb.select("vec_id", "e", j_idx).select(
+        "vec_id",
+        "j",
+        F.expr(f"slice(e, j * {_PQ_SUB} + 1, {_PQ_SUB})").alias("s"),
+    )
+    cent0 = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "j", F.col("vec_id").cast("int").alias("c"), F.col("s").alias("cs")
+    )
+
+    def sq_dist():
+        return F.round(
+            F.aggregate(
+                F.zip_with("s", "cs", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).cast("decimal(18,9)")
+
+    def encode(dists):
+        return dists.groupBy("vec_id", "j").agg(
+            F.min_by(
+                "c",
+                F.struct(
+                    F.col("d").cast("double").alias("d"),
+                    F.col("c").cast("double").alias("c"),
+                ),
+            ).alias("code")
+        )
+
+    d0 = sub.join(F.broadcast(cent0), "j").select(
+        "vec_id", "j", "c", sq_dist().alias("d")
+    )
+    enc0 = encode(d0)
+    comp = (
+        sub.join(enc0, ["vec_id", "j"])
+        .select("j", F.col("code").alias("c"), F.posexplode("s").alias("i", "vv"))
+    )
+    means = comp.groupBy("j", "c", "i").agg(
+        (
+            F.sum(F.floor(F.col("vv") * 1e12)).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e12)
+        ).alias("m")
+    )
+    cs1 = means.groupBy("j", "c").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda x: x["m"]
+        ).alias("cs")
+    )
+    cent1 = (
+        cent0.withColumnRenamed("cs", "cs0")
+        .join(cs1, ["j", "c"], "left")
+        .select("j", "c", F.coalesce("cs", "cs0").alias("cs"))
+    )
+    d1 = sub.join(F.broadcast(cent1), "j").select(
+        "vec_id", "j", "c", sq_dist().alias("d")
+    )
+    enc1 = encode(d1)
+    qtab = F.broadcast(
+        d1.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), "j", "c", F.col("d").alias("qd")
+        )
+    )
+    est = (
+        enc1.join(
+            qtab,
+            (enc1.j == qtab.j) & (enc1.code == qtab.c)
+            & (enc1.vec_id != qtab.query_id),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("est_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy("est_d", "neighbor_id")
+    return (
+        est.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("est_d").cast("double"), 6).alias("est_dist"),
+            F.col("rk").cast("bigint"),
+        )
+    )
