@@ -422,8 +422,12 @@ def similarity_topk_rhp_lsh(
 
 @register("similarity_topk_ivf_kmeans")  # iterative refinement -> the
 # driver records a rows-only check; exactness is pinned by the recall
-# test in tests/test_similarity.py instead (floating-point centroid
-# means make a bit-exact cross-engine oracle brittle by construction).
+# test in tests/test_similarity.py instead (floating-point avg()
+# centroid means are summation-order-sensitive cross-engine). The
+# fixed-point integer-mean device that makes similarity_topk_pq_trained
+# fully oracle-checkable would work here too — kept as avg() so the
+# repo carries both flavors: the production float path (recall-tested)
+# and the exact-parity path (pq_trained).
 def similarity_topk_ivf_kmeans(
     spark: SparkSession,
     sf_dir: str,
