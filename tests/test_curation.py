@@ -128,3 +128,46 @@ def test_curation_plans_have_no_cartesian(spark, sf_dir):
     for fn in (decontaminate_ngram_overlap,):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+def test_bpe_merge_pairs_matches_python_count(spark, sf_dir):
+    """Pair counts must equal a direct Python recount of adjacent
+    character pairs weighted by word frequency."""
+    from collections import Counter
+
+    from text_grabr_orc_spark.functions.text import py_fields
+    from text_grabr_orc_spark.operators.curation import bpe_merge_pairs
+    from text_grabr_orc_spark.tables import load_table
+
+    words = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        for t in py_fields(r["text"]):
+            words[t.lower()] += 1
+    pairs = Counter()
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += n
+    expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:32]
+    got = [
+        (r.pair, r.n_pair)
+        for r in sorted(bpe_merge_pairs(spark, sf_dir).collect(),
+                        key=lambda r: r.rank)
+    ]
+    assert got == expect
+
+
+def test_feature_hashing_unit_norm_and_range(spark, sf_dir):
+    import math
+
+    from text_grabr_orc_spark.operators.curation import (
+        _FH_DIM,
+        text_feature_hashing,
+    )
+
+    by_doc: dict[int, float] = {}
+    for r in text_feature_hashing(spark, sf_dir).collect():
+        assert 0 <= r.bucket < _FH_DIM and r.n >= 1
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0.0) + r.weight**2
+    assert by_doc
+    for sq in by_doc.values():
+        assert math.isclose(sq, 1.0, rel_tol=1e-4)

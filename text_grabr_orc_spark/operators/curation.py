@@ -587,3 +587,152 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= _SEM_THRESHOLD)
         .select("centroid_id", "vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (tokenizer training, step 1)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 32
+
+
+@register(
+    "bpe_merge_pairs",
+    oracle=f"""
+    WITH words AS (
+        SELECT lower(tok) AS w, count(*) AS n
+        FROM (SELECT unnest({_ORACLE_TOKS}) AS tok FROM documents)
+        GROUP BY lower(tok)
+    ), pairs AS (
+        SELECT substr(w, i, 2) AS pair, sum(n) AS n_pair
+        FROM words
+        CROSS JOIN (SELECT unnest(range(1, 64))::INT AS i)
+        WHERE i <= len(w) - 1
+        GROUP BY substr(w, i, 2)
+    )
+    SELECT pair, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(row_number() OVER (ORDER BY n_pair DESC, pair)
+                AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= {_BPE_TOP}
+    """,
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first merge step: count adjacent
+    character pairs across the word-frequency table (each word
+    contributes its corpus frequency to every adjacent pair of its
+    initial character symbols) and rank the top candidates — the
+    argmax of this table IS the first BPE merge; a full trainer loops
+    merge -> re-pair on the shrinking symbol sequence.
+
+    Scale: the word-frequency table is the first aggregate (bounded
+    by vocabulary, not corpus); pair explosion runs over that bounded
+    table, and pair counts partial-combine before one shuffle bounded
+    by |distinct pairs| <= charset^2. The top-k is orderBy+limit
+    (TakeOrdered), ranked only after the cut — the same no-global-
+    window shape as vocab_top_tokens. Pairs come from substr windows
+    (identical semantics on both engines), never a char-split whose
+    empty-string edge cases differ."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .select(F.lower("tok").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # guard 1-char words: sequence(1, 0) would generate a DESCENDING
+    # [1, 0] (Spark's default step is -1 when start > stop), not empty
+    idx = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = (
+        words.select(
+            "n",
+            F.explode(
+                F.transform(idx, lambda i: F.col("w").substr(i, F.lit(2)))
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("n_pair"))
+    )
+    top = pairs.orderBy(F.col("n_pair").desc(), F.col("pair")).limit(_BPE_TOP)
+    w = Window.orderBy(F.col("n_pair").desc(), F.col("pair"))
+    return top.select(
+        "pair",
+        F.col("n_pair").cast("bigint").alias("n_pair"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (hashed bag-of-tokens text vectors)
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 64
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lower(unnest({_ORACLE_TOKS})) AS t FROM documents
+    ), b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('fh:' || t), 1, 8))::BIGINT % {_FH_DIM}
+                   AS bucket,
+               count(*) AS n
+        FROM tok GROUP BY 1, 2
+    ), norms AS (
+        SELECT doc_id, sqrt(sum(n * n)) AS l2 FROM b GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.bucket AS BIGINT) AS bucket,
+           CAST(b.n AS BIGINT) AS n,
+           round(b.n / norms.l2, 6) AS weight
+    FROM b JOIN norms USING (doc_id)
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the HashingTF trick): every token hashes into
+    one of 64 buckets, per-document bucket counts are L2-normalized —
+    a fixed-dimension text vector with NO vocabulary state, the
+    classic way to get embeddings-before-embeddings for clustering /
+    similarity / classifier features at corpus scale. Emitted SPARSE
+    as (doc_id, bucket, n, weight) rows — the dense array is a
+    map-side ``transform(sequence(..))`` away when an ANN operator
+    wants it.
+
+    Scale: one explode + two keyed aggregates, all partial-combined;
+    no vocabulary broadcast, no state — the defining property of the
+    hashing trick is that this runs identically on 100 TB without a
+    dictionary build. md5-slice bucket hashing is the repo's
+    cross-engine device (production would use xxhash64); the L2 norm
+    is a sqrt of an exact integer sum, so weights are identical
+    doubles on both engines before the 6dp round."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+        .select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("fh:"), F.lower("t"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _FH_DIM
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norms = b.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("l2")
+    )
+    return b.join(norms, "doc_id").select(
+        "doc_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("l2"), 6).alias("weight"),
+    )
