@@ -154,3 +154,18 @@ def test_embedding_rhp_plan_has_no_allpairs_join(spark, sf_dir):
     )
     # signatures are computed once and reused via the cache
     assert "InMemoryTableScan" in plan
+
+
+def test_pagerank_mass_conservation_and_bounds(spark, sf_dir):
+    """Every node distributes its full rank (undirected graph, all
+    nodes have out-edges), so total rank stays at N through damped
+    iterations (up to 12dp rounding); every rank >= the teleport
+    floor 0.15."""
+    from text_grabr_orc_spark.operators.dedup import graph_pagerank_neardup
+
+    rows = graph_pagerank_neardup(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.rank for r in rows)
+    assert abs(total - len(rows)) < 1e-3 * len(rows)
+    for r in rows:
+        assert r.rank >= 0.15 and r.degree >= 1

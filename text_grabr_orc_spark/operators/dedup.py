@@ -1048,3 +1048,125 @@ def dedup_incremental_batch(
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the near-dup pair graph: PageRank
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank in DuckDB, numerically
+    locked to the Spark loop: per-edge contributions are quantized to
+    DECIMAL(26,12) BEFORE the incoming sum (exact, order-free), the
+    damped update runs in double on identical inputs, and each new
+    rank is re-rounded to 12dp — so both engines carry bit-identical
+    ranks into the next iteration."""
+    layers = ["""
+    r0 AS (SELECT node_id, CAST(1.0 AS DOUBLE) AS r FROM deg)
+    """]
+    for it in range(_PR_ITERS):
+        layers.append(f"""
+    r{it + 1} AS (
+        SELECT d.node_id,
+               round({1 - _PR_DAMP} + {_PR_DAMP} * CAST(sum(
+                   CAST(round(rp.r / ds.degree, 12) AS DECIMAL(26,12))
+               ) AS DOUBLE), 12) AS r
+        FROM deg d
+        JOIN e ON e.s = d.node_id
+        JOIN r{it} rp ON rp.node_id = e.d
+        JOIN deg ds ON ds.node_id = e.d
+        GROUP BY d.node_id
+    )""")
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), p AS ({_CC_PAIRS_ORACLE}
+    ), e AS (
+        SELECT vec_a AS s, vec_b AS d FROM p
+        UNION
+        SELECT vec_b, vec_a FROM p
+    ), deg AS (
+        SELECT s AS node_id, count(*) AS degree FROM e GROUP BY s
+    ), {",".join(layers)}
+    SELECT d.node_id, CAST(d.degree AS BIGINT) AS degree,
+           round(r{_PR_ITERS}.r, 6) AS rank
+    FROM deg d JOIN r{_PR_ITERS} ON r{_PR_ITERS}.node_id = d.node_id
+    """
+
+
+@register("graph_pagerank_neardup", oracle=_pagerank_oracle())
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup similarity graph (3 damped
+    iterations, d=0.85): ranks each clustered document by how central
+    it is among its near-duplicates — the representative-selection
+    signal some data-curation recipes use instead of keep-first
+    (a high-centrality member is the least-truncated / most-canonical
+    variant of its template family).
+
+    Numeric determinism (the hard part of iterating floats through a
+    relational engine): per-edge contributions quantize to
+    DECIMAL(26,12) before the incoming-edge sum, so summation order
+    cannot perturb the total; the damped update is double arithmetic
+    on identical inputs; each iteration re-rounds to 12dp. The oracle
+    unrolls the same three layers.
+
+    Scale: each iteration is one keyed join of the edge list against
+    the current rank vector plus one aggregate — the standard
+    edge-partitioned PageRank shape (Pregel's relational skeleton);
+    ranks are localCheckpointed per round to keep lineage flat. Edge
+    count is bounded by duplicate mass, not corpus size."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    edges = (
+        pairs.select(F.col("vec_a").alias("s"), F.col("vec_b").alias("d"))
+        .union(pairs.select(F.col("vec_b").alias("s"), F.col("vec_a").alias("d")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = edges.groupBy(F.col("s").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = deg.select("node_id", F.lit(1.0).alias("r")).localCheckpoint()
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.withColumnRenamed("node_id", "src"),
+                F.col("d") == F.col("src"),
+            )
+            .join(
+                deg.select(
+                    F.col("node_id").alias("dsrc"),
+                    F.col("degree").alias("src_deg"),
+                ),
+                F.col("d") == F.col("dsrc"),
+            )
+            .select(
+                F.col("s").alias("node_id"),
+                F.round(F.col("r") / F.col("src_deg"), 12)
+                .cast("decimal(26,12)")
+                .alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("node_id")
+            .agg(
+                F.round(
+                    F.lit(1 - _PR_DAMP)
+                    + F.lit(_PR_DAMP) * F.sum("c").cast("double"),
+                    12,
+                ).alias("r")
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    out = deg.join(ranks, "node_id").select(
+        "node_id",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.round("r", 6).alias("rank"),
+    )
+    deg.unpersist()
+    return out
