@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "text_quality_by_source",
     "text_bigram_logprob",
     "text_repetition_stats",
+    "text_feature_hashing",
+    "bpe_merge_pairs",
     "decontaminate_ngram_overlap",
     "dedup_repeated_spans",
     "quality_classifier_filter",

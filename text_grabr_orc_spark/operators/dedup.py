@@ -940,7 +940,9 @@ def dedup_clusters(
     (Kiveris et al.) — same per-round shuffle structure, provably
     O(log n) rounds; diameter-bounded propagation is the right
     tradeoff below that."""
-    pairs = dedup_embedding_cosine(spark, sf_dir, threshold=threshold).select(
+    # pair generation via the tiled-GEMM exact operator: identical
+    # pairs to dedup_embedding_cosine, but the scalable physical plan
+    pairs = dedup_embedding_gemm(spark, sf_dir, threshold=threshold).select(
         "vec_a", "vec_b"
     )
     edges = (
@@ -1120,7 +1122,7 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-partitioned PageRank shape (Pregel's relational skeleton);
     ranks are localCheckpointed per round to keep lineage flat. Edge
     count is bounded by duplicate mass, not corpus size."""
-    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    pairs = dedup_embedding_gemm(spark, sf_dir).select("vec_a", "vec_b")
     edges = (
         pairs.select(F.col("vec_a").alias("s"), F.col("vec_b").alias("d"))
         .union(pairs.select(F.col("vec_b").alias("s"), F.col("vec_a").alias("d")))
