@@ -53,6 +53,31 @@ def test_span_postings_tile_geometry(spark, sf_dir):
         assert len(r.g.split(" ")) == _SPAN_W
 
 
+def test_spans_short_doc_yields_empty_array(spark):
+    """Docs shorter than one _SPAN_W tile must tile to an EMPTY array,
+    not the descending-[0,-1] sequence(0,-1) artifact (two bogus spans
+    where the oracle emits none). Exercises 0..W+1 token lengths."""
+    from text_grabr_orc_spark.functions.text import tokens
+    from text_grabr_orc_spark.operators.corpus_filters import _spans
+
+    rows = [
+        (n, " ".join(f"w{i}" for i in range(n)))
+        for n in range(0, _SPAN_W + 2)
+    ]
+    df = spark.createDataFrame(rows, "n int, text string")
+    got = {
+        r.n: r.spans
+        for r in df.select(
+            "n", _spans(tokens("text")).alias("spans")
+        ).collect()
+    }
+    for n in range(0, _SPAN_W + 2):
+        expected = n // _SPAN_W
+        assert len(got[n]) == expected, (n, got[n])
+        for g in got[n]:
+            assert len(g.split(" ")) == _SPAN_W
+
+
 def test_repeated_spans_ratio_bounds(spark, sf_dir):
     rows = dedup_repeated_spans(spark, sf_dir).collect()
     assert rows

@@ -61,6 +61,35 @@ def test_udtf_agrees_with_native_posexplode(spark, sf_dir):
     assert got == native and got
 
 
+def test_rsql_clusters_fixpoint(spark, sf_dir):
+    """Post-hoc fixpoint assertion for the depth-bounded recursive-CTE
+    clustering: after labeling, NO node may still have a neighbor with
+    a smaller cluster label — if the _RCTE_DEPTH bound ever truncated
+    a real component, this join would surface the un-propagated edge
+    instead of silently splitting the cluster."""
+    from text_grabr_orc_spark.operators.dedup import dedup_embedding_gemm
+    from text_grabr_orc_spark.operators.spark4_surface import (
+        dedup_clusters_rsql,
+    )
+
+    labels = dedup_clusters_rsql(spark, sf_dir).localCheckpoint()
+    pairs = dedup_embedding_gemm(spark, sf_dir).select("vec_a", "vec_b")
+    edges = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+    la = labels.select(
+        F.col("node_id").alias("vec_a"), F.col("cluster_id").alias("ca")
+    )
+    lb = labels.select(
+        F.col("node_id").alias("vec_b"), F.col("cluster_id").alias("cb")
+    )
+    violations = (
+        edges.join(la, "vec_a").join(lb, "vec_b").filter(F.col("cb") < F.col("ca"))
+    )
+    assert violations.count() == 0
+    assert labels.count() > 0
+
+
 def test_python_datasource_partitions_reassemble_exactly(spark, sf_dir):
     """Raw read: every id exactly once across the planned partitions,
     and the scan actually uses the requested partition count."""

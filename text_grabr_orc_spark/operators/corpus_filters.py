@@ -64,12 +64,24 @@ _ORACLE_SPANS = f"""
 
 
 def _spans(toks) -> F.Column:
-    """Array of space-joined full _SPAN_W-token tiles of ``toks``."""
+    """Array of space-joined full _SPAN_W-token tiles of ``toks``.
+
+    Docs shorter than one tile (n_full = 0) must yield an EMPTY array:
+    unguarded ``sequence(0, -1)`` would generate a DESCENDING [0, -1]
+    (Spark's default step is -1 when start > stop) and emit two bogus
+    span rows where the DuckDB oracle emits none — the same trap
+    bpe_merge_pairs guards for 1-char words.
+    """
     n_full = F.floor(F.size(toks) / _SPAN_W).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_full - 1),
-        lambda i: F.array_join(F.slice(toks, i * _SPAN_W + 1, _SPAN_W), " "),
-    )
+    return F.when(
+        n_full >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * _SPAN_W + 1, _SPAN_W), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _span_postings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -603,10 +603,15 @@ _BPE_TOP = 32
         SELECT lower(tok) AS w, count(*) AS n
         FROM (SELECT unnest({_ORACLE_TOKS}) AS tok FROM documents)
         GROUP BY lower(tok)
+    ), idx AS (
+        -- position table sized from the data itself (max word length),
+        -- not a silent constant: a word longer than a hard-coded bound
+        -- would undercount pairs only on the oracle side
+        SELECT unnest(range(1, (SELECT max(len(w)) FROM words)))::INT AS i
     ), pairs AS (
         SELECT substr(w, i, 2) AS pair, sum(n) AS n_pair
         FROM words
-        CROSS JOIN (SELECT unnest(range(1, 64))::INT AS i)
+        CROSS JOIN idx
         WHERE i <= len(w) - 1
         GROUP BY substr(w, i, 2)
     )

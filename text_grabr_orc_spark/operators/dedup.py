@@ -1129,9 +1129,16 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = edges.groupBy(F.col("s").alias("node_id")).agg(
-        F.count(F.lit(1)).alias("degree")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint (eager), not persist: the returned DataFrame is
+    # evaluated AFTER this function returns, so a persist we unpersist
+    # on exit would buy nothing for the output pass and the final
+    # deg-join would recompute the whole GEMM pair lineage a second
+    # time. Checkpoint blocks survive until the DataFrame is GC'd.
+    deg = (
+        edges.groupBy(F.col("s").alias("node_id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint()
+    )
     ranks = deg.select("node_id", F.lit(1.0).alias("r")).localCheckpoint()
     for _ in range(_PR_ITERS):
         contrib = (
@@ -1165,10 +1172,8 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     edges.unpersist()
-    out = deg.join(ranks, "node_id").select(
+    return deg.join(ranks, "node_id").select(
         "node_id",
         F.col("degree").cast("bigint").alias("degree"),
         F.round("r", 6).alias("rank"),
     )
-    deg.unpersist()
-    return out

@@ -291,10 +291,16 @@ def dedup_clusters_rsql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters via Spark 4's recursive CTEs: the same
     connected components as ``dedup_clusters`` expressed as ONE SQL
     statement — min-label BFS where the recursive member expands each
-    label one hop per level, bounded at depth 6 (Spark recursion is
-    UNION ALL-only, so cycles require a structural bound; the oracle
-    runs DuckDB's UNBOUNDED closure, proving the bound covers every
-    component). ``min(l)`` per node collapses the path explosion.
+    label one hop per level, bounded at depth ``_RCTE_DEPTH`` (Spark
+    recursion is UNION ALL-only, so cycles require a structural
+    bound). CORRECTNESS CONTRACT: the result is only correct for
+    components whose min-label radius is <= ``_RCTE_DEPTH``; a deeper
+    component would be SILENTLY split, not error. Two guards keep that
+    honest: the DuckDB oracle runs the UNBOUNDED closure (so the
+    driver gate fails loudly if the fixture ever outgrows the bound),
+    and ``test_rsql_clusters_fixpoint`` asserts post-hoc that no node
+    keeps a smaller-labeled neighbor. ``min(l)`` per node collapses
+    the path explosion.
 
     Scale: each recursion level is one shuffle join of the frontier
     against the edge list — the same per-round cost as the iterative
