@@ -420,14 +420,94 @@ def similarity_topk_rhp_lsh(
     )
 
 
-@register("similarity_topk_ivf_kmeans")  # iterative refinement -> the
-# driver records a rows-only check; exactness is pinned by the recall
-# test in tests/test_similarity.py instead (floating-point avg()
-# centroid means are summation-order-sensitive cross-engine). The
-# fixed-point integer-mean device that makes similarity_topk_pq_trained
-# fully oracle-checkable would work here too — kept as avg() so the
-# repo carries both flavors: the production float path (recall-tested)
-# and the exact-parity path (pq_trained).
+#: fixture embedding dimensionality — the Spark side is dim-agnostic
+#: (posexplode), the oracle unrolls the component index over this.
+_EMB_DIM = 64
+
+#: fixed-point scale for exact cross-engine k-means component means
+#: (same device as similarity_topk_pq_trained: floor(v * 1e12) makes
+#: per-cell sums exact 64-bit integers on both engines).
+_FP = "1000000000000.0"
+
+
+def _ivf_kmeans_oracle(
+    iters: int = 2, stride: int = 50, nq: int = 10, k: int = 5, nprobe: int = 3
+) -> str:
+    """Unrolled DuckDB twin of similarity_topk_ivf_kmeans: per Lloyd
+    iteration one assignment layer (row_number argmax by cosine, id
+    tie-break) and one fixed-point integer-mean recenter layer with
+    empty-cell fallback to the previous centroid."""
+    layers = []
+    for t in range(iters):
+        cos_assign = _DK_COS.format(a="v.e", b="c.ce")
+        layers.append(f"""a{t} AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos_assign} DESC, c.centroid_id
+                   ) AS crk
+            FROM v CROSS JOIN cent{t} c
+        ) WHERE crk = 1
+    ), m{t} AS (
+        SELECT centroid_id, u.i,
+               CAST(sum(CAST(floor(e[u.i] * {_FP}) AS BIGINT))
+                    AS DOUBLE) / count(*) / {_FP} AS m
+        FROM a{t}
+        CROSS JOIN (SELECT unnest(range(1, {_EMB_DIM} + 1))::INT AS i) u
+        GROUP BY centroid_id, u.i
+    ), cs{t} AS (
+        SELECT centroid_id, list(m ORDER BY i) AS ce
+        FROM m{t} GROUP BY centroid_id
+    ), cent{t + 1} AS (
+        SELECT c.centroid_id, coalesce(cs{t}.ce, c.ce) AS ce
+        FROM cent{t} c LEFT JOIN cs{t} USING (centroid_id)
+    )""")
+    fin = f"cent{iters}"
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), cent0 AS (
+        SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % {stride} = 0
+    ), {", ".join(layers)}, af AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_DK_COS.format(a="v.e", b="c.ce")} DESC,
+                                c.centroid_id
+                   ) AS crk
+            FROM v CROSS JOIN {fin} c
+        ) WHERE crk = 1
+    ), probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DK_COS.format(a="q.e", b="c.ce")} DESC,
+                                c.centroid_id
+                   ) AS prk
+            FROM v q CROSS JOIN {fin} c WHERE q.vec_id < {nq}
+        ) WHERE prk <= {nprobe}
+    ), scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_DK_COS.format(a="q.e", b="a.e")} AS cos,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_DK_COS.format(a="q.e", b="a.e")} DESC, a.vec_id
+               ) AS rk
+        FROM probes p
+        JOIN af a ON a.centroid_id = p.centroid_id
+        JOIN v q ON q.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk
+    FROM scored WHERE rk <= {k}
+    """
+
+
+@register("similarity_topk_ivf_kmeans", oracle=_ivf_kmeans_oracle())
 def similarity_topk_ivf_kmeans(
     spark: SparkSession,
     sf_dir: str,
@@ -445,41 +525,63 @@ def similarity_topk_ivf_kmeans(
     tighter and the same nprobe recovers more true neighbors — recall
     vs brute force is asserted >= the stride baseline's in tests.
 
+    EXACTLY oracle-checked (the round-3 verdict's last oracle-able
+    gap): component means use the fixed-point integer-mean device from
+    ``similarity_topk_pq_trained`` — every value quantizes to
+    floor(v * 1e12), the per-cell sums are exact 64-bit integers on
+    both engines, and the mean is the same deterministic double; empty
+    cells fall back to their previous centroid, so the centroid ID set
+    is stable across iterations on both engines.
+
     Scale shape per iteration: assignment is the map-side-combining
     max_by aggregate (one row per vector into the shuffle); the
     recenter step explodes vectors to (centroid, dim, value) rows —
-    64x fixed-width fan-out with map-side partial avg, so the shuffle
-    carries one row per (centroid, dim) PER MAPPER, independent of
-    corpus size; collect_list reassembles the 64 means into the new
+    64x fixed-width fan-out with map-side partial integer sums, so the
+    shuffle carries one row per (centroid, dim) PER MAPPER, independent
+    of corpus size; collect_list reassembles the 64 means into the new
     centroid array. Centroids are localCheckpointed each round to
     keep the lineage flat across iterations. Two iterations is the
     knee of the curve for ANN bucketing — this is indexing, not
     clustering research."""
     emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
-    cent = F.broadcast(
-        emb.filter(F.col("vec_id") % centroid_stride == 0).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("e").alias("ce"),
-            F.col("n").alias("cn"),
-        )
+    cent_plain = emb.filter(F.col("vec_id") % centroid_stride == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("n").alias("cn"),
     )
+    cent = F.broadcast(cent_plain)
     for _ in range(iters):
         assigned = _nearest_centroid_assign(emb, cent)
         means = (
             assigned.select("centroid_id", F.posexplode("e").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    F.sum(F.floor(F.col("x") * F.lit(1e12))).cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(1e12)
+                ).alias("m")
+            )
             .groupBy("centroid_id")
             .agg(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
             )
             .select(
                 "centroid_id",
-                F.transform("pm", lambda s: s["m"]).alias("ce"),
+                F.transform("pm", lambda s: s["m"]).alias("ce_new"),
+            )
+        )
+        cent_plain = (
+            cent_plain.withColumnRenamed("ce", "ce_prev")
+            .join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("ce_new", "ce_prev").alias("ce"),
             )
             .withColumn("cn", l2_norm(F.col("ce")))
+            .localCheckpoint()
         )
-        cent = F.broadcast(means.localCheckpoint())
+        cent = F.broadcast(cent_plain)
     assigned = _nearest_centroid_assign(emb, cent)
     return _ivf_probe_search(emb, cent, assigned, n_queries, k, nprobe)
 
