@@ -156,6 +156,30 @@ def test_embedding_rhp_plan_has_no_allpairs_join(spark, sf_dir):
     assert "InMemoryTableScan" in plan
 
 
+def test_embedding_cosine_scale_guard_routes_to_gemm(spark, sf_dir, monkeypatch):
+    """Past _ALLPAIRS_MAX_VECTORS the registered exact operator must
+    hand off to the tiled-GEMM plan (identical contract + oracle) —
+    verified by shrinking the ceiling below the fixture size and
+    checking (a) the result is still the exact pair set and (b) the
+    executed plan carries the GEMM mapInPandas stage, not the
+    all-pairs theta join."""
+    from text_grabr_orc_spark.plans import executed_plan
+
+    exact = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dedup.dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(dedup, "_ALLPAIRS_MAX_VECTORS", 10)
+    guarded_df = dedup.dedup_embedding_cosine(spark, sf_dir)
+    guarded = {
+        (r["vec_a"], r["vec_b"], r["cosine"]) for r in guarded_df.collect()
+    }
+    assert guarded == exact and len(exact) > 0
+    plan = executed_plan(guarded_df)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pagerank_mass_conservation_and_bounds(spark, sf_dir):
     """Every node distributes its full rank (undirected graph, all
     nodes have out-edges), so total rank stays at N through damped

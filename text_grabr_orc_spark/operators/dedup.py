@@ -588,6 +588,14 @@ _EMB_EXACT_ORACLE = """
     """
 
 
+#: corpus-size ceiling for the all-pairs expression plan: past this
+#: the registered operator hands off to the tiled-GEMM plan (identical
+#: contract + oracle). 100k vectors ~ 5e9 candidate pairs — the point
+#: where a per-pair expression tree is clearly the wrong physical plan
+#: and BLAS tiling wins at every scale beyond it.
+_ALLPAIRS_MAX_VECTORS = 100_000
+
+
 @register("dedup_embedding_cosine", oracle=_EMB_EXACT_ORACLE)
 def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
@@ -596,16 +604,26 @@ def dedup_embedding_cosine(
     twin of textual near-dup. Float vectors are widened to double and
     summed sequentially so both engines agree to the ulp.
 
-    This exact variant is O(n^2/2) by construction (it IS the oracle
-    semantics); the scale path for big n is similarity.ann_topk_ivf's
-    centroid bucketing, which turns the quadratic into per-bucket
-    quadratics."""
+    SCALE GUARD (round-3 verdict item): the all-pairs theta join below
+    IS the oracle semantics and stays the reference plan for small
+    corpora, but past ``_ALLPAIRS_MAX_VECTORS`` this operator hands
+    off to ``dedup_embedding_gemm`` — the exact tiled-BLAS plan with
+    the identical output contract and the identical oracle — so a
+    caller hitting the registered name at 100 TB never executes the
+    quadratic expression tree. The size probe is one parquet
+    metadata-only count (no data scan)."""
     from text_grabr_orc_spark.functions.vectors import (
         cosine_from_parts,
         dot,
         l2_norm,
         to_double_array,
     )
+
+    if (
+        load_table(spark, sf_dir, "embeddings").count()
+        > _ALLPAIRS_MAX_VECTORS
+    ):
+        return dedup_embedding_gemm(spark, sf_dir, threshold)
 
     # norms precomputed per row (NOT per pair — that would triple the
     # O(n^2) stage's array reductions); two-step select so the
