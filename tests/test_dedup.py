@@ -156,6 +156,71 @@ def test_embedding_rhp_plan_has_no_allpairs_join(spark, sf_dir):
     assert "InMemoryTableScan" in plan
 
 
+def test_two_phase_cc_logarithmic_on_chain(spark):
+    """The pathological topology for min-label propagation: a single
+    chain 0-1-2-...-63 (diameter 63, so propagation needs ~63 rounds).
+    Two-phase star CC must collapse it to one cluster rooted at 0 in
+    O(log n) rounds."""
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "vec_a bigint, vec_b bigint"
+    )
+    labels, rounds = dedup.two_phase_cc(chain)
+    got = {r.node_id: r.cluster_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 12, f"expected O(log n) rounds on the chain, got {rounds}"
+
+
+def test_two_phase_cc_matches_propagation_clusters(spark, sf_dir):
+    """Same fixpoint as the diameter-bounded propagation operator on
+    the real near-dup graph — identical (node_id, cluster_id) sets."""
+    prop = {
+        (r.node_id, r.cluster_id)
+        for r in dedup.dedup_clusters(spark, sf_dir).collect()
+    }
+    star = {
+        (r.node_id, r.cluster_id)
+        for r in dedup.dedup_clusters_twophase(spark, sf_dir).collect()
+    }
+    assert star == prop and len(star) > 0
+
+
+def test_two_phase_cc_random_graph_matches_bruteforce(spark):
+    """Property check on a deterministic pseudo-random graph: labels
+    must equal a driver-side union-find ground truth."""
+    import random
+
+    rng = random.Random(7)
+    n = 200
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+            )
+            if a != b
+        }
+    )
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    in_graph = {x for e in edges for x in e}
+    truth = {x: find(x) for x in in_graph}
+    df = spark.createDataFrame(edges, "vec_a bigint, vec_b bigint")
+    labels, _ = dedup.two_phase_cc(df)
+    got = {r.node_id: r.cluster_id for r in labels.collect()}
+    assert got == truth
+
+
 def test_embedding_cosine_scale_guard_routes_to_gemm(spark, sf_dir, monkeypatch):
     """Past _ALLPAIRS_MAX_VECTORS the registered exact operator must
     hand off to the tiled-GEMM plan (identical contract + oracle) —
