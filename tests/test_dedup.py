@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from text_grabr_orc_spark.operators import dedup
+from text_grabr_orc_spark.tables import load_table
 
 BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
 NEAR = "the quick brown fox jumps over the lazy cat near the river bank today"
@@ -154,6 +155,54 @@ def test_embedding_rhp_plan_has_no_allpairs_join(spark, sf_dir):
     )
     # signatures are computed once and reused via the cache
     assert "InMemoryTableScan" in plan
+
+
+def test_gemm_dense_tiles_on_sparse_vec_ids(spark, sf_dir, tmp_path):
+    """A gappy vec_id space must still pack into even block-sized
+    tiles (dense-rank repack), and the GEMM pair output must be
+    identical to the same corpus under dense ids (pair semantics
+    depend on ids only through ordering/identity)."""
+    dense = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dedup.dedup_embedding_gemm(spark, sf_dir).collect()
+    }
+    # sparsify: vec_id -> vec_id * 977 + 13 (order-preserving, gappy)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse_dir = str(tmp_path / "sparse_sf")
+    import os
+
+    os.makedirs(sparse_dir, exist_ok=True)
+    emb.withColumn(
+        "vec_id", (F.col("vec_id") * 977 + 13).cast("bigint")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sparse_dir, "embeddings.parquet")
+    )
+    sparse = {
+        (
+            (r["vec_a"] - 13) // 977,
+            (r["vec_b"] - 13) // 977,
+            r["cosine"],
+        )
+        for r in dedup.dedup_embedding_gemm(spark, sparse_dir).collect()
+    }
+    assert sparse == dense and len(dense) > 0
+    # tile evenness: with a small block every tile except the last is
+    # exactly block-sized even though raw ids are 977 apart
+    block = 64
+    sizes = {
+        r["blk"]: r["n"]
+        for r in dedup._dense_tile_ids(
+            load_table(spark, sparse_dir, "embeddings"), block
+        )
+        .groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_vec = emb.count()
+    assert sorted(sizes) == list(range((n_vec + block - 1) // block))
+    for blk, n in sizes.items():
+        if blk < max(sizes):
+            assert n == block, (blk, n)
 
 
 def test_two_phase_cc_logarithmic_on_chain(spark):

@@ -780,6 +780,46 @@ def dedup_embedding_rhp(
 _GEMM_BLOCK = 2048
 
 
+def _dense_tile_ids(emb: DataFrame, block: int) -> DataFrame:
+    """(vec_id, blk): tile ids from the DENSE RANK of vec_id, robust
+    to gappy id spaces — ``floor(vec_id / block)`` on sparse ids makes
+    ragged tiles (skewed tasks and more tile pairs than necessary).
+
+    Same two-pass distributed prefix-sum as pack_training_sequences
+    (a bare ``row_number() over (order by vec_id)`` would funnel the
+    corpus through ONE task): range-partition the skinny id
+    projection and persist it (pinning one set of sampled range
+    bounds for both passes), collect the numPartitions-row count
+    vector into exclusive offsets, then compute partition-local
+    row_numbers fully in parallel and add the broadcast offset.
+    Every tile except the last is exactly ``block`` ids wide."""
+    spark = emb.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ids = (
+        emb.select("vec_id")
+        .repartitionByRange(n_parts, "vec_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = ids.groupBy("pid").count().collect()
+    offsets, running = [], 0
+    for row in sorted(counts, key=lambda r: r["pid"]):
+        offsets.append((row["pid"], running))
+        running += row["count"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off bigint")
+    w = Window.partitionBy("pid").orderBy("vec_id")
+    return (
+        ids.withColumn("rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), "pid")
+        .select(
+            "vec_id",
+            F.floor((F.col("rn") + F.col("off")) / block)
+            .cast("int")
+            .alias("blk"),
+        )
+    )
+
+
 @register("dedup_embedding_gemm", oracle=_EMB_EXACT_ORACLE)
 def dedup_embedding_gemm(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
@@ -816,11 +856,10 @@ def dedup_embedding_gemm(
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # tile id from the dense vec_id range; a sparse id space would use
-    # row_number() over vec_id first (same one-pass shape)
-    tiles = emb.withColumn(
-        "blk", F.floor(F.col("vec_id") / _GEMM_BLOCK).cast("int")
-    )
+    # tile ids from the dense rank of vec_id (distributed prefix-sum,
+    # see _dense_tile_ids) — a gappy id space still packs into even
+    # block-sized tiles instead of ragged, skew-prone ones
+    tiles = emb.join(_dense_tile_ids(emb, _GEMM_BLOCK), "vec_id")
 
     pack_schema = "blk int, ids array<bigint>, mat array<double>"
 
@@ -841,10 +880,13 @@ def dedup_embedding_gemm(
         StorageLevel.MEMORY_AND_DISK
     )
     # tile-pair index from tile IDS only (ints), then equi-join the
-    # packed matrices in — the matrices never ride a non-equi join
+    # packed matrices in — the matrices never ride a non-equi join.
+    # The id list is #tiles rows (corpus / 2048) — broadcast it so the
+    # theta pairing is a nested loop over two tiny int lists, never a
+    # partitioned cartesian.
     blk_ids = packed.select("blk")
     pair_idx = blk_ids.select(F.col("blk").alias("blk_a")).join(
-        blk_ids.select(F.col("blk").alias("blk_b")),
+        F.broadcast(blk_ids.select(F.col("blk").alias("blk_b"))),
         F.col("blk_a") <= F.col("blk_b"),
     )
     pairs = (
