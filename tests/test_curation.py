@@ -171,3 +171,19 @@ def test_feature_hashing_unit_norm_and_range(spark, sf_dir):
     assert by_doc
     for sq in by_doc.values():
         assert math.isclose(sq, 1.0, rel_tol=1e-4)
+
+
+def test_inverted_index_postings_sorted_and_df_floor(spark, sf_dir):
+    from text_grabr_orc_spark.operators.curation import (
+        _INV_HEAD,
+        _INV_MIN_DF,
+        text_inverted_index,
+    )
+
+    rows = text_inverted_index(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.df >= _INV_MIN_DF
+        ids = [int(x) for x in r.head_postings.split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r.df, _INV_HEAD)

@@ -216,3 +216,28 @@ def test_pq_trained_output_shape(spark, sf_dir):
     assert set(got) == set(range(10))
     for rks in got.values():
         assert sorted(rks) == [1, 2, 3, 4, 5]
+
+
+def test_filtered_topk_prefilter_contract(spark, sf_dir):
+    """Pre-filtering contract: every neighbor shares the query's
+    label, and each query still gets a FULL k ranks (post-filtering
+    would come up short whenever near neighbors fail the predicate)."""
+    from text_grabr_orc_spark.operators.similarity import (
+        similarity_filtered_topk,
+    )
+    from text_grabr_orc_spark.tables import load_table
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = similarity_filtered_topk(spark, sf_dir).collect()
+    per_query: dict[int, list[int]] = {}
+    for r in rows:
+        assert labels[r.neighbor_id] == labels[r.query_id]
+        per_query.setdefault(r.query_id, []).append(r.rk)
+    assert set(per_query) == set(range(10))
+    for rks in per_query.values():
+        assert sorted(rks) == [1, 2, 3, 4, 5]

@@ -111,3 +111,23 @@ def test_gapfill_grid_complete_and_locf_monotone(spark, sf_dir):
             if r.is_gap:
                 assert r.filled_sum == prev  # LOCF carries forward
             prev = r.filled_sum
+
+
+def test_cohort_retention_day0_is_full(spark, sf_dir):
+    """day_offset 0 is the cohort itself: retention must be exactly
+    1.0 and n_users must equal the cohort size; every retention is in
+    (0, 1]; offsets stay in the 0..7 window."""
+    from text_grabr_orc_spark.operators.timeseries import (
+        events_cohort_retention,
+    )
+
+    rows = events_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    day0 = {r.cohort_day: r for r in rows if r.day_offset == 0}
+    assert day0, "every cohort must have its day-0 row"
+    for r in rows:
+        assert 0 <= r.day_offset <= 7
+        assert 0.0 < r.retention <= 1.0
+        assert r.n_users <= day0[r.cohort_day].n_users
+    for r in day0.values():
+        assert r.retention == 1.0

@@ -194,3 +194,17 @@ def test_q20_semi_join_no_supplier_duplication(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     rows = df.collect()
     assert len(rows) == len({r.s_suppkey for r in rows})
+
+
+def test_zorder_blocks_cover_small_rectangles(spark, sf_dir):
+    """The Z-order layout claim: every block of 16 contiguous z-values
+    covers at most a 4x4 sub-rectangle of the 16x16 bucket grid (a
+    single-column sort would give 16-wide stripes in the other key)."""
+    from text_grabr_orc_spark.operators.relational_ext import zorder_layout_2d
+
+    rows = zorder_layout_2d(spark, sf_dir).collect()
+    # small sf dirs have <16 suppliers, so some z-blocks are empty
+    assert 1 <= len(rows) <= 16
+    for r in rows:
+        assert r.max_bx - r.min_bx <= 3, r
+        assert r.max_by - r.min_by <= 3, r

@@ -741,3 +741,71 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") / F.col("l2"), 6).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (search-engine posting lists)
+# ---------------------------------------------------------------------------
+
+#: document-frequency floor: tokens in fewer docs don't make the index
+#: summary (bounds output by the common-token vocabulary)
+_INV_MIN_DF = 20
+#: posting-list head length kept per token
+_INV_HEAD = 8
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, lower(unnest({_ORACLE_TOKS})) AS token
+        FROM documents
+    ), agg AS (
+        SELECT token,
+               count(*) AS df,
+               array_to_string(list_sort(list(doc_id))[1:{_INV_HEAD}], ',')
+                   AS head_postings
+        FROM tok GROUP BY token
+    )
+    SELECT token, CAST(df AS BIGINT) AS df, head_postings
+    FROM agg WHERE df >= {_INV_MIN_DF}
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> document frequency + the first
+    {_INV_HEAD} postings (sorted doc ids, comma-joined) for every
+    token appearing in >= {_INV_MIN_DF} documents — the core data
+    structure of full-text retrieval, expressed as one relational
+    plan. The head slice keeps the driver-visible summary bounded;
+    the full posting lists are the same aggregate without the slice.
+
+    Scale: tokenize/explode is map-only; the DISTINCT (doc, token)
+    postings set and the per-token aggregate are the SAME shuffle key
+    (token is a function of the pair), so Catalyst plans one exchange
+    for dedup + count + collect; df >= floor bounds the output by
+    vocabulary, not corpus. Posting lists are emitted as strings so
+    the cross-engine comparator sees a scalar column (arrays of ids
+    compare engine-specifically through pandas)."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = (
+        docs.select(
+            "doc_id", F.explode(tokens("text")).alias("tok")
+        )
+        .select("doc_id", F.lower("tok").alias("token"))
+        .distinct()
+    )
+    return (
+        post.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, _INV_HEAD),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("head_postings"),
+        )
+        .filter(F.col("df") >= _INV_MIN_DF)
+        .select("token", F.col("df").cast("bigint").alias("df"), "head_postings")
+    )

@@ -1000,3 +1000,84 @@ def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Z-order (multi-dimensional) data layout
+# ---------------------------------------------------------------------------
+
+#: bits per dimension for the 2-D Morton code (4 bits -> 16 buckets
+#: per key, 256 z-values) and z-values per layout block
+_Z_BITS = 4
+_Z_BLOCK = 16
+
+
+def _z_value_sql() -> str:
+    """Morton (Z-order) interleave of the low _Z_BITS bits of the
+    partkey/suppkey bucket pair — written in the Spark-SQL ∩ DuckDB
+    common operator dialect (%, >>, &, <<) so the SAME string is the
+    expression on both engines."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((((l_partkey % 16) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((((l_suppkey % 16) >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout_2d",
+    oracle=f"""
+    WITH z AS (
+        SELECT l_partkey % 16 AS bx, l_suppkey % 16 AS by,
+               {_z_value_sql()} AS zval
+        FROM lineitem
+    )
+    SELECT zval // {_Z_BLOCK} AS block_id,
+           count(*) AS n_rows,
+           CAST(min(bx) AS BIGINT) AS min_bx,
+           CAST(max(bx) AS BIGINT) AS max_bx,
+           CAST(min(by) AS BIGINT) AS min_by,
+           CAST(max(by) AS BIGINT) AS max_by
+    FROM z GROUP BY block_id
+    """,
+)
+def zorder_layout_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout: the multi-column generalization of
+    ``sorted_layout_zone_maps``. Each lineitem row gets a Morton code
+    interleaving the bits of its (partkey, suppkey) buckets; rows
+    sorted by that code land in layout blocks whose per-block min/max
+    zone maps are TIGHT in BOTH dimensions simultaneously (each block
+    covers a small sub-rectangle of the key space, never a full row
+    or column stripe), which is what lets a scan prune files for
+    predicates on EITHER key — single-column sort gives pruning on
+    one key and none on the other.
+
+    This query computes the per-block zone maps directly (block =
+    contiguous z-value range, exactly what a writer sorting by zval
+    into fixed-size files produces); the write itself is the
+    repartitionByRange(zval) + sortWithinPartitions pattern of
+    sorted_layout_zone_maps. The block summary quantifies layout
+    quality: every block spans at most a 4x4 bucket rectangle of the
+    16x16 key grid. The Morton expression is integer bit arithmetic —
+    bit-identical across engines by construction.
+
+    Scale: the z-value is a map-only expression; the block summary is
+    one aggregate keyed by 16 block ids. A real table rewrite adds
+    one range shuffle — the standard price of re-clustering, paid
+    once to make every later multi-dim scan prune."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        (F.col("l_partkey") % 16).alias("bx"),
+        (F.col("l_suppkey") % 16).alias("by"),
+        F.expr(_z_value_sql()).alias("zval"),
+    )
+    return (
+        z.groupBy(F.expr(f"zval div {_Z_BLOCK}").alias("block_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("bx").cast("bigint").alias("min_bx"),
+            F.max("bx").cast("bigint").alias("max_bx"),
+            F.min("by").cast("bigint").alias("min_by"),
+            F.max("by").cast("bigint").alias("max_by"),
+        )
+    )

@@ -257,6 +257,78 @@ def _ivf_probe_search(
 
 
 @register(
+    "similarity_filtered_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DK_COS.format(a="q.e", b="c.e")} AS cos,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_DK_COS.format(a="q.e", b="c.e")} DESC, c.vec_id
+               ) AS rk
+        FROM v q JOIN v c
+          ON c.label = q.label AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk
+    FROM scored WHERE rk <= 5
+    """,
+)
+def similarity_filtered_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Metadata-FILTERED vector search — the production hybrid-search
+    shape (vector similarity restricted by an attribute predicate,
+    here "same label as the query"): per query, exact top-k cosine
+    among only the vectors satisfying the filter. The industry trap
+    is post-filtering (rank first, filter after), which silently
+    returns FEWER than k rows when near neighbors fail the predicate;
+    this is pre-filtering — the predicate joins BEFORE any scoring,
+    so ranks are computed inside the filtered candidate set and the
+    top-k contract holds exactly.
+
+    Scale: the predicate is an EQUI-join key (label), so Catalyst
+    turns the filter into hash-partitioned candidate routing — scoring
+    work is proportional to the filtered set, not the corpus; the
+    query side (10 rows) broadcasts, and per-query ranking pushes
+    WindowGroupLimit. A range/arbitrary predicate composes the same
+    way: join/filter first, score second."""
+    emb = _emb(spark, sf_dir)
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("e").alias("qe"),
+            F.col("n").alias("qn"),
+        )
+    )
+    cos = cosine_from_parts(dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        emb.join(
+            queries,
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rk").cast("bigint"),
+        )
+    )
+
+
+@register(
     "similarity_label_centroids",
     oracle="""
     WITH v AS (

@@ -414,6 +414,68 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("stage", F.col("stage_idx").cast("int"), "n_users")
 
 
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ), coh AS (
+        SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort_day, count(*) AS cohort_n FROM coh GROUP BY cohort_day
+    )
+    SELECT c.cohort_day,
+           a.day - c.cohort_day AS day_offset,
+           count(*) AS n_users,
+           round(count(*)::DOUBLE / any_value(s.cohort_n), 6) AS retention
+    FROM act a
+    JOIN coh c USING (user_id)
+    JOIN sizes s ON s.cohort_day = c.cohort_day
+    WHERE a.day - c.cohort_day BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by their first-active
+    day, then counted on each of the following 7 days they return —
+    the standard product-analytics retention triangle (day_offset 0 is
+    the cohort itself, so retention there is 1.0 by construction).
+
+    Day bucketing is integer floor-division on epoch nanoseconds —
+    timezone-free and identical on both engines. Retention divides two
+    exact integers, rounded once at the end.
+
+    Scale: the (user, day) activity set is ONE distinct shuffle; the
+    per-user cohort min rides the same user-keyed partitioning; cohort
+    sizes are a day-cardinality-bounded aggregate broadcast back into
+    the final join, so the big fact table is shuffled exactly once."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_ns div {_NS_PER_DAY}").alias("day")
+    )
+    act = ev.distinct()
+    coh = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = coh.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    off = F.col("day") - F.col("cohort_day")
+    return (
+        act.join(coh, "user_id")
+        .filter((off >= 0) & (off <= 7))
+        .groupBy("cohort_day", off.alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("cohort_n"), 6
+            ).alias("retention"),
+        )
+    )
+
+
 #: incremental-maintenance split instant: events before 2024-01-01
 #: 12:00 UTC are the "already materialized" history, the rest is the
 #: arriving delta (the fixture starts 2024-01-01, so both slices are
