@@ -53,3 +53,40 @@ def test_foreachbatch_upsert_stable_across_runs(spark, sf_dir):
     b = {(r.event_type, r.n, r.sum_value)
          for r in streaming_foreachbatch_upsert(spark, sf_dir).collect()}
     assert a == b and a
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir):
+    """The AvailableNow stream-stream interval join must equal the
+    batch non-equi join on the same data."""
+    from text_grabr_orc_spark.sources.events import load_events
+    from text_grabr_orc_spark.streaming.events import (
+        streaming_stream_stream_join,
+    )
+
+    got = {
+        (r.click_id, r.purchase_id, r.user_id, r.click_us, r.purchase_us)
+        for r in streaming_stream_stream_join(spark, sf_dir).collect()
+    }
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_ns"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts_ns").alias("c_ns"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts_ns").alias("p_ns"),
+    )
+    want = {
+        (r.click_id, r.purchase_id, r.user_id, r.c_ns // 1000, r.p_ns // 1000)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("p_ns") >= F.col("c_ns"))
+            & (F.col("p_ns") <= F.col("c_ns") + 30 * 60 * 1_000_000_000),
+        ).collect()
+    }
+    assert got == want and got

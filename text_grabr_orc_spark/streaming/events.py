@@ -471,3 +471,73 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce(F.sum("n"), F.lit(-1)).cast("bigint").alias("n"),
         F.round(F.sum("sum_dec").cast("double"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us
+    FROM events c
+    JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join — the last big piece of the streaming
+    operator surface: clicks joined to the same user's purchases
+    arriving within 30 minutes, both sides unbounded streams. The
+    time-range condition plus both watermarks is what makes the state
+    bounded: Spark keeps click state only until its watermark passes
+    click_ts + 30 minutes and purchase state until the range can no
+    longer match, then evicts — the standard interval-join state
+    contract. Inner-join rows emit as soon as both sides arrive (no
+    watermark wait on output), so AvailableNow produces exactly the
+    batch interval-join result, which is the oracle.
+
+    Scale: state is hash-partitioned by user_id (the equi half of the
+    condition); the range half prunes within each key's state. Output
+    timestamps are epoch microseconds — integer, timezone-free."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts_utc").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts_utc").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + interval 30 minutes
+            """
+        ),
+    )
+    out = run_to_memory(joined, "append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
