@@ -187,3 +187,29 @@ def test_inverted_index_postings_sorted_and_df_floor(spark, sf_dir):
         ids = [int(x) for x in r.head_postings.split(",")]
         assert ids == sorted(ids)
         assert len(ids) == min(r.df, _INV_HEAD)
+
+
+def test_bloom_decontamination_no_false_negatives(spark, sf_dir):
+    """The Bloom guarantee: every doc the EXACT overlap operator flags
+    must also be bloom-flagged (no false negatives); per doc, bloom
+    hits >= exact shared grams; and the false-positive mass stays a
+    small fraction of all grams (16384 bits / 2 hashes over the
+    fixture's benchmark set)."""
+    from text_grabr_orc_spark.operators.curation import (
+        decontaminate_bloom,
+        decontaminate_ngram_overlap,
+    )
+
+    exact = {
+        r.doc_id: r.n_shared_grams
+        for r in decontaminate_ngram_overlap(spark, sf_dir).collect()
+    }
+    bloom = {r.doc_id: r for r in decontaminate_bloom(spark, sf_dir).collect()}
+    for doc_id, n_shared in exact.items():
+        assert doc_id in bloom and bloom[doc_id].flagged == 1
+        assert bloom[doc_id].n_bloom_hits >= n_shared
+    total_grams = sum(r.n_grams for r in bloom.values())
+    false_pos = sum(
+        r.n_bloom_hits for d, r in bloom.items() if d not in exact
+    )
+    assert false_pos <= 0.05 * total_grams

@@ -809,3 +809,148 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= _INV_MIN_DF)
         .select("token", F.col("df").cast("bigint").alias("df"), "head_postings")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (sketch-based, memory-bounded)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: 16384 bits as 512 x 32-bit words (32-bit words
+#: keep every shift <= 31 — DuckDB raises on BIGINT << 63, and
+#: sub-word arithmetic stays identical across engines), 2 hash
+#: functions. Sized for the fixture's ~1.8k benchmark-gram
+#: insertions: p(bit) ~ 0.1, false-positive rate ~ 1% — the 2 KB of
+#: filter a pre-filter stage would actually broadcast.
+_BLOOM_BITS = 16384
+_BLOOM_WORD = 32
+
+
+def _bloom_pos_sql(seed: str) -> str:
+    """DuckDB bit position of gram ``g`` under hash ``seed``."""
+    return f"('0x' || substr(md5('{seed}:' || g), 1, 8))::BIGINT % {_BLOOM_BITS}"
+
+
+def _bloom_pos(col, seed: str):
+    """Spark twin of _bloom_pos_sql (identical md5-prefix bucketing)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+        ).cast("bigint")
+        % _BLOOM_BITS
+    )
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_ORACLE_SHINGLES4} AS grams
+        FROM (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents)
+    ), bench_g AS (
+        SELECT DISTINCT unnest(grams) AS g
+        FROM sh WHERE doc_id % {_DECON_MOD} = 0
+    ), pos AS (
+        SELECT {_bloom_pos_sql("b1")} AS p FROM bench_g
+        UNION ALL
+        SELECT {_bloom_pos_sql("b2")} FROM bench_g
+    ), filt AS (
+        SELECT p // {_BLOOM_WORD} AS w,
+               bit_or(1::BIGINT << (p % {_BLOOM_WORD})) AS bits
+        FROM pos GROUP BY w
+    ), corp AS (
+        SELECT doc_id, unnest(grams) AS g
+        FROM sh WHERE doc_id % {_DECON_MOD} <> 0
+    ), probe AS (
+        SELECT doc_id, g,
+               {_bloom_pos_sql("b1")} AS p1,
+               {_bloom_pos_sql("b2")} AS p2
+        FROM corp
+    ), hits AS (
+        SELECT pr.doc_id, count(*) AS n_hits
+        FROM probe pr
+        JOIN filt f1 ON f1.w = pr.p1 // {_BLOOM_WORD}
+        JOIN filt f2 ON f2.w = pr.p2 // {_BLOOM_WORD}
+        WHERE ((f1.bits >> (pr.p1 % {_BLOOM_WORD})) & 1) = 1
+          AND ((f2.bits >> (pr.p2 % {_BLOOM_WORD})) & 1) = 1
+        GROUP BY pr.doc_id
+    ), totals AS (
+        SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_bloom_hits,
+           CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS flagged
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based decontamination: the held-out benchmark slice's
+    4-grams are folded into a 16384-bit Bloom filter (2 md5-derived
+    hashes), and every training document's grams probe it — the
+    memory-bounded alternative to ``decontaminate_ngram_overlap``'s
+    exact postings join. The Bloom guarantee (no false negatives,
+    bounded false positives) is what makes the sketch usable as a
+    cheap pre-filter at 100 TB: the full benchmark n-gram set never
+    ships to executors, only a constant 2 KB of filter, and only
+    bloom-positive docs need the exact verification join. A pytest
+    pins the superset relation against the exact operator.
+
+    Determinism: bit positions are md5-prefix buckets (the repo's
+    standard cross-engine hash device); the filter build is a bit_or
+    aggregate over 512 32-bit words, integer end to end, identical on
+    both engines by construction.
+
+    Scale: the filter table is 512 rows broadcast to both probe joins;
+    probes are map-side expressions plus two tiny equi-joins; the
+    per-doc rollup is one shuffle keyed by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id", shingles_from_tokens(F.col("toks"), _DECON_N).alias("grams")
+        )
+        .select("doc_id", F.explode("grams").alias("g"))
+    )
+    bench_g = (
+        grams.filter(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
+    )
+    pos = bench_g.select(_bloom_pos(F.col("g"), "b1").alias("p")).unionAll(
+        bench_g.select(_bloom_pos(F.col("g"), "b2").alias("p"))
+    )
+    filt = pos.groupBy(
+        F.expr(f"p div {_BLOOM_WORD}").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT))")
+        ).alias("bits")
+    )
+    corp = grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+    probe = corp.select(
+        "doc_id",
+        "g",
+        _bloom_pos(F.col("g"), "b1").alias("p1"),
+        _bloom_pos(F.col("g"), "b2").alias("p2"),
+    )
+    f1 = F.broadcast(filt.select(F.col("w").alias("w1"), F.col("bits").alias("bits1")))
+    f2 = F.broadcast(filt.select(F.col("w").alias("w2"), F.col("bits").alias("bits2")))
+    hits = (
+        probe.join(f1, F.expr(f"w1 = p1 div {_BLOOM_WORD}"))
+        .join(f2, F.expr(f"w2 = p2 div {_BLOOM_WORD}"))
+        .filter(
+            F.expr(
+                f"((bits1 >> CAST(p1 % {_BLOOM_WORD} AS INT)) & 1) = 1 AND "
+                f"((bits2 >> CAST(p2 % {_BLOOM_WORD} AS INT)) & 1) = 1"
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        n_hits.cast("bigint").alias("n_bloom_hits"),
+        (n_hits > 0).cast("bigint").alias("flagged"),
+    )
