@@ -9,6 +9,8 @@ a narrow map-side expression (no shuffle until the aggregate).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -213,4 +215,81 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cum").cast("double") / F.col("total"), 6)
             .alias("cum_share"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (the UDAF flavor of the Python surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pandas_udaf_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(any_value(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(avg(value), 6) AS trimmed_mean
+    FROM ranked
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    """,
+)
+def pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG ``pandas_udf`` — the user-defined-AGGREGATE flavor
+    of the Python surface (next to scalar Arrow UDFs, mapInPandas,
+    applyInPandas and UDTFs): a 10%-trimmed mean of ``value`` per
+    event type, a statistic Spark has no builtin for. The UDAF
+    receives each group's values as ONE pandas Series and returns a
+    scalar, so the Python boundary is crossed once per (group,
+    partition) with Arrow-batched columns — never per row.
+
+    Trim semantics: drop the floor(n/10) smallest and largest values,
+    average the rest. Equal values are interchangeable for a mean, so
+    sorting by value alone is deterministic cross-engine; the mean of
+    ~thousands of O(100) doubles differs between numpy's pairwise and
+    DuckDB's sequential summation far below the 6dp rounding.
+
+    Scale note (the honest UDAF caveat): GROUPED_AGG is whole-group —
+    it cannot partial-aggregate map-side, so the shuffle carries every
+    row of skewed groups to one task. For bounded statistics
+    (mean/max) prefer native partial aggregates; trimmed/rank-based
+    statistics genuinely need the whole group (or a distributed
+    selection algorithm), which is exactly when this surface earns
+    its shuffle."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        s = np.sort(v.to_numpy(dtype=np.float64))
+        k = len(s) // 10
+        kept = s[k : len(s) - k] if k else s
+        return float(kept.mean())
+
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with native
+    # aggregates in one agg(); the native counts run in their own
+    # (partial-aggregating) pass and meet the UDAF on the tiny
+    # per-type key set
+    means = ev.groupBy("event_type").agg(
+        F.round(trimmed_mean("value"), 6).alias("trimmed_mean")
+    )
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (
+            F.count(F.lit(1)) - 2 * F.floor(F.count(F.lit(1)) / 10)
+        ).cast("bigint").alias("n_kept"),
+    )
+    return counts.join(means, "event_type").select(
+        "event_type", "n_events", "n_kept", "trimmed_mean"
     )

@@ -975,3 +975,100 @@ def similarity_topk_pq_trained(
             F.col("rk").cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (cross-corpus translation-pair candidates)
+# ---------------------------------------------------------------------------
+
+#: margin denominator depth (mean similarity of the top-_MARGIN_K
+#: neighbors) and query-side bound
+_MARGIN_K = 4
+_MARGIN_QUERIES = 20
+
+
+@register(
+    "bitext_mining_margin",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_DK_COS.format(a="q.e", b="c.e")} AS cos,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_DK_COS.format(a="q.e", b="c.e")} DESC, c.vec_id
+               ) AS rk
+        FROM v q JOIN v c ON c.label <> q.label
+        WHERE q.vec_id < {_MARGIN_QUERIES}
+    ), knn AS (
+        SELECT query_id,
+               CAST(sum(CAST(round(cos, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                   / count(*) AS denom
+        FROM scored WHERE rk <= {_MARGIN_K} GROUP BY query_id
+    )
+    SELECT s.query_id, s.cand_id AS match_id,
+           round(s.cos, 6) AS cosine,
+           round(s.cos / k.denom, 6) AS margin
+    FROM scored s JOIN knn k USING (query_id)
+    WHERE s.rk = 1
+    """,
+)
+def bitext_mining_margin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Margin-based bitext mining (the LASER/CCMatrix device): for
+    each query vector, candidates come from the OTHER corpus (here:
+    any different label), and the best candidate is scored by its
+    MARGIN — cosine divided by the mean cosine of the query's top-k
+    neighborhood — instead of raw cosine. Raw-cosine thresholds
+    over-fire in dense regions and under-fire in sparse ones; the
+    margin normalizes by local density, which is why production
+    translation-pair mining ranks by it.
+
+    Determinism: the denominator sums top-k cosines quantized to
+    DECIMAL(18,9) (summation-order-proof), divides by the exact count,
+    and the final margin rounds once — the same device as PageRank's
+    per-edge contributions.
+
+    Scale: query side is bounded and broadcast; the label-inequality
+    join is the corpus scan; per-query ranking pushes
+    WindowGroupLimit, and the margin join touches only k rows per
+    query."""
+    emb = _emb(spark, sf_dir)
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < _MARGIN_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("e").alias("qe"),
+            F.col("n").alias("qn"),
+        )
+    )
+    cos = cosine_from_parts(dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    scored = (
+        emb.join(queries, F.col("label") != F.col("qlabel"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MARGIN_K)
+    )
+    knn = scored.groupBy("query_id").agg(
+        (
+            F.sum(F.round(F.col("cos"), 9).cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("denom")
+    )
+    return (
+        scored.filter(F.col("rk") == 1)
+        .join(knn, "query_id")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("match_id"),
+            F.round("cos", 6).alias("cosine"),
+            F.round(F.col("cos") / F.col("denom"), 6).alias("margin"),
+        )
+    )
