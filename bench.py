@@ -72,6 +72,14 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "asof_purchase_last_click",
     "multires_rollup_daily",
+    # round-4 additions: one per new operator family
+    "dedup_clusters_twophase",
+    "similarity_filtered_topk",
+    "bitext_mining_margin",
+    "decontaminate_bloom",
+    "events_cohort_retention",
+    "text_inverted_index",
+    "zorder_layout_2d",
     "streaming_hourly_counts",
     "ocr_pipeline_stub",
 ]

@@ -1075,6 +1075,7 @@ def two_phase_cc(
         .localCheckpoint()
     )
     rounds = 0
+    prev_stats: tuple | None = None
     for _ in range(max_iter):
         rounds += 1
         # large-star: from each center v, connect every LARGER
@@ -1106,10 +1107,23 @@ def two_phase_cc(
             .distinct()
             .localCheckpoint()
         )
-        unchanged = (
-            nxt.count() == cur.count()
-            and nxt.exceptAll(cur).isEmpty()
+        # convergence probe in ONE action (count + order-insensitive
+        # hash sum): per-round driver jobs dominate wall time on the
+        # post-contraction edge sets (tiny data, fixed scheduling
+        # cost), so the exact exceptAll set-compare runs only when the
+        # cheap probe says "probably fixed" — a hash collision would
+        # just cost one extra confirmed round, never a wrong stop.
+        stats = tuple(
+            nxt.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64("hi", "lo") % F.lit(1_000_000_007)),
+                    F.lit(0),
+                ).alias("h"),
+            ).first()
         )
+        unchanged = stats == prev_stats and nxt.exceptAll(cur).isEmpty()
+        prev_stats = stats
         cur = nxt
         if unchanged:
             break
