@@ -307,3 +307,55 @@ def test_pagerank_mass_conservation_and_bounds(spark, sf_dir):
     assert abs(total - len(rows)) < 1e-3 * len(rows)
     for r in rows:
         assert r.rank >= 0.15 and r.degree >= 1
+
+
+def test_triangle_participation_on_known_graph(spark, tmp_path):
+    """Driver-side triangle enumeration over the exact pair set is
+    the ground truth. The synthetic fixture guarantees triangles: a
+    4-clique (ids 0-3), a 3-clique (4-6), and isolated vectors."""
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base1 = rng.normal(size=64).astype("float32")
+    base2 = rng.normal(size=64).astype("float32")
+    rows = []
+    for i in range(4):  # 4-clique: tiny perturbations of base1
+        rows.append((i, (base1 + 0.01 * rng.normal(size=64).astype("float32")).tolist(), 0))
+    for i in range(4, 7):  # 3-clique around base2
+        rows.append((i, (base2 + 0.01 * rng.normal(size=64).astype("float32")).tolist(), 1))
+    for i in range(7, 10):  # isolated
+        rows.append((i, rng.normal(size=64).astype("float32").tolist(), 2))
+    sf = str(tmp_path / "tri_sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    sf_dir = sf
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.dedup_embedding_gemm(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = {
+        tuple(sorted((a, b, c)))
+        for a, b in pairs
+        for c in (adj[a] & adj[b])
+    }
+    want: dict[int, int] = {}
+    for t in tris:
+        for n in t:
+            want[n] = want.get(n, 0) + 1
+    got = {
+        r.node_id: r.n_triangles
+        for r in dedup.graph_triangle_participation(spark, sf_dir).collect()
+    }
+    assert got == want and got

@@ -131,3 +131,43 @@ def test_cohort_retention_day0_is_full(spark, sf_dir):
         assert r.n_users <= day0[r.cohort_day].n_users
     for r in day0.values():
         assert r.retention == 1.0
+
+
+def test_cdc_last_write_wins_matches_window_rank(spark, sf_dir):
+    """The max_by compaction must agree with the window-rank
+    formulation computed independently in the test."""
+    from pyspark.sql import Window
+
+    from text_grabr_orc_spark.operators.events_batch import (
+        cdc_last_write_wins,
+    )
+    from text_grabr_orc_spark.sources.events import load_events
+
+    got = {
+        r.user_id: (r.last_type, r.last_value, r.last_event_id, r.n_events, r.alive)
+        for r in cdc_last_write_wins(spark, sf_dir).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    ranked = (
+        load_events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_events",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    want = {
+        r.user_id: (
+            r.event_type,
+            round(r.value, 6),
+            r.event_id,
+            r.n_events,
+            1 if r.event_type != "error" else 0,
+        )
+        for r in ranked
+    }
+    assert got == want and got

@@ -1089,12 +1089,15 @@ def two_phase_cc(
             .agg(F.min("u").alias("mu"))
             .select("v", F.least("mu", "v").alias("m"))
         )
+        # no distinct here: duplicate (hi, lo) rows cannot change the
+        # small-star min-aggregate below, only fan out the tiny join,
+        # and the round's final distinct cleans the output — dropping
+        # it saves one full shuffle per round
         ls = (
             sym.filter(F.col("u") > F.col("v"))
             .join(mins, "v")
             .select(F.col("u").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
-            .distinct()
         )
         # small-star: from each center (a canonical hi), connect its
         # smaller neighbors AND itself to their minimum.
@@ -1365,4 +1368,78 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node_id",
         F.col("degree").cast("bigint").alias("degree"),
         F.round("r", 6).alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (near-dup graph cohesion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_participation",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), p AS ({_CC_PAIRS_ORACLE}
+    ), tri AS (
+        SELECT e1.vec_a AS a, e1.vec_b AS b, e2.vec_b AS c
+        FROM p e1
+        JOIN p e2 ON e2.vec_a = e1.vec_b
+        JOIN p e3 ON e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b
+    ), member AS (
+        SELECT a AS node_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY node_id
+    """,
+)
+def graph_triangle_participation(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Per-node triangle counts over the near-dup similarity graph —
+    the standard cohesion signal (a node in many triangles sits in a
+    dense template family, not a chain of borderline matches; triangle
+    density is what separates "true duplicate cluster" from
+    "transitive drift" when tuning thresholds).
+
+    Algorithm: each triangle {{a < b < c}} is enumerated exactly once
+    from the canonically-oriented edge list — wedge join (a,b)x(b,c)
+    then closure check against (a,c); every join is an equi-join on
+    vertex ids. The orientation trick is also the scale device: with
+    edges directed low->high, each wedge is generated once, and (the
+    classic refinement, documented not needed at fixture density)
+    orienting by DEGREE instead of id bounds wedge fan-out by the
+    arboricity. Pairs come from the tiled-GEMM generator, persisted
+    once for the three self-join probes.
+
+    Scale: 3 equi-joins on the pair table (bounded by duplicate mass,
+    not corpus size), one shuffle per join side; the membership
+    explode is 3 rows per triangle into a map-side-combinable count."""
+    pairs = (
+        dedup_embedding_gemm(spark, sf_dir, threshold=threshold)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()
+    )
+    e1 = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    e2 = pairs.select(F.col("vec_a").alias("b"), F.col("vec_b").alias("c"))
+    e3 = pairs.select(F.col("vec_a").alias("a3"), F.col("vec_b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    member = (
+        tri.select(F.col("a").alias("node_id"))
+        .unionAll(tri.select(F.col("b").alias("node_id")))
+        .unionAll(tri.select(F.col("c").alias("node_id")))
+    )
+    return member.groupBy("node_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )

@@ -293,3 +293,67 @@ def pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(means, "event_type").select(
         "event_type", "n_events", "n_kept", "trimmed_mean"
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC log compaction (last-write-wins state reconstruction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_last_write_wins",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+    )
+    SELECT user_id,
+           event_type AS last_type,
+           round(value, 6) AS last_value,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS BIGINT)
+               AS alive
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: reconstruct the latest state per key from
+    an append-only change log — last-write-wins on (ts, event_id),
+    with the terminal event type deciding liveness (an 'error' as the
+    final event plays the tombstone role). This is the compaction
+    pass every log-structured ingest (Kafka compacted topics, CDC
+    into a lakehouse MERGE) runs before serving state.
+
+    Plan shape: max_by over a lexicographic (ts_ns, event_id) struct
+    — ONE aggregation with map-side partial combine (each mapper
+    keeps one candidate row per key), not a window rank, which would
+    shuffle every log row to sort full per-key histories. The oracle
+    is the window formulation — same fixpoint, different algorithm.
+
+    Scale: shuffle volume is one row per (mapper, key), independent
+    of per-key history length — the property that makes compaction
+    feasible when hot keys have millions of updates."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "value", "event_id", "ts_ns"
+    )
+    ord_key = F.struct(F.col("ts_ns"), F.col("event_id"))
+    last = ev.groupBy("user_id").agg(
+        F.max_by("event_type", ord_key).alias("last_type"),
+        F.max_by("value", ord_key).alias("last_value"),
+        F.max_by("event_id", ord_key).alias("last_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return last.select(
+        "user_id",
+        "last_type",
+        F.round("last_value", 6).alias("last_value"),
+        F.col("last_event_id").cast("bigint"),
+        F.col("n_events").cast("bigint"),
+        (F.col("last_type") != "error").cast("bigint").alias("alive"),
+    )
