@@ -175,3 +175,21 @@ def test_ocr_textcount_uses_go_parity_tokenizer():
 
     assert pfc("OCRSTUB 4x2 deadbeef") == 3
     assert pfc("x\x1fy") == 1 and len("x\x1fy".split()) == 2
+
+
+def test_hll_estimate_within_standard_error(spark, sf_dir):
+    """Raw HLL with m=64 has relative standard error ~1.04/sqrt(64)
+    = 13%; allow 3 sigma. Register invariants: none exceed the rank
+    cap, empty+filled = m."""
+    from text_grabr_orc_spark.operators.sketches import (
+        _HLL_M,
+        _HLL_MAX_RANK,
+        hll_distinct_users,
+    )
+
+    row = hll_distinct_users(spark, sf_dir).collect()[0]
+    assert row.m == _HLL_M
+    assert row.register_sum <= _HLL_M * _HLL_MAX_RANK
+    assert 0 <= row.empty_registers <= _HLL_M
+    rel_err = abs(row.estimate - row.n_exact) / row.n_exact
+    assert rel_err < 3 * 1.04 / (_HLL_M ** 0.5), (row.estimate, row.n_exact)

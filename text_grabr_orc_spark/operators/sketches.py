@@ -135,3 +135,133 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_n",
         (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (oracle-checked registers, not just an accuracy envelope)
+# ---------------------------------------------------------------------------
+
+#: HLL geometry: 64 registers (6 index bits), 26-bit rank suffix from
+#: a 32-bit md5 slice; alpha for m=64 per Flajolet et al. 2007.
+_HLL_M = 64
+_HLL_ALPHA = 0.709
+_HLL_MAX_RANK = 27
+
+
+def _hll_rank_case(suffix: str) -> str:
+    """CASE chain computing trailing-zeros+1 of ``suffix`` (the HLL
+    rank) in the Spark-SQL ∩ DuckDB operator dialect — generated once
+    and used VERBATIM on both engines, so there is no float log2 to
+    disagree about."""
+    whens = " ".join(
+        f"WHEN (({suffix}) & {1 << k}) <> 0 THEN {k + 1}"
+        for k in range(_HLL_MAX_RANK - 1)
+    )
+    return f"CASE {whens} ELSE {_HLL_MAX_RANK} END"
+
+
+@register(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH h AS (
+        SELECT ('0x' || substr(md5('hll:' || user_id::VARCHAR), 1, 8))::BIGINT
+                   AS h
+        FROM events
+    ), regs AS (
+        SELECT h % {_HLL_M} AS idx,
+               max({_hll_rank_case(f"h // {_HLL_M}")}) AS r
+        FROM h GROUP BY idx
+    ), full_regs AS (
+        SELECT i.idx, coalesce(regs.r, 0) AS r
+        FROM (SELECT unnest(range({_HLL_M}))::BIGINT AS idx) i
+        LEFT JOIN regs USING (idx)
+    ), est AS (
+        SELECT {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                   / sum(power(2.0, -r)) AS raw_est,
+               CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS empty_registers,
+               CAST(sum(r) AS BIGINT) AS register_sum
+        FROM full_regs
+    )
+    SELECT CAST({_HLL_M} AS BIGINT) AS m,
+           (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
+           round(CASE WHEN raw_est <= 2.5 * {_HLL_M} AND empty_registers > 0
+                      THEN {_HLL_M} * ln({_HLL_M}
+                                         / CAST(empty_registers AS DOUBLE))
+                      ELSE raw_est END, 6) AS estimate,
+           round(raw_est, 6) AS raw_estimate,
+           empty_registers, register_sum
+    FROM est
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate with ORACLE-CHECKED
+    registers — the companion to the count-min sketch above: because
+    register updates are max() over hashes both engines compute
+    identically (32-bit md5 slices, trailing-zero rank via a shared
+    CASE chain — no float log anywhere), the entire sketch state and
+    the raw Flajolet estimate are bit-reproducible in DuckDB. The
+    estimate's float arithmetic is deterministic too: every 2^-r term
+    is an exact power of two within 2^27 of each other, so the 64-term
+    sum is EXACT in doubles regardless of order.
+
+    This is the mergeable-state shape that matters at 100 TB:
+    registers partial-aggregate map-side (max is commutative), shuffle
+    64 rows total, and two corpora's sketches merge with elementwise
+    max — the distributed-distinct-count contract
+    (approx_count_distinct runs the same structure with an opaque
+    private hash, which is why it can only be rows-only checked).
+
+    Small-range correction included (raw <= 2.5m with empty registers
+    switches to linear counting m*ln(m/V), Flajolet et al.'s standard
+    branch — the single scalar ln rounds at 6dp, far above engine ulp
+    noise); the uncorrected raw estimate rides along, and n_exact
+    makes the error visible."""
+    ev = load_events(spark, sf_dir).select("user_id")
+    h = ev.select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+    regs = h.select(
+        (F.col("h") % _HLL_M).alias("idx"),
+        F.expr(_hll_rank_case(f"h div {_HLL_M}")).alias("rank"),
+    ).groupBy("idx").agg(F.max("rank").alias("r"))
+    full_regs = (
+        spark.range(_HLL_M)
+        .select(F.col("id").alias("idx"))
+        .join(regs, "idx", "left")
+        .select(F.coalesce("r", F.lit(0)).alias("r"))
+    )
+    est = full_regs.agg(
+        (
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            / F.sum(F.pow(F.lit(2.0), -F.col("r")))
+        ).alias("raw_est"),
+        F.sum((F.col("r") == 0).cast("int")).cast("bigint").alias(
+            "empty_registers"
+        ),
+        F.sum("r").cast("bigint").alias("register_sum"),
+    )
+    n_exact = ev.distinct().count()
+    corrected = F.when(
+        (F.col("raw_est") <= 2.5 * _HLL_M) & (F.col("empty_registers") > 0),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / F.col("empty_registers").cast("double")),
+    ).otherwise(F.col("raw_est"))
+    return est.select(
+        F.lit(_HLL_M).cast("bigint").alias("m"),
+        F.lit(n_exact).cast("bigint").alias("n_exact"),
+        F.round(corrected, 6).alias("estimate"),
+        F.round("raw_est", 6).alias("raw_estimate"),
+        "empty_registers",
+        "register_sum",
+    )
