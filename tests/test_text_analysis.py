@@ -145,3 +145,15 @@ def test_pack_training_sequences_two_pass_prefix_sum(spark, sf_dir):
             assert "pid" in line, f"unpartitioned window in plan: {line}"
     # offsets arrive via a broadcast join, not a global sort
     assert "BroadcastHashJoin" in plan
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(distinct chars) for every doc (Shannon bound)."""
+    import math
+
+    from text_grabr_orc_spark.operators.text_analysis import text_char_entropy
+
+    rows = text_char_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.entropy_bits <= math.log2(r.n_distinct_chars) + 1e-9

@@ -171,3 +171,25 @@ def test_cdc_last_write_wins_matches_window_rank(spark, sf_dir):
         for r in ranked
     }
     assert got == want and got
+
+
+def test_twap_within_value_bounds(spark, sf_dir):
+    """A time-weighted average must lie within the user's observed
+    value range, and span_ns must equal last-first event time."""
+    from text_grabr_orc_spark.operators.timeseries import (
+        events_time_weighted_avg,
+    )
+    from text_grabr_orc_spark.sources.events import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "value", "ts_ns").collect()
+    lo, hi, first, last = {}, {}, {}, {}
+    for r in ev:
+        lo[r.user_id] = min(lo.get(r.user_id, r.value), r.value)
+        hi[r.user_id] = max(hi.get(r.user_id, r.value), r.value)
+        first[r.user_id] = min(first.get(r.user_id, r.ts_ns), r.ts_ns)
+        last[r.user_id] = max(last.get(r.user_id, r.ts_ns), r.ts_ns)
+    rows = events_time_weighted_avg(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert lo[r.user_id] - 1e-6 <= r.twap <= hi[r.user_id] + 1e-6
+        assert r.span_ns == last[r.user_id] - first[r.user_id]

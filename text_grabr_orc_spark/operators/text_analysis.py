@@ -548,3 +548,77 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(split(text, '')) AS ch FROM documents
+    ), freq AS (
+        SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY doc_id, ch
+    ), tot AS (
+        SELECT doc_id, sum(n) AS n_chars, count(*) AS n_distinct
+        FROM freq GROUP BY doc_id
+    ), terms AS (
+        SELECT f.doc_id,
+               CAST(round(
+                   (f.n::DOUBLE / t.n_chars)
+                   * log2(f.n::DOUBLE / t.n_chars), 12)
+                 AS DECIMAL(26,12)) AS term
+        FROM freq f JOIN tot t USING (doc_id)
+    )
+    SELECT t.doc_id,
+           CAST(t.n_chars AS BIGINT) AS n_chars,
+           CAST(t.n_distinct AS BIGINT) AS n_distinct_chars,
+           round(-CAST(sum(terms.term) AS DOUBLE), 6) AS entropy_bits
+    FROM terms JOIN tot t USING (doc_id)
+    GROUP BY t.doc_id, t.n_chars, t.n_distinct
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (bits/char) — the
+    compression-ratio-proxy quality signal: machine-generated noise
+    sits near the alphabet's max entropy, template boilerplate and
+    degenerate repetition sit far below natural-language ~4.1 bits,
+    so both tails of this score are standard cleaning cuts.
+
+    Determinism: each p*log2(p) term quantizes to DECIMAL(26,12)
+    before the per-doc sum (the PageRank device), so summation order
+    cannot move the total; probabilities are exact integer ratios and
+    log2 of identical doubles matches to the ulp.
+
+    Scale: chars explode ~n_chars rows per doc but aggregate
+    map-side to (doc, char) counts — alphabet-bounded per doc — and
+    every subsequent stage is keyed by doc_id on vocabulary-sized
+    data."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = freq.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chars"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("n").cast("double") / F.col("n_chars")
+    terms = freq.join(tot, "doc_id").select(
+        "doc_id",
+        F.round(p * F.log2(p), 12).cast("decimal(26,12)").alias("term"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg((-F.sum("term").cast("double")).alias("H"))
+        .join(tot, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct_chars"),
+            F.round("H", 6).alias("entropy_bits"),
+        )
+    )

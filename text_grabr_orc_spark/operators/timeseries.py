@@ -543,3 +543,68 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, epoch_ns(ts) AS t,
+               lead(epoch_ns(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS t_next
+        FROM events
+    ), seg AS (
+        SELECT user_id,
+               CAST(round(value, 6) AS DECIMAL(18,6)) AS v,
+               (t_next - t) AS dt
+        FROM seq WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(dt) AS BIGINT) AS span_ns,
+           round(CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6)
+               AS twap
+    FROM seg GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of ``value`` per user: each
+    event's value holds until the user's next event (step-function /
+    last-write-wins semantics), so the average weights every value by
+    how LONG it was current, not how often it was reported — the
+    correct aggregate for irregularly sampled gauges (position value,
+    sensor readings, account balance), where a plain avg() is biased
+    toward bursty reporting periods.
+
+    Exactness: durations are int64 nanosecond differences; values
+    quantize to DECIMAL(18,6) so every value*dt product and both sums
+    are exact decimals on both engines — the one division happens
+    last, on identical inputs, rounded once.
+
+    Scale: one window (partitioned by user — never global) to pair
+    each event with its successor, then one keyed aggregate with
+    map-side partial sums. Same shuffle count as a plain per-user
+    rollup."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "value", "ts_ns", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seg = (
+        ev.withColumn("t_next", F.lead("ts_ns").over(w))
+        .filter(F.col("t_next").isNotNull())
+        .select(
+            "user_id",
+            F.round("value", 6).cast("decimal(18,6)").alias("v"),
+            (F.col("t_next") - F.col("ts_ns")).alias("dt"),
+        )
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("dt").cast("bigint").alias("span_ns"),
+        F.round(
+            F.sum(F.col("v") * F.col("dt")).cast("double")
+            / F.sum("dt").cast("double"),
+            6,
+        ).alias("twap"),
+    )
