@@ -296,3 +296,88 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.min("doc_id"), F.lit(-1)).cast("bigint").alias("first_doc"),
         F.coalesce(F.max("doc_id"), F.lit(-1)).cast("bigint").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed padded batches (the other packing strategy)
+# ---------------------------------------------------------------------------
+
+#: token-length bucket width and examples per padded batch
+_LB_WIDTH = 16
+_LB_BATCH = 8
+
+_LB_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '{ORACLE_WS_RUN}'),
+                               t -> t <> '')) AS n_tok
+        FROM documents
+    ), bucketed AS (
+        SELECT doc_id, n_tok,
+               n_tok // {_LB_WIDTH} AS bucket,
+               (row_number() OVER (
+                   PARTITION BY n_tok // {_LB_WIDTH} ORDER BY doc_id
+               ) - 1) // {_LB_BATCH} AS batch_idx
+        FROM tok WHERE n_tok > 0
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(batch_idx AS BIGINT) AS batch_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(n_tok), -1) AS BIGINT) AS n_tokens,
+           CAST(coalesce(max(n_tok), -1) AS BIGINT) AS max_len,
+           CAST(coalesce(max(n_tok) * count(*) - sum(n_tok), -1) AS BIGINT)
+               AS padding_waste
+    FROM bucketed
+    GROUP BY bucket, batch_idx
+"""
+
+
+@register("batch_by_length", oracle=_LB_ORACLE)
+def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed PADDED batching — the other packing strategy
+    next to ``pack_training_sequences``' concatenation: documents
+    bucket by token-length range (width 16), each bucket splits into
+    fixed-size batches, and every batch pads to its own max length.
+    ``padding_waste`` (padded slots minus real tokens) is the metric
+    this layout minimizes — batching random-length docs together pads
+    everything to the global max, while length-local batches keep
+    waste proportional to the bucket width. This is the standard
+    dataloader shape for padded-attention training and batched
+    inference.
+
+    Scale: bucket assignment is a map-only expression; the
+    within-bucket row_number windows are PARTITIONED by bucket (never
+    global — the window key is the same as the following groupBy key,
+    so both ride one bucket-keyed exchange). Bucket count is bounded
+    by max_len/width, independent of corpus size."""
+    from text_grabr_orc_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", token_count("text").alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("bucket", F.expr(f"n_tok div {_LB_WIDTH}"))
+    )
+    bucketed = toks.withColumn(
+        "batch_idx",
+        F.expr(f"(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) div {_LB_BATCH}"),
+    )
+    return (
+        bucketed.groupBy("bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.max("n_tok").alias("max_len"),
+            (F.max("n_tok") * F.count(F.lit(1)) - F.sum("n_tok")).alias(
+                "padding_waste"
+            ),
+        )
+        .select(
+            F.col("bucket").cast("bigint"),
+            F.col("batch_idx").cast("bigint"),
+            F.col("n_docs").cast("bigint"),
+            F.col("n_tokens").cast("bigint"),
+            F.col("max_len").cast("bigint"),
+            F.col("padding_waste").cast("bigint"),
+        )
+    )
