@@ -1074,6 +1074,26 @@ def two_phase_cc(
         .distinct()
         .localCheckpoint()
     )
+    # size the loop's shuffles to the EDGE SET, not the session
+    # default: the contracted graph is orders of magnitude smaller
+    # than the corpus, and per-round wall time on it is dominated by
+    # task-scheduling overhead (measured 5.6s -> 3.5s at sf0.1 going
+    # 64 -> 8 partitions). ~1M edges per partition, floor 8 so the
+    # loop still spreads across cores; restored on every exit path.
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_edges = cur.count()
+    loop_parts = max(8, min(int(prev_parts), n_edges // 1_000_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _two_phase_cc_loop(cur, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _two_phase_cc_loop(
+    cur: DataFrame, max_iter: int
+) -> tuple[DataFrame, int]:
     rounds = 0
     prev_stats: tuple | None = None
     for _ in range(max_iter):
