@@ -546,3 +546,54 @@ def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_canonical",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity group suppression
+# ---------------------------------------------------------------------------
+
+#: minimum group size for a (lang, source) cell to survive
+_KANON_K = 20
+
+
+@register(
+    "kanonymity_suppress",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, count(*) AS n,
+               CAST(coalesce(sum(n_chars), -1) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, CAST(n AS BIGINT) AS n,
+           total_chars,
+           CAST(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END AS BIGINT)
+               AS suppressed
+    FROM cells
+    """,
+)
+def kanonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity cell audit over the (lang, source) quasi-identifier
+    pair: any cell with fewer than k={_KANON_K} documents is flagged
+    for suppression — releasing per-cell statistics (or the documents
+    themselves keyed by these attributes) from a smaller cell risks
+    re-identification, so privacy-reviewed corpus releases drop or
+    generalize them. The flag, not a filter, is emitted so the
+    downstream release step can choose suppression vs generalization
+    (merge into a coarser cell).
+
+    Scale: one map-side-combinable aggregate over the quasi-identifier
+    key; output is bounded by the attribute-combination cardinality,
+    never corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("n_chars"), F.lit(-1))
+        .cast("bigint")
+        .alias("total_chars"),
+    ).select(
+        "lang",
+        "source",
+        "n",
+        "total_chars",
+        (F.col("n") < _KANON_K).cast("bigint").alias("suppressed"),
+    )

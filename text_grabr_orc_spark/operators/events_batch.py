@@ -357,3 +357,109 @@ def cdc_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint"),
         (F.col("last_type") != "error").cast("bigint").alias("alive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly detection (exact-moment profile per key)
+# ---------------------------------------------------------------------------
+
+_Z_THRESHOLD = 3.0
+
+
+@register(
+    "events_zscore_anomalies",
+    oracle=f"""
+    WITH moments AS (
+        SELECT user_id,
+               count(*) AS n,
+               sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS s1,
+               sum(CAST(round(value, 6) AS DECIMAL(18,6))
+                   * CAST(round(value, 6) AS DECIMAL(18,6))) AS s2
+        FROM events GROUP BY user_id HAVING count(*) >= 2
+    ), stats AS (
+        SELECT user_id, n,
+               CAST(s1 AS DOUBLE) / n AS mean,
+               sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                    / (n - 1)) AS sd
+        FROM moments
+    )
+    SELECT e.user_id,
+           CAST(any_value(s.n) AS BIGINT) AS n_events,
+           round(any_value(s.mean), 6) AS mean_value,
+           round(any_value(s.sd), 6) AS stddev_value,
+           CAST(coalesce(sum(CASE WHEN s.sd > 0 AND
+                     abs((e.value - s.mean) / s.sd) > {_Z_THRESHOLD}
+                     THEN 1 ELSE 0 END), -1) AS BIGINT) AS n_anomalies,
+           round(max(CASE WHEN s.sd > 0
+                          THEN abs((e.value - s.mean) / s.sd)
+                          ELSE 0.0 END), 6) AS max_abs_z
+    FROM events e JOIN stats s USING (user_id)
+    GROUP BY e.user_id
+    """,
+)
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score anomaly profile: each user's value
+    distribution summarized by exact moments, every event scored
+    against its own key's mean/stddev, |z| > 3 counted as anomalous —
+    the memory-bounded per-entity outlier pass monitoring pipelines
+    run (per-key moments, not per-key histories).
+
+    Determinism: first and second moments accumulate as exact
+    DECIMAL sums of 6dp-quantized values (order-proof on both
+    engines); mean/stddev derive from those exact sums in double with
+    identical expressions; the z comparison uses the derived doubles
+    on both sides, so the >3 branch can't disagree.
+
+    Scale: the moments pass is one map-side-combinable aggregate (3
+    numbers per key, independent of history length); the scoring pass
+    re-joins the tiny stats table to the fact on the same key — two
+    shuffles total, the second co-partitioned with the first."""
+    ev = load_events(spark, sf_dir).select("user_id", "value")
+    v = F.round("value", 6).cast("decimal(18,6)")
+    moments = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    stats = moments.select(
+        "user_id",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    z = F.abs((F.col("value") - F.col("mean")) / F.col("sd"))
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("n").cast("bigint").alias("n_events"),
+            F.round(F.first("mean"), 6).alias("mean_value"),
+            F.round(F.first("sd"), 6).alias("stddev_value"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("sd") > 0) & (z > _Z_THRESHOLD), 1
+                    ).otherwise(0)
+                ),
+                F.lit(-1),
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.round(
+                F.max(F.when(F.col("sd") > 0, z).otherwise(F.lit(0.0))), 6
+            ).alias("max_abs_z"),
+        )
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from text_grabr_orc_spark.functions.text import (
     ORACLE_WS_RUN,
@@ -621,4 +622,126 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_distinct").cast("bigint").alias("n_distinct_chars"),
             F.round("H", 6).alias("entropy_bits"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF all-pairs cosine (Bayardo-style similarity join)
+# ---------------------------------------------------------------------------
+
+#: document-frequency cap: terms in more docs than this are dropped
+#: from the similarity space (the standard stop-term prune that
+#: bounds posting-list fan-out in all-pairs similarity search)
+_SPARSE_DF_CAP = 50
+#: output threshold
+_SPARSE_COS_MIN = 0.3
+
+
+@register(
+    "docs_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lower(unnest(list_filter(
+            regexp_split_to_array(text, '{ORACLE_WS_RUN}'), t -> t <> '')))
+                AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+        HAVING count(*) <= {_SPARSE_DF_CAP}
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * CAST(round(ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1, 9)
+                            AS DECIMAL(12,9)) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ), norms AS (
+        SELECT doc_id,
+               sqrt(CAST(sum(CAST(round(CAST(w AS DOUBLE)
+                                        * CAST(w AS DOUBLE), 12)
+                                  AS DECIMAL(26,12))) AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id
+    ), dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(CAST(round(CAST(a.w AS DOUBLE) * CAST(b.w AS DOUBLE),
+                                   12) AS DECIMAL(26,12))) AS DOUBLE) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= {_SPARSE_COS_MIN}
+    """,
+)
+def docs_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse all-pairs document similarity (Bayardo/WHIMSY shape):
+    TF-IDF-weighted bag-of-words cosine computed through the INVERTED
+    INDEX — candidate pairs come from a posting-list self-equi-join on
+    the term, each pair's dot product accumulates only over SHARED
+    terms, and a document-frequency cap prunes stop-terms so a term in
+    d documents contributes at most d^2 <= cap^2 pair rows. This is
+    the sparse counterpart to dedup_embedding_gemm's dense tiles: at
+    100 TB, text similarity joins run exactly this plan (df-capped
+    postings + keyed shuffle), never a dense all-pairs scan.
+
+    Determinism: idf quantizes to DECIMAL(12,9) (ln on identical
+    doubles, rounded once); every product in dots and norms quantizes
+    to DECIMAL(26,12) before summation, so neither engine's sum order
+    matters; the single division happens last, rounded to 6dp.
+
+    Scale: tf and postings are one token-keyed shuffle; the pair join
+    shuffles capped posting lists; partial aggregation collapses each
+    pair's shared-term products map-side. The df cap is the load-
+    bearing bound — it is what keeps the worst term's fan-out finite
+    regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+        .select("doc_id", F.lower("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _SPARSE_DF_CAP)
+    )
+    idf = F.round(
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0, 9
+    ).cast("decimal(12,9)")
+    w = tf.join(df, "term").select(
+        "doc_id", "term", (F.col("tf") * idf).alias("w")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    q = lambda c: F.round(c, 12).cast("decimal(26,12)")  # noqa: E731
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(q(F.col("w").cast("double") * F.col("w").cast("double")))
+            .cast("double")
+        ).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(q(F.col("wa").cast("double") * F.col("wb").cast("double")))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= _SPARSE_COS_MIN)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )
