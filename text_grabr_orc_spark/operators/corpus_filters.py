@@ -597,3 +597,144 @@ def kanonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         (F.col("n") < _KANON_K).cast("bigint").alias("suppressed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_source_duplication",
+    oracle="""
+    WITH hashed AS (
+        SELECT DISTINCT
+               sha256(trim(regexp_replace(lower(text),
+                   '[\\t\\n\\x0b\\f\\r\\x{85}\\x{2028}\\x{2029}\\p{Zs}]+',
+                   ' ', 'g'))) AS h,
+               source
+        FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_texts
+    FROM hashed a JOIN hashed b
+      ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE duplication matrix: for every pair of sources, how
+    many normalized texts appear in BOTH — the mirroring/scraper-
+    overlap diagnostic that decides which source to keep when two
+    crawls cover the same site (and the denominator for source-level
+    dedup priorities). Within-source duplicates don't count; the
+    DISTINCT (hash, source) projection collapses them first.
+
+    Scale: the (hash, source) projection is one map-side-combinable
+    distinct on a 32-byte key; the pair join is a self-equi-join ON
+    THE HASH (only texts duplicated across sources generate pairs, so
+    fan-out is bounded by duplicate mass x sources-per-text, never
+    corpus size); the matrix aggregate is bounded by source-pair
+    cardinality."""
+    from text_grabr_orc_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        F.sha2(normalize_text("text"), 256).alias("h"), "source"
+    ).distinct()
+    a = hashed.select("h", F.col("source").alias("source_a"))
+    b = hashed.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_texts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard assignment
+# ---------------------------------------------------------------------------
+
+#: shard count for the HRW assignment demo
+_HRW_SHARDS = 8
+
+
+@register(
+    "shard_rendezvous_hrw",
+    oracle=f"""
+    WITH weights AS (
+        SELECT doc_id, s.shard,
+               ('0x' || substr(md5('hrw:' || doc_id::VARCHAR || ':'
+                                   || s.shard::VARCHAR), 1, 8))::BIGINT AS w
+        FROM documents
+        CROSS JOIN (SELECT unnest(range({_HRW_SHARDS}))::INT AS shard) s
+    ), assigned AS (
+        SELECT doc_id, shard FROM (
+            SELECT doc_id, shard,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY w DESC, shard
+                   ) AS rk
+            FROM weights
+        ) WHERE rk = 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM assigned GROUP BY shard
+    """,
+)
+def shard_rendezvous_hrw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each
+    document goes to the shard with the highest hash(doc, shard)
+    weight. Unlike ``doc_id % n`` sharding, adding or removing ONE
+    shard reassigns only ~1/n of the corpus (the minimal-disruption
+    property consistent-hashing systems rely on for shard rebalancing
+    and cache placement) — this operator materializes the assignment
+    and its balance profile.
+
+    Determinism: weights are md5-prefix integers, the argmax breaks
+    ties on shard id; both engines rank identical integers.
+
+    Scale: the weight table fans out a constant {_HRW_SHARDS} rows per
+    document map-side and collapses to one row via max_by partial
+    aggregation — one shuffle keyed by doc_id carrying one candidate
+    per mapper; the balance profile is a second, shard-cardinality-
+    bounded aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shard_arr = F.array(*[F.lit(s) for s in range(_HRW_SHARDS)])
+    weights = docs.select(
+        "doc_id", F.explode(shard_arr).alias("shard")
+    ).select(
+        "doc_id",
+        "shard",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("hrw:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("shard").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    assigned = weights.groupBy("doc_id").agg(
+        F.max_by(
+            "shard", F.struct(F.col("w"), (-F.col("shard")).alias("tb"))
+        ).alias("shard")
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    ).select(F.col("shard").cast("bigint"), "n_docs", "min_doc", "max_doc")
