@@ -541,3 +541,102 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("click_ts").alias("click_us"),
         F.unix_micros("purchase_ts").alias("purchase_us"),
     )
+
+
+@register(
+    "streaming_stream_stream_left_join",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts FROM events
+        WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ), wm AS (
+        -- the final global watermark of the AvailableNow run:
+        -- min over both streams of (max event time - 1h delay)
+        SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+               - INTERVAL 1 HOUR AS w
+    ), matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id,
+               epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        FROM c JOIN p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ), unmatched AS (
+        -- a click emits its null-side row only once the watermark
+        -- passes the end of its join window; clicks newer than that
+        -- are still in state when the query stops and never emit
+        SELECT c.click_id, CAST(-1 AS BIGINT) AS purchase_id, c.user_id,
+               epoch_us(c.ts) AS click_us, CAST(-1 AS BIGINT) AS purchase_us
+        FROM c CROSS JOIN wm
+        WHERE c.ts + INTERVAL 30 MINUTE < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+          )
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def streaming_stream_stream_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantically
+    hardest streaming operator surface: matches emit immediately, but
+    a click's null-side row can only emit once the global watermark
+    proves no matching purchase can still arrive (watermark >
+    click_ts + 30 min), and clicks younger than that are STILL IN
+    STATE when an AvailableNow run stops — they never emit. The
+    oracle models exactly that: batch interval join for matches,
+    plus null-side rows only for clicks whose join window closed
+    under the final watermark min(max(click ts), max(purchase ts)) -
+    1 hour. A green hash check here means the engine's watermark
+    eviction semantics, not just its join results, are pinned.
+
+    Null-side ids emit as -1 (nullable BIGINT degrades to float64 in
+    pandas-based comparators — the repo-wide convention).
+
+    Scale: same bounded-state contract as the inner variant; the
+    outer semantics add the deferred null-side emission driven by
+    watermark advancement (Spark's no-data final micro-batch is what
+    flushes the closable windows at end of input)."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts_utc").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts_utc").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + interval 30 minutes
+            """
+        ),
+        "leftOuter",
+    )
+    out = run_to_memory(joined, "append")
+    return out.select(
+        "click_id",
+        F.coalesce("purchase_id", F.lit(-1)).cast("bigint").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.coalesce(F.unix_micros("purchase_ts"), F.lit(-1)).alias("purchase_us"),
+    )
