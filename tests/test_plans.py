@@ -242,3 +242,66 @@ def test_nested_schema_pruning_reads_only_leaves(spark, sf_dir):
     for dropped in ("tax_estimate", "month", "status"):
         assert f"{dropped}" not in plan.split("ReadSchema")[1][:400], plan
     df.collect()
+
+
+def test_filtered_topk_equi_join_and_group_limit(spark, sf_dir):
+    """The metadata filter must plan as a broadcast EQUI-join on the
+    label (hash-routed candidates, not a nested loop) and per-query
+    ranking must push WindowGroupLimit."""
+    from text_grabr_orc_spark.operators.similarity import (
+        similarity_filtered_topk,
+    )
+
+    plan = executed_plan(similarity_filtered_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_filter_table_is_broadcast(spark, sf_dir):
+    """Both probe joins against the 512-word filter must broadcast —
+    the whole point of the sketch is that only 2 KB ships."""
+    from text_grabr_orc_spark.operators.curation import decontaminate_bloom
+
+    plan = executed_plan(decontaminate_bloom(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_sparse_cosine_has_no_cartesian_and_partial_aggs(spark, sf_dir):
+    """Pair generation must be the posting-list equi-join (term key),
+    with partial aggregation before the pair shuffle and no cross
+    product anywhere."""
+    from text_grabr_orc_spark.operators.text_analysis import (
+        docs_tfidf_cosine_pairs,
+    )
+
+    plan = executed_plan(docs_tfidf_cosine_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan  # map-side combine on the aggregates
+
+
+def test_cdc_compaction_is_single_aggregate_no_window(spark, sf_dir):
+    """Last-write-wins must be the max_by aggregate (map-side
+    combinable), never a window rank that sorts whole per-key
+    histories."""
+    from text_grabr_orc_spark.operators.events_batch import (
+        cdc_last_write_wins,
+    )
+
+    plan = executed_plan(cdc_last_write_wins(spark, sf_dir))
+    assert "Window" not in plan
+    assert "partial_" in plan
+
+
+def test_cohort_retention_broadcasts_sizes(spark, sf_dir):
+    """The cohort-size table is day-cardinality-bounded and must
+    broadcast back into the final join."""
+    from text_grabr_orc_spark.operators.timeseries import (
+        events_cohort_retention,
+    )
+
+    plan = executed_plan(events_cohort_retention(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
