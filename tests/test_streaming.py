@@ -90,3 +90,91 @@ def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir):
         ).collect()
     }
     assert got == want and got
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart recovery: a windowed aggregate processes the
+    events table split into 4 files one-per-trigger; the query stops
+    after the FIRST micro-batch, then a fresh query object restarts
+    from the same checkpoint and drains the rest. The recovered
+    result must equal the batch group-by exactly — Spark's
+    checkpoint (offsets + state store) is what makes the rerun
+    exactly-once instead of double-counting batch 1."""
+    import os
+
+    from text_grabr_orc_spark.sources.events import EPOCH_US_EXPR
+
+    src = str(tmp_path / "events_split")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = ev.schema
+    ckpt = str(tmp_path / "ckpt")
+    out_name = "tgos_recovery_test"
+
+    def build():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            raw.select(
+                F.expr(f"timestamp_micros({EPOCH_US_EXPR})").alias("ts_utc"),
+                "event_type",
+            )
+            .withWatermark("ts_utc", "10 minutes")
+            .groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        # phase 1: exactly one micro-batch, then stop mid-stream
+        q1 = (
+            build()
+            .writeStream.format("memory")
+            .queryName(out_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        import time as _t
+
+        while not q1.recentProgress:
+            _t.sleep(0.1)
+        q1.stop()
+        q1.awaitTermination()
+        assert len(q1.recentProgress) < 5, "stopped before draining all files"
+        # phase 2: new query object, same checkpoint — resumes, drains
+        q2 = (
+            build()
+            .writeStream.format("memory")
+            .queryName(out_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    got = {
+        (str(r.w.start), r.event_type): r.n
+        for r in spark.table(out_name).collect()
+    }
+    want = {
+        (str(r.w.start), r.event_type): r.n
+        for r in (
+            spark.read.parquet(src)
+            .select(
+                F.expr(f"timestamp_micros({EPOCH_US_EXPR})").alias("ts_utc"),
+                "event_type",
+            )
+            .groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert got == want and got
