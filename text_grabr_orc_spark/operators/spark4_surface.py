@@ -379,3 +379,108 @@ def arrow_udf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_udf("text").alias("n_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow (PyArrow-native batch map, no pandas materialization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "arrow_native_doc_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_codepoints,
+           CAST(CASE WHEN octet_length(encode(text)) = length(text)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_ascii
+    FROM documents
+    """,
+)
+def arrow_native_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface — the fourth Python batch-execution
+    flavor (next to mapInPandas / applyInPandas / UDTF): the function
+    receives raw ``pyarrow.RecordBatch``es and computes entirely with
+    Arrow compute kernels — no pandas materialization, no Python
+    per-row code, zero-copy in and out. Byte-vs-codepoint length (and
+    the derived is_ascii flag) exercises Arrow's binary and utf8
+    kernels on the same column.
+
+    Scale: the narrowest possible Python boundary — vectorized C++
+    kernels under a thin Arrow shim; batch size bounded by
+    maxRecordsPerBatch. Used where the logic is already expressed
+    against the Arrow type system (feature extraction libraries,
+    tensor interchange)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            n_bytes = pc.binary_length(pc.cast(text, pa.binary()))
+            n_cp = pc.utf8_length(text)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(n_bytes, pa.int64()),
+                    pc.cast(n_cp, pa.int64()),
+                    pc.cast(pc.equal(n_bytes, n_cp), pa.int64()),
+                ],
+                ["doc_id", "n_bytes", "n_codepoints", "is_ascii"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        stats,
+        "doc_id bigint, n_bytes bigint, n_codepoints bigint, is_ascii bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# pandas API on Spark (pyspark.pandas)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ps_api_event_value_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value,
+           round(CAST(max(value) AS DOUBLE), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def ps_api_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-API-on-Spark surface (``pyspark.pandas``): the same
+    per-type rollup written as idiomatic pandas — groupby/agg on a
+    ps.DataFrame — compiling down to the identical Catalyst aggregate
+    plan as the DataFrame version (to_spark() returns the plan, not a
+    materialization). This is the migration surface for pandas
+    codebases: same source text, distributed execution.
+
+    The sum rides a DECIMAL cast injected before the groupby so the
+    money total stays order-independent — the pandas API composes
+    with Spark-typed columns exactly because nothing ever leaves the
+    JVM plan."""
+    import pyspark.pandas as ps
+
+    from text_grabr_orc_spark.sources.events import load_events
+
+    sdf = load_events(spark, sf_dir).select(
+        "event_type",
+        "value",
+        F.expr("CAST(value AS DECIMAL(18,2))").alias("value_dec"),
+    )
+    pdf = sdf.pandas_api()
+    g = pdf.groupby("event_type").agg(
+        n=("value", "count"), sum_dec=("value_dec", "sum"), mx=("value", "max")
+    )
+    out = g.reset_index().to_spark()
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sum_dec").cast("double"), 2).alias("sum_value"),
+        F.round(F.col("mx").cast("double"), 6).alias("max_value"),
+    )
