@@ -305,3 +305,19 @@ def test_cohort_retention_broadcasts_sizes(spark, sf_dir):
     plan = executed_plan(events_cohort_retention(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_expression_in_scan(spark, sf_dir):
+    """The join-driven partition filter must appear as a runtime
+    DynamicPruning subquery on the partitioned scan — directory-level
+    pruning decided by the dim side's result, not a literal."""
+    from text_grabr_orc_spark.operators.sampling import (
+        dynamic_partition_pruning_join,
+    )
+
+    df = dynamic_partition_pruning_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result itself stays correct
+    rows = {r.lang: r.n_docs for r in df.collect()}
+    assert len(rows) == 2 and all(n > 0 for n in rows.values())

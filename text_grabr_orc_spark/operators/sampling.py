@@ -192,3 +192,70 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_doc"),
         )
     )
+
+
+@register(
+    "dynamic_partition_pruning_join",
+    oracle="""
+    WITH top_langs AS (
+        SELECT lang FROM documents
+        GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 2
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(d.n_chars), -1) AS BIGINT) AS total_chars
+    FROM documents d JOIN top_langs USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def dynamic_partition_pruning_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC partition pruning: the fact side is the lang-partitioned
+    parquet layout, and the partition filter is NOT a literal — it is
+    the result of joining against a computed dimension (the top-2
+    languages by document count), which only exists at runtime. Spark
+    plans a DynamicPruningExpression on the scan: the dim side
+    evaluates first (reusing its broadcast), and only the matching
+    lang= directories are ever opened — the join-driven half of
+    partition pruning that star-schema scans at 100 TB live on
+    (static IN-list pruning is partitioned_write_pruning next door).
+    Plan-tested in tests/test_plans.py.
+
+    Matching the unpartitioned oracle proves pruning changed I/O,
+    never the answer."""
+    from pyspark.sql import Window
+
+    tag = cache_tag(sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "tgos_part_cache", tag)
+    dim_out = os.path.join(tempfile.gettempdir(), "tgos_langdim_cache", tag)
+    docs = load_table(spark, sf_dir, "documents")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    if not os.path.exists(os.path.join(dim_out, "_SUCCESS")):
+        # materialized language dimension with a popularity rank —
+        # DPP's pattern requires the dim side to be a SOURCE relation
+        # carrying a literal Filter (aggregates/limits don't count as
+        # the selective predicate)
+        w = Window.orderBy(F.col("n").desc(), "lang")
+        (
+            docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("priority", F.row_number().over(w))
+            .select("lang", "priority")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dim_out)
+        )
+    back = spark.read.parquet(out)
+    dim = spark.read.parquet(dim_out).filter(F.col("priority") <= 2)
+    return (
+        back.join(F.broadcast(dim), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(-1))
+            .cast("bigint")
+            .alias("total_chars"),
+        )
+    )
