@@ -1081,3 +1081,82 @@ def zorder_layout_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("by").cast("bigint").alias("max_by"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension versioning (warehouse merge semantics)
+# ---------------------------------------------------------------------------
+
+#: deterministic "incoming update" slice: every 7th customer gets a
+#: new account balance (derived from row keys, same on both engines)
+_SCD_MOD = 7
+
+
+@register(
+    "scd2_customer_updates",
+    oracle=f"""
+    WITH updates AS (
+        SELECT c_custkey,
+               round(CAST(c_acctbal AS DECIMAL(18,2))
+                     + CAST(100.50 AS DECIMAL(18,2)), 2) AS new_bal
+        FROM customer WHERE c_custkey % {_SCD_MOD} = 0
+    )
+    SELECT c.c_custkey,
+           CAST(1 AS BIGINT) AS version,
+           round(CAST(c.c_acctbal AS DECIMAL(18,2)), 2) AS acctbal,
+           CAST(CASE WHEN u.c_custkey IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+    FROM customer c LEFT JOIN updates u USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, CAST(2 AS BIGINT), CAST(new_bal AS DOUBLE),
+           CAST(1 AS BIGINT)
+    FROM updates
+    """,
+)
+def scd2_customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 merge: an incoming update
+    batch (deterministic slice: every 7th customer's balance changes)
+    versions the customer dimension — updated keys keep their old row
+    closed (version 1, is_current=0) and gain a new current row
+    (version 2), untouched keys stay current at version 1. This is
+    the MERGE INTO ... WHEN MATCHED pattern expressed as pure
+    relational algebra (one left join + one union), which is exactly
+    how engines without row-level mutation (plain parquet at 100 TB)
+    implement warehouse merges: rewrite-on-merge with version flags,
+    the reader filtering is_current=1 for the live view.
+
+    Scale: the update batch is tiny relative to the dimension, so the
+    left join broadcasts it; the union appends |updates| rows. One
+    shuffle-free pass over the dimension at any scale — the same
+    shape a Delta/Iceberg MERGE compiles to under the hood (minus
+    their file-level skipping metadata).
+
+    Money values ride DECIMAL(18,2) end to end; the version-2 balance
+    widens to DOUBLE only at the output boundary (both engines from
+    the identical decimal)."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    updates = cust.filter(F.col("c_custkey") % _SCD_MOD == 0).select(
+        "c_custkey",
+        F.round(bal + F.lit(100.50).cast("decimal(18,2)"), 2).alias("new_bal"),
+    )
+    old = (
+        cust.join(
+            F.broadcast(updates.select("c_custkey", F.lit(1).alias("upd"))),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.lit(1).cast("bigint").alias("version"),
+            F.round(bal, 2).cast("double").alias("acctbal"),
+            F.col("upd").isNull().cast("bigint").alias("is_current"),
+        )
+    )
+    new = updates.select(
+        "c_custkey",
+        F.lit(2).cast("bigint").alias("version"),
+        F.col("new_bal").cast("double").alias("acctbal"),
+        F.lit(1).cast("bigint").alias("is_current"),
+    )
+    return old.unionByName(new)
