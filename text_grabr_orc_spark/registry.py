@@ -52,6 +52,7 @@ def load_all() -> None:
         curation,
         dedup,
         events_batch,
+        linkage,
         multimodal,
         ocr,
         pipeline,
