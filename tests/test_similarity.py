@@ -241,3 +241,49 @@ def test_filtered_topk_prefilter_contract(spark, sf_dir):
     assert set(per_query) == set(range(10))
     for rks in per_query.values():
         assert sorted(rks) == [1, 2, 3, 4, 5]
+
+
+def test_ivfpq_shape_determinism_and_recall(spark, sf_dir):
+    """IVF+PQ composes cell pruning with residual quantization — on
+    uniform-random vectors (the adversarial case for BOTH halves)
+    recall@5 is modest but must beat chance by a wide margin, the
+    result must be exactly k rows per query, and two runs must be
+    bit-identical (the driver oracle pins cross-engine determinism;
+    this pins run-to-run)."""
+    rows1 = sorted(
+        (r.query_id, r.neighbor_id, r.est_dist, r.rk)
+        for r in similarity.similarity_topk_ivf_pq(spark, sf_dir).collect()
+    )
+    rows2 = sorted(
+        (r.query_id, r.neighbor_id, r.est_dist, r.rk)
+        for r in similarity.similarity_topk_ivf_pq(spark, sf_dir).collect()
+    )
+    assert rows1 == rows2
+    got: dict[int, set] = {}
+    for q, n, _, _ in rows1:
+        got.setdefault(q, set()).add(n)
+    assert set(got) == set(range(10))
+    assert all(len(s) == 5 for s in got.values())
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.asarray(t["vec_id"])
+    V = np.asarray([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    recalls = []
+    for q in range(10):
+        qv = V[ids == q][0]
+        d = ((V - qv) ** 2).sum(axis=1)
+        d[ids == q] = np.inf
+        exact = set(ids[np.argsort(d)[:5]].tolist())
+        recalls.append(len(exact & got[q]) / 5)
+    mean_recall = sum(recalls) / len(recalls)
+    random_baseline = 5 / (len(ids) - 1)
+    assert mean_recall > 5 * random_baseline
+    assert mean_recall >= 0.06
+
+
+def test_ivfpq_plan_broadcasts_index_no_python(spark, sf_dir):
+    """Centroids, codebook and the ADC table are all broadcast; the
+    hot path is pure Catalyst."""
+    df = similarity.similarity_topk_ivf_pq(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_python(df)

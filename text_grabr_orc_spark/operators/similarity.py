@@ -1072,3 +1072,260 @@ def bitext_mining_margin(
             F.round(F.col("cos") / F.col("denom"), 6).alias("margin"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed — the FAISS IVFPQ index in DataFrame algebra
+# ---------------------------------------------------------------------------
+
+#: DuckDB fragment: 8-dim squared distance between two list slices,
+#: sequential list_sum, quantized to DECIMAL(18,9) (same device as
+#: similarity_topk_pq — order-independent ADC summation).
+_DK_SQD = (
+    "CAST(round(list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+    f"for i in range(1, {_PQ_SUB} + 1)]), 9) AS DECIMAL(18,9))"
+)
+
+#: DuckDB fragment: elementwise residual list a - b over the full dim.
+_DK_RES = (
+    "[{a}[i] - {b}[i] for i in "
+    f"range(1, {_PQ_M} * {_PQ_SUB} + 1)]"
+)
+
+
+@register(
+    "similarity_topk_ivf_pq",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 50 = 0
+    ), assigned AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_DK_COS.format(a="v.e", b="cent.ce")} DESC,
+                                cent.centroid_id
+                   ) AS crk
+            FROM v CROSS JOIN cent
+        ) WHERE crk = 1
+    ), res AS (
+        SELECT a.vec_id, a.centroid_id,
+               {_DK_RES.format(a="a.e", b="c.ce")} AS r
+        FROM assigned a JOIN cent c USING (centroid_id)
+    ), rsub AS (
+        SELECT vec_id, centroid_id, j,
+               r[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS s
+        FROM res CROSS JOIN (SELECT unnest(range({_PQ_M}))::INT AS j)
+    ), cb AS (
+        SELECT j, vec_id::INT AS c, s AS cs FROM rsub WHERE vec_id < {_PQ_K}
+    ), enc AS (
+        SELECT vec_id, centroid_id, j, c AS code FROM (
+            SELECT rsub.vec_id, rsub.centroid_id, rsub.j, cb.c,
+                   row_number() OVER (
+                       PARTITION BY rsub.vec_id, rsub.j
+                       ORDER BY {_DK_SQD.format(a="rsub.s", b="cb.cs")}, cb.c
+                   ) AS rn
+            FROM rsub JOIN cb USING (j)
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DK_COS.format(a="q.e", b="cent.ce")} DESC,
+                                cent.centroid_id
+                   ) AS prk
+            FROM v q CROSS JOIN cent WHERE q.vec_id < 10
+        ) WHERE prk <= 3
+    ), qsub AS (
+        SELECT p.query_id, p.centroid_id, j.j,
+               ({_DK_RES.format(a="q.e", b="c.ce")})
+                   [j.j*{_PQ_SUB}+1 : j.j*{_PQ_SUB}+{_PQ_SUB}] AS qs
+        FROM probes p
+        JOIN v q ON q.vec_id = p.query_id
+        JOIN cent c USING (centroid_id)
+        CROSS JOIN (SELECT unnest(range({_PQ_M}))::INT AS j) j
+    ), qd AS (
+        SELECT qsub.query_id, qsub.centroid_id, qsub.j, cb.c,
+               {_DK_SQD.format(a="qsub.qs", b="cb.cs")} AS d
+        FROM qsub JOIN cb USING (j)
+    ), est AS (
+        SELECT qd.query_id, enc.vec_id AS neighbor_id,
+               sum(qd.d) AS est_d
+        FROM enc
+        JOIN qd ON enc.centroid_id = qd.centroid_id
+               AND enc.j = qd.j AND enc.code = qd.c
+        WHERE enc.vec_id <> qd.query_id
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT query_id, neighbor_id,
+               round(CAST(est_d AS DOUBLE), 6) AS est_dist,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY est_d, neighbor_id
+               ) AS rk
+        FROM est
+    )
+    SELECT query_id, neighbor_id, est_dist, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def similarity_topk_ivf_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """IVF + PQ composed — the actual FAISS ``IVFPQ`` layout, which the
+    ``similarity_topk_pq`` docstring promises: a coarse inverted file
+    bounds WHERE to look (nprobe cells of ~sqrt(n) centroids) and
+    product quantization bounds WHAT is stored there (8 4-bit codes of
+    the RESIDUAL x - centroid, not the raw vector). Residual encoding
+    is what makes the composition better than either half: residuals
+    concentrate near 0, so a shared 16-entry codebook per subspace
+    quantizes them with far less error than raw-space codes.
+
+    Search is ADC over residuals: for each (query, probed cell) the
+    query residual's partial distances to every codebook entry form a
+    tiny lookup table (queries x nprobe x M x K rows, broadcast); a
+    neighbor's estimated distance is the sum of 8 table lookups keyed
+    by its stored codes — the corpus's raw vectors are never touched
+    after indexing.
+
+    Scale: indexing is two broadcast joins (centroids; codebook) + one
+    argmin partial-agg per (vector, subspace); the index is 64x
+    smaller than the corpus (8 nibbles/vector + a cell id). Search
+    shuffles nothing but the (vec_id, j, code) triples of the probed
+    cells against a broadcast ADC table, and the final ranking pushes
+    WindowGroupLimit. Determinism device: every partial distance is a
+    sequential-sum double quantized to DECIMAL(18,9) BEFORE the 8-way
+    ADC sum (order-proof), ties break on (distance, code | id) — the
+    same contract the judge-verified pq/pq_trained oracles use.
+    """
+    emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") % centroid_stride == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("e").alias("ce"),
+            F.col("n").alias("cn"),
+        )
+    )
+    assigned = _nearest_centroid_assign(emb, cent)
+    # residual r = e - ce(assigned); broadcast-join the tiny centroid set
+    res = assigned.join(cent, "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        F.zip_with("e", "ce", lambda a, b: a - b).alias("r"),
+    )
+    j_idx = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j")
+    rsub = res.select("vec_id", "centroid_id", "r", j_idx).select(
+        "vec_id",
+        "centroid_id",
+        "j",
+        F.expr(f"slice(r, j * {_PQ_SUB} + 1, {_PQ_SUB})").alias("s"),
+    )
+    cb = F.broadcast(
+        rsub.filter(F.col("vec_id") < _PQ_K).select(
+            "j", F.col("vec_id").cast("int").alias("c"), F.col("s").alias("cs")
+        )
+    )
+    sq = F.aggregate(
+        F.zip_with("s", "cs", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    enc = (
+        rsub.join(cb, "j")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "j",
+            "c",
+            F.round(sq, 9).cast("decimal(18,9)").alias("d"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(
+            F.first("centroid_id").alias("centroid_id"),
+            F.min_by(
+                "c",
+                F.struct(
+                    F.col("d").cast("double").alias("d"),
+                    F.col("c").cast("double").alias("c"),
+                ),
+            ).alias("code"),
+        )
+    )
+    # probes: nprobe nearest cells per query (same device as IVF)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        queries.crossJoin(cent)
+        .select(
+            "query_id",
+            "centroid_id",
+            "ce",
+            cosine_from_parts(
+                dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn")
+            ).alias("pcos"),
+            "qe",
+        )
+        .withColumn("prk", F.row_number().over(pw))
+        .filter(F.col("prk") <= nprobe)
+        .select(
+            "query_id",
+            "centroid_id",
+            F.zip_with("qe", "ce", lambda a, b: a - b).alias("qr"),
+        )
+    )
+    qsub = probes.select("query_id", "centroid_id", "qr", j_idx).select(
+        "query_id",
+        "centroid_id",
+        "j",
+        F.expr(f"slice(qr, j * {_PQ_SUB} + 1, {_PQ_SUB})").alias("qs"),
+    )
+    qsq = F.aggregate(
+        F.zip_with("qs", "cs", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qd = F.broadcast(
+        qsub.join(cb, "j").select(
+            "query_id",
+            "centroid_id",
+            "j",
+            "c",
+            F.round(qsq, 9).cast("decimal(18,9)").alias("qdist"),
+        )
+    )
+    est = (
+        enc.join(
+            qd,
+            (enc.centroid_id == qd.centroid_id)
+            & (enc.j == qd.j)
+            & (enc.code == qd.c)
+            & (enc.vec_id != qd.query_id),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qdist").alias("est_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy("est_d", "neighbor_id")
+    return (
+        est.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("est_d").cast("double"), 6).alias("est_dist"),
+            F.col("rk").cast("bigint"),
+        )
+    )
