@@ -1095,7 +1095,6 @@ def _two_phase_cc_loop(
     cur: DataFrame, max_iter: int
 ) -> tuple[DataFrame, int]:
     rounds = 0
-    prev_stats: tuple | None = None
     for _ in range(max_iter):
         rounds += 1
         # large-star: from each center v, connect every LARGER
@@ -1128,28 +1127,32 @@ def _two_phase_cc_loop(
             .union(mins2.select(F.col("hi"), F.col("m").alias("lo")))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint()
+            # LAZY checkpoint: the convergence-probe aggregate right
+            # below is the materializing action, so each round costs
+            # ONE driver job instead of checkpoint-then-probe's two —
+            # on post-contraction edge sets the per-round wall time is
+            # all fixed scheduling, and this halves it
+            .localCheckpoint(eager=False)
         )
-        # convergence probe in ONE action (count + order-insensitive
-        # hash sum): per-round driver jobs dominate wall time on the
-        # post-contraction edge sets (tiny data, fixed scheduling
-        # cost), so the exact exceptAll set-compare runs only when the
-        # cheap probe says "probably fixed" — a hash collision would
-        # just cost one extra confirmed round, never a wrong stop.
-        stats = tuple(
-            nxt.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(
-                    F.sum(F.xxhash64("hi", "lo") % F.lit(1_000_000_007)),
-                    F.lit(0),
-                ).alias("h"),
-            ).first()
-        )
-        unchanged = stats == prev_stats and nxt.exceptAll(cur).isEmpty()
-        prev_stats = stats
+        # convergence via the star-forest CERTIFICATE instead of
+        # compare-to-previous: the round's edge set is a fixpoint iff
+        # (a) every hi carries exactly ONE lo and (b) no lo is itself
+        # a hi (then the set is a star forest rooted at component
+        # minima, and both phases reproduce it unchanged; conversely a
+        # multi-lo hi changes under small-star and a lo-that-is-a-hi
+        # chain changes under large-star). Checking the CURRENT round
+        # saves the whole compare-detect extra round: (a) rides the
+        # materializing aggregate for free, (b) is a tiny semi-join
+        # probe on checkpointed data that only runs when (a) holds.
+        stats = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("hi").alias("nhi"),
+        ).first()
         cur = nxt
-        if unchanged:
-            break
+        if stats["n"] == stats["nhi"]:
+            his = nxt.select(F.col("hi").alias("node"))
+            if nxt.join(his, nxt["lo"] == his["node"], "left_semi").isEmpty():
+                break
     else:
         raise RuntimeError(
             f"two-phase CC did not converge in {max_iter} rounds"
