@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "events_cohort_retention",
     "text_inverted_index",
     "zorder_layout_2d",
+    "fuzzy_join_blocked",
+    "similarity_topk_ivf_pq",
     "streaming_hourly_counts",
     "ocr_pipeline_stub",
 ]
