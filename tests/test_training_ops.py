@@ -49,3 +49,79 @@ def test_cms_never_undercounts(spark, sf_dir):
     for r in rows:
         assert r["cms_n"] >= r["exact_n"]
         assert r["overcount"] == r["cms_n"] - r["exact_n"]
+
+
+def test_histogram_quantile_error_bound(spark, sf_dir):
+    """The histogram estimate never undershoots the true quantile and
+    overshoots by at most one bin width per group."""
+    import duckdb
+
+    from text_grabr_orc_spark.operators.sketches import (
+        _HQ_BINS,
+        quantile_sketch_histogram,
+    )
+
+    got = quantile_sketch_histogram(spark, sf_dir).collect()
+    assert got, "no rows"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{sf_dir}/events.parquet'"
+    )
+    import math
+
+    vals: dict = {}
+    for t, v in con.execute(
+        "SELECT event_type, value FROM events ORDER BY 1, 2"
+    ).fetchall():
+        vals.setdefault(t, []).append(v)
+    for r in got:
+        xs = vals[r.event_type]
+        width = (xs[-1] - xs[0]) / _HQ_BINS
+        # the sketch targets the ceil(q*n)-th order statistic: that
+        # value lies in the reported bin, so the upper-edge estimate
+        # brackets it within one bin width
+        x = xs[math.ceil(r.q * len(xs)) - 1]
+        assert x - 1e-6 <= r.est <= x + width + 1e-6, (r, x, width)
+
+
+def test_histogram_quantile_bins_merge(spark, sf_dir):
+    """The sketch state is mergeable: bin counts built on two halves
+    of the data sum to the full histogram (the property that lets the
+    sketch parallelize / run incrementally)."""
+    from pyspark.sql import functions as F
+
+    from text_grabr_orc_spark.operators.sketches import _HQ_BINS
+    from text_grabr_orc_spark.sources.events import load_events
+
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    bin_col = F.when(
+        F.col("vmax") == F.col("vmin"), F.lit(0).cast("bigint")
+    ).otherwise(
+        F.least(
+            F.lit(_HQ_BINS - 1).cast("bigint"),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * _HQ_BINS
+            ),
+        )
+    )
+    binned = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type", bin_col.alias("bin"), "value"
+    )
+    full = {
+        (r.event_type, r.bin): r["count"]
+        for r in binned.groupBy("event_type", "bin").count().collect()
+    }
+    h1 = binned.filter(F.abs(F.hash("value")) % 2 == 0)
+    h2 = binned.filter(F.abs(F.hash("value")) % 2 == 1)
+    merged: dict = {}
+    for half in (h1, h2):
+        for r in half.groupBy("event_type", "bin").count().collect():
+            k = (r.event_type, r.bin)
+            merged[k] = merged.get(k, 0) + r["count"]
+    assert merged == full

@@ -265,3 +265,126 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "empty_registers",
         "register_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch (mergeable approximate quantiles)
+# ---------------------------------------------------------------------------
+
+#: 256 bins: error bound = one bin width = (max-min)/256 per group.
+_HQ_BINS = 256
+#: quantiles reported per group.
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "quantile_sketch_histogram",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT event_type, min(value) AS vmin, max(value) AS vmax
+        FROM events GROUP BY 1
+    ), binned AS (
+        SELECT e.event_type,
+               CASE WHEN b.vmax = b.vmin THEN 0
+                    ELSE least({_HQ_BINS} - 1,
+                               CAST(floor((e.value - b.vmin)
+                                          / (b.vmax - b.vmin)
+                                          * {_HQ_BINS}) AS BIGINT))
+               END AS bin
+        FROM events e JOIN bounds b USING (event_type)
+    ), hist AS (
+        SELECT event_type, bin, count(*) AS n FROM binned GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, bin, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               sum(n) OVER (PARTITION BY event_type) AS total
+        FROM hist
+    ), hits AS (
+        SELECT q.q, cum.event_type, cum.total,
+               min(cum.bin) AS qbin
+        FROM cum CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS q(q)
+        WHERE cum.c >= ceil(q.q * cum.total)
+        GROUP BY 1, 2, 3
+    )
+    SELECT h.event_type, h.q, CAST(h.qbin AS BIGINT) AS qbin,
+           round(b.vmin + (h.qbin + 1)
+                 * ((b.vmax - b.vmin) / {_HQ_BINS}), 6) AS est,
+           CAST(h.total AS BIGINT) AS n
+    FROM hits h JOIN bounds b USING (event_type)
+    """,
+)
+def quantile_sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles from a two-pass equi-width
+    histogram — the mergeable shape for quantiles over 100 TB, where
+    a global sort (exact percentiles) costs a full-data exchange:
+    pass 1 is a per-group min/max (map-side combinable, broadcastable
+    result); pass 2 bins every value and counts — the histogram is
+    #groups x 256 rows, merges associatively across partitions,
+    shards, or days (sum the bins), and any quantile reads off the
+    cumulative counts. The estimate returned is the UPPER edge of the
+    first bin whose cumulative count reaches ceil(q*n); the ceil(q*n)-th
+    order statistic lies inside that bin, so the estimate brackets it
+    from above within one bin width ((max-min)/256 per group — both
+    properties asserted in tests).
+
+    Unlike ``approx_percentile`` (engine-private GK sketch), every
+    step here is elementary arithmetic both engines execute
+    identically — bin ids come from the same IEEE double expression —
+    so the driver hash-checks the whole sketch, not an accuracy
+    envelope. Exact counterpart: ``percentiles_by_event_type``.
+    """
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    bounds = F.broadcast(
+        ev.groupBy("event_type").agg(
+            F.min("value").alias("vmin"), F.max("value").alias("vmax")
+        )
+    )
+    width = (F.col("vmax") - F.col("vmin")) / _HQ_BINS
+    bin_col = F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.lit(_HQ_BINS - 1).cast("bigint"),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * _HQ_BINS
+            ),
+        )
+    )
+    hist = (
+        ev.join(bounds, "event_type")
+        .select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(wcum).alias("c"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in _HQ_QS])
+    ).alias("q")
+    hits = (
+        cum.select("event_type", "bin", "c", "total", qs)
+        .filter(F.col("c") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("event_type", "q")
+        .agg(F.min("bin").alias("qbin"), F.first("total").alias("n"))
+    )
+    return hits.join(bounds, "event_type").select(
+        "event_type",
+        "q",
+        F.col("qbin").cast("bigint"),
+        F.round(F.col("vmin") + (F.col("qbin") + 1) * width, 6).alias("est"),
+        "n",
+    )
