@@ -287,3 +287,37 @@ def test_ivfpq_plan_broadcasts_index_no_python(spark, sf_dir):
     df = similarity.similarity_topk_ivf_pq(spark, sf_dir)
     assert_broadcast_join(df)
     assert_no_python(df)
+
+
+def test_jl_projection_preserves_pairwise_distances(spark, sf_dir):
+    """JL guarantee, spot-checked: per-pair squared distances in the
+    16-dim projection stay within bounded relative distortion of the
+    64-dim originals. (Correlation is NOT asserted: on uniform-random
+    vectors the original distances concentrate — CV ~0.12 — so any
+    correlation estimate is noise even when every pair satisfies the
+    JL bound.)"""
+    proj = {
+        r.vec_id: np.asarray(r.proj)
+        for r in similarity.embedding_random_projection(spark, sf_dir)
+        .filter(F.col("vec_id") < 40)
+        .collect()
+    }
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    orig = {
+        i: np.asarray(v, dtype=np.float64)
+        for i, v in zip(t["vec_id"], t["embedding"])
+        if i < 40
+    }
+    ids = sorted(proj)
+    d_lo, d_hi = [], []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d_hi.append(((orig[ids[a]] - orig[ids[b]]) ** 2).sum())
+            d_lo.append(((proj[ids[a]] - proj[ids[b]]) ** 2).sum())
+    d_hi, d_lo = np.asarray(d_hi), np.asarray(d_lo)
+    rel = np.abs(d_lo - d_hi) / d_hi
+    # E[rel] for a k=16 sign projection is ~sqrt(2/k) ~ 0.35; the
+    # unbiasedness shows up as the MEAN ratio staying near 1
+    assert rel.mean() < 0.4, rel.mean()
+    assert np.median(rel) < 0.35
+    assert 0.8 < (d_lo / d_hi).mean() < 1.2

@@ -1329,3 +1329,106 @@ def similarity_topk_ivf_pq(
             F.col("rk").cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection — dimensionality reduction
+# ---------------------------------------------------------------------------
+
+#: JL geometry: 64 -> 16 dims with a +-1 sign matrix (Achlioptas 2003,
+#: "Database-friendly random projections", public) scaled by
+#: 1/sqrt(16); signs come from md5("i:k") first-hex-digit parity so
+#: BOTH engines derive the identical matrix from nothing but the
+#: dimension indices.
+_JL_IN = 64
+_JL_OUT = 16
+
+#: Spark-side CASE for the sign cell (i = input dim 1-based, k =
+#: output dim 0-based); the DuckDB oracle spells the same parity test.
+_JL_SIGN = (
+    "CASE WHEN conv(substring(md5(concat(cast(i AS STRING), ':', "
+    "cast(k AS STRING))), 1, 1), 16, 10) % 2 = 0 "
+    "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+)
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH dims AS (
+        SELECT i.i, k.k,
+               CASE WHEN ('0x' || substr(md5(i.i::VARCHAR || ':' ||
+                                             k.k::VARCHAR), 1, 1))::INT
+                         % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM (SELECT unnest(range(1, {_JL_IN} + 1)) AS i) i
+        CROSS JOIN (SELECT unnest(range({_JL_OUT})) AS k) k
+    ), sgn AS (
+        SELECT k, list(s ORDER BY i) AS sv FROM dims GROUP BY k
+    ), m AS (
+        SELECT list(sv ORDER BY k) AS mat FROM sgn
+    ), v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    )
+    SELECT vec_id,
+           list_transform(m.mat, sv ->
+               round(list_sum([sv[i] * e[i]
+                               for i in range(1, {_JL_IN} + 1)])
+                     / sqrt({_JL_OUT}), 6)) AS proj
+    FROM v CROSS JOIN m
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 16 with a
+    deterministic +-1 sign matrix — the cheap projection a 100 TB
+    pipeline runs BEFORE expensive pairwise work (near-dup candidate
+    generation, coarse clustering) to cut the vector payload 4x while
+    preserving pairwise distances within the JL distortion bound
+    (distortion is spot-checked in tests; the driver hash-checks the
+    exact arithmetic).
+
+    The sign matrix is derived, not stored: cell (i, k) is the parity
+    of the first hex digit of md5("i:k"), which both engines compute
+    identically from the dimension indices alone — the same
+    portable-hash device as the CMS/SimHash oracles. The matrix is
+    materialized ONCE as a single array<array<double>> row and
+    broadcast; the projection itself is map-only (zip_with/aggregate
+    per output dim — no shuffle, no Python, no per-row hashing).
+    """
+    sign_cell = F.expr(_JL_SIGN)
+    dims = (
+        spark.range(_JL_OUT)
+        .select(F.col("id").cast("int").alias("k"))
+        .crossJoin(
+            spark.range(1, _JL_IN + 1).select(F.col("id").cast("int").alias("i"))
+        )
+        .select("k", "i", sign_cell.alias("s"))
+    )
+    # array_sort(struct(i, s)) -> ordered sign vector per output dim
+    sgn = dims.groupBy("k").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
+        ).alias("sv")
+    )
+    mat = sgn.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("k", "sv"))), lambda x: x["sv"]
+        ).alias("mat")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    proj = F.transform(
+        F.col("mat"),
+        lambda sv: F.round(
+            F.aggregate(
+                F.zip_with(F.col("e"), sv, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sqrt(F.lit(float(_JL_OUT))),
+            6,
+        ),
+    )
+    return emb.crossJoin(F.broadcast(mat)).select("vec_id", proj.alias("proj"))
