@@ -157,3 +157,31 @@ def test_char_entropy_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0.0 <= r.entropy_bits <= math.log2(r.n_distinct_chars) + 1e-9
+
+
+def test_perplexity_buckets_are_balanced_thirds(spark, sf_dir):
+    """ntile(3) per language: bucket sizes within one of each other,
+    kept == buckets 1-2, and scored docs == docs with >= 2 tokens."""
+    from pyspark.sql import functions as F
+
+    from text_grabr_orc_spark.functions.text import token_count
+    from text_grabr_orc_spark.operators.text_analysis import (
+        perplexity_bucket_filter,
+    )
+    from text_grabr_orc_spark.tables import load_table
+
+    rows = perplexity_bucket_filter(spark, sf_dir).collect()
+    sizes: dict = {}
+    for r in rows:
+        assert r.kept == (r.bucket <= 2)
+        sizes.setdefault(r.lang, {}).setdefault(r.bucket, 0)
+        sizes[r.lang][r.bucket] += 1
+    for lang, bybucket in sizes.items():
+        ns = [bybucket.get(b, 0) for b in (1, 2, 3)]
+        assert max(ns) - min(ns) <= 1, (lang, ns)
+    n_scored = (
+        load_table(spark, sf_dir, "documents")
+        .filter(token_count("text") >= 2)
+        .count()
+    )
+    assert len(rows) == n_scored

@@ -745,3 +745,68 @@ def docs_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= _SPARSE_COS_MIN)
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing
+# ---------------------------------------------------------------------------
+
+
+def _ppl_bucket_oracle() -> str:
+    """Wrap the registered bigram-LM oracle (same model, same
+    quantization) in per-language ntile(3) bucketing."""
+    from text_grabr_orc_spark.registry import ORACLES
+
+    inner = ORACLES["text_bigram_logprob"]
+    return f"""
+    WITH lp AS (
+        SELECT * FROM ({inner})
+    ), b AS (
+        SELECT lp.doc_id, d.lang, lp.avg_logprob,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY lp.avg_logprob DESC, lp.doc_id)
+                   AS bucket
+        FROM lp JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, avg_logprob, CAST(bucket AS BIGINT) AS bucket,
+           bucket <= 2 AS kept
+    FROM b
+    """
+
+
+@register("perplexity_bucket_filter", oracle=_ppl_bucket_oracle())
+def perplexity_bucket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    rank each language's documents by the self-trained bigram LM score
+    (``text_bigram_logprob`` — the cheap perplexity proxy) and split
+    them into head/middle/tail thirds; ``kept`` marks the head+middle
+    slice a CCNet-style pipeline would feed to training, leaving the
+    tail (lowest-fluency third) for inspection or discard.
+
+    Composition, not reimplementation: the LM scores come from the
+    registered operator, so the two stay consistent by construction;
+    the only additions are a broadcast-sized doc->lang join and one
+    per-language ntile window (ordered by the 6-dp-rounded score with
+    doc_id tiebreak — deterministic across engines). Scale: the window
+    partitions by language, so no global sort; state per partition is
+    one language's doc list, the same bound as every per-lang ranking
+    here. Documents with <2 tokens carry no LM score and are excluded
+    by contract (same as the underlying operator)."""
+    from pyspark.sql import Window
+
+    lp = text_bigram_logprob(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    return (
+        lp.join(langs, "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w).cast("bigint"))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            "bucket",
+            (F.col("bucket") <= 2).alias("kept"),
+        )
+    )
