@@ -359,3 +359,40 @@ def test_triangle_participation_on_known_graph(spark, tmp_path):
         for r in dedup.graph_triangle_participation(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_jl_prefilter_recall_and_pruning(spark, sf_dir):
+    """The JL-prefiltered generator must (a) return a subset of the
+    exact GEMM pairs — verify is exact, so no false positives are
+    possible — (b) keep recall high, and (c) actually prune: the
+    candidate count must be well under the all-pairs total."""
+    from pyspark.sql import functions as F
+
+    from text_grabr_orc_spark.operators.dedup import (
+        _JL_PREFILTER_MIN,
+        dedup_embedding_jl,
+        dedup_embedding_gemm,
+        gemm_cosine_pairs,
+    )
+    from text_grabr_orc_spark.operators.similarity import (
+        embedding_random_projection,
+    )
+    from text_grabr_orc_spark.tables import load_table
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_gemm(spark, sf_dir).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b) for r in dedup_embedding_jl(spark, sf_dir).collect()
+    }
+    assert got <= exact
+    # ~0.9 on the adversarial uniform fixture (see _JL_PREFILTER_MIN)
+    assert len(got) >= 0.85 * len(exact), (len(got), len(exact))
+
+    proj = embedding_random_projection(spark, sf_dir).select(
+        "vec_id", F.col("proj").alias("embedding")
+    )
+    n_cand = gemm_cosine_pairs(proj, _JL_PREFILTER_MIN).count()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert n_cand < 0.5 * n * (n - 1) / 2, (n_cand, n)
