@@ -213,3 +213,41 @@ def test_bloom_decontamination_no_false_negatives(spark, sf_dir):
         r.n_bloom_hits for d, r in bloom.items() if d not in exact
     )
     assert false_pos <= 0.05 * total_grams
+
+
+def test_logreg_training_learns_the_length_signal(spark, sf_dir):
+    """Three GD steps on the 'long document' label must (a) be
+    deterministic run-to-run, (b) push the len_scaled weight positive
+    and dominant — the label IS a threshold on that feature — and
+    (c) reduce training log-loss below the w=0 starting point (ln 2):
+    three half-step iterations genuinely descend, even though they
+    are far from convergence."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from text_grabr_orc_spark.operators.curation import train_logreg_quality
+
+    w1 = {r.feature: r.weight for r in train_logreg_quality(spark, sf_dir).collect()}
+    w2 = {r.feature: r.weight for r in train_logreg_quality(spark, sf_dir).collect()}
+    assert w1 == w2
+    assert w1["len_scaled"] > 0
+    assert abs(w1["len_scaled"]) == max(
+        abs(w1[f]) for f in ("len_scaled", "distinct_ratio", "mean_tok_len")
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    texts, n_chars = t["text"], np.asarray(t["n_chars"], dtype=np.float64)
+    toks = [s.split() for s in texts]
+    x1 = n_chars / 500.0
+    x2 = np.asarray([len(set(ts)) / len(ts) for ts in toks])
+    x3 = np.asarray([sum(len(w) for w in ts) / (10.0 * len(ts)) for ts in toks])
+    y = (n_chars >= 250).astype(float)
+    z = (
+        w1["bias"]
+        + w1["len_scaled"] * x1
+        + w1["distinct_ratio"] * x2
+        + w1["mean_tok_len"] * x3
+    )
+    p = 1.0 / (1.0 + np.exp(-z))
+    loss = -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+    assert loss < np.log(2.0), loss

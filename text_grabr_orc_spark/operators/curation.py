@@ -954,3 +954,157 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hits.cast("bigint").alias("n_bloom_hits"),
         (n_hits > 0).cast("bigint").alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine model training: full-batch logistic regression
+# ---------------------------------------------------------------------------
+
+#: GD hyperparameters — small and FIXED so the oracle can unroll the
+#: whole training run.
+_LR_ITERS = 3
+_LR_RATE = 0.5
+
+#: shared feature definitions (exact rational doubles on both
+#: engines): bias, scaled length, distinct-token ratio, scaled mean
+#: token length. The label is the "long document" bit — learnable
+#: from x1, so three GD steps visibly move the weights.
+_LR_FEATURES = ("bias", "len_scaled", "distinct_ratio", "mean_tok_len")
+
+
+def _logreg_oracle() -> str:
+    """Unroll all three GD iterations as CTE layers: each layer
+    quantizes the sigmoid to 9 dp (engine exp() agrees far past that
+    — the bigram-LM ln() convention), sums the per-row gradient terms
+    as exact DECIMAL, and rounds the weight update to 9 dp, so no
+    float difference can compound across iterations."""
+    toks = _ORACLE_TOKS
+    feats = f"""
+        SELECT doc_id,
+               1.0 AS x0,
+               n_chars / 500.0 AS x1,
+               len(list_distinct({toks})) * 1.0 / len({toks}) AS x2,
+               list_sum(list_transform({toks}, t -> len(t)))
+                   / (10.0 * len({toks})) AS x3,
+               CASE WHEN n_chars >= 250 THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+        WHERE len({toks}) > 0
+    """
+    layers = [f"f AS ({feats})", "w0 AS (SELECT 0.0 a, 0.0 b, 0.0 c, 0.0 d)"]
+    for it in range(1, _LR_ITERS + 1):
+        p, wp, wn = f"p{it}", f"w{it - 1}", f"w{it}"
+        layers.append(
+            f"""{p} AS (
+            SELECT f.*, CAST(round(
+                1.0 / (1.0 + exp(-({wp}.a * f.x0 + {wp}.b * f.x1
+                                   + {wp}.c * f.x2 + {wp}.d * f.x3))), 9)
+                AS DECIMAL(12,9)) AS p
+            FROM f CROSS JOIN {wp})"""
+        )
+        upd = ", ".join(
+            f"round(any_value({wp}.{w}) - {_LR_RATE} * (CAST(sum(CAST(round("
+            f"(CAST(p AS DOUBLE) - y) * {x}, 9) AS DECIMAL(18,9))) AS DOUBLE)"
+            f" / count(*)), 9) AS {w}"
+            for w, x in zip("abcd", ("x0", "x1", "x2", "x3"))
+        )
+        layers.append(f"{wn} AS (SELECT {upd} FROM {p} CROSS JOIN {wp})")
+    final = f"w{_LR_ITERS}"
+    return f"""
+    WITH {", ".join(layers)}
+    SELECT f.feature, CASE f.feature
+        WHEN 'bias' THEN {final}.a
+        WHEN 'len_scaled' THEN {final}.b
+        WHEN 'distinct_ratio' THEN {final}.c
+        ELSE {final}.d END AS weight
+    FROM (VALUES ('bias'), ('len_scaled'), ('distinct_ratio'),
+                 ('mean_tok_len')) AS f(feature)
+    CROSS JOIN {final}
+    """
+
+
+@register("train_logreg_quality", oracle=_logreg_oracle())
+def train_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression document classifier INSIDE the
+    engine — full-batch gradient descent, {iters} fixed iterations —
+    and return the learned weights. This is the "model fitting as a
+    dataflow" capability (Spark MLlib's LogisticRegression is the
+    same shape: per-iteration treeAggregate of the gradient); here
+    every arithmetic step is pinned so the whole training run is
+    bit-identical on both engines and the driver hash-checks the
+    LEARNED MODEL itself, not an accuracy envelope.
+
+    Per iteration: sigmoid quantized to 9 dp (engines' exp() agree
+    far past 9 dp — the bigram-LM ln() convention), per-row gradient
+    terms quantized to 9 dp and summed as exact DECIMAL (order-proof),
+    weight update rounded to 9 dp. The weight vector is the ONLY
+    driver-side state (4 floats per iteration, computed by a Spark
+    expression and re-embedded as literals — the Lloyd-step device
+    from similarity_topk_pq_trained at a different altitude).
+
+    Scale: each iteration is one map-side-combinable aggregate over
+    the feature table (persisted once; features are exact int-ratio
+    doubles). At 100 TB: {iters} passes over cached features, each a
+    single 4-column partial-agg reduce — no shuffle of rows at all.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    toks = tokens(F.col("text"))
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(tokens(F.col("text"))) > 0)
+        .select(
+            F.lit(1.0).alias("x0"),
+            (F.col("n_chars") / F.lit(500.0)).alias("x1"),
+            (
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks)
+            ).alias("x2"),
+            (
+                F.aggregate(
+                    F.transform(toks, F.length),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / (F.lit(10.0) * F.size(toks))
+            ).alias("x3"),
+            F.when(F.col("n_chars") >= 250, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    xs = ("x0", "x1", "x2", "x3")
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LR_ITERS):
+        z = sum((F.lit(wk) * F.col(xk) for wk, xk in zip(w[1:], xs[1:])),
+                F.lit(w[0]) * F.col("x0"))
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9).cast(
+            "decimal(12,9)"
+        )
+        grad_terms = [
+            F.sum(
+                F.round(
+                    (p.cast("double") - F.col("y")) * F.col(xk), 9
+                ).cast("decimal(18,9)")
+            ).alias(f"g{k}")
+            for k, xk in enumerate(xs)
+        ]
+        upd = feats.agg(*grad_terms, F.count(F.lit(1)).alias("n")).select(
+            *[
+                F.round(
+                    F.lit(wk)
+                    - _LR_RATE * (F.col(f"g{k}").cast("double") / F.col("n")),
+                    9,
+                ).alias(f"w{k}")
+                for k, wk in enumerate(w)
+            ]
+        )
+        row = upd.collect()[0]
+        w = [float(row[f"w{k}"]) for k in range(4)]
+    out = [(name, wk) for name, wk in zip(_LR_FEATURES, w)]
+    return spark.createDataFrame(out, "feature string, weight double")
+
+
+train_logreg_quality.__doc__ = train_logreg_quality.__doc__.format(
+    iters=_LR_ITERS
+)
