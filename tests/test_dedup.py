@@ -396,3 +396,36 @@ def test_jl_prefilter_recall_and_pruning(spark, sf_dir):
     n_cand = gemm_cosine_pairs(proj, _JL_PREFILTER_MIN).count()
     n = load_table(spark, sf_dir, "embeddings").count()
     assert n_cand < 0.5 * n * (n - 1) / 2, (n_cand, n)
+
+
+def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
+    """A short doc fully embedded in a long one: containment 1.0 even
+    when Jaccard falls below its threshold — the operator's reason to
+    exist, pinned on a crafted fixture."""
+    from pyspark.sql import functions as F
+
+    from text_grabr_orc_spark.operators.dedup import (
+        dedup_ngram_containment,
+        dedup_ngram_jaccard,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [(0, short), (1, short + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    d = str(tmp_path / "contain_fixture")
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup_ngram_containment(spark, d).collect()
+    }
+    assert cont.get((0, 1)) == 1.0
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, d).collect()
+    }
+    assert (0, 1) not in jac

@@ -1585,3 +1585,69 @@ def dedup_embedding_jl(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram containment (asymmetric near-dup: quote / subset detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_MIN = 0.25
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_ORACLE_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                 least(len(a.shingles), len(b.shingles)), 6) AS containment
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+          least(len(a.shingles), len(b.shingles)) >= {_CONTAIN_MIN}
+    """,
+)
+def dedup_ngram_containment(
+    spark: SparkSession, sf_dir: str, threshold: float = _CONTAIN_MIN
+) -> DataFrame:
+    """Asymmetric containment pairs: C(A,B) = |A∩B| / min(|A|,|B|)
+    over word-3-gram shingle sets. Jaccard misses the
+    document-inside-document case — a short doc fully quoted inside a
+    long one has J = |A|/|B| (arbitrarily small) but containment 1.0;
+    this is the signal a crawl pipeline uses for quote/boilerplate
+    enclosure and truncated-duplicate detection (the complement of
+    symmetric near-dup in ``dedup_ngram_jaccard``).
+
+    Same exact inverted-index plan as Jaccard — hashed-shingle
+    equi-join, never all-pairs; only the scoring denominator changes
+    (min instead of union), so every pair with C > 0 is generated and
+    the result equals brute force. Scale properties are identical to
+    ``dedup_ngram_jaccard`` (8-byte shingle-hash shuffle, partial
+    aggregation, AQE skew split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = hashed_shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.select("doc_id", F.size("hs").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("hs").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    c = F.col("shared") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(c >= threshold)
+        .select("doc_a", "doc_b", F.round(c, 6).alias("containment"))
+    )
