@@ -82,6 +82,12 @@ BENCH_QUERIES = [
     "zorder_layout_2d",
     "fuzzy_join_blocked",
     "similarity_topk_ivf_pq",
+    "quantile_sketch_histogram",
+    # dedup_embedding_jl stays un-benched: at this fixture's threshold
+    # regime the JL prefilter cannot pay (see its docstring) and the
+    # family's bench entry is the exact GEMM
+    "perplexity_bucket_filter",
+    "train_logreg_quality",
     "streaming_hourly_counts",
     "ocr_pipeline_stub",
 ]

@@ -1555,7 +1555,18 @@ def dedup_embedding_jl(
     candidate scan inherits the GEMM tiling (sum(B^2)/2 even tasks,
     data x sqrt(#pairs) shuffle of 16-dim rows); the verify join
     shuffles only candidate ids against the vector table. Python is
-    one BLAS call per tile pair, as in the exact generator."""
+    one BLAS call per tile pair, as in the exact generator.
+
+    REGIME (measured, same honesty stance as ``dedup_embedding_rhp``):
+    filter-and-refine pays only when the candidate fraction is small,
+    i.e. when the target threshold sits far above the projected-space
+    background (true near-dup corpora, duplicates at cosine 0.8+). At
+    threshold 0.4 on THIS fixture's uniform-random vectors the 16-dim
+    background (std ~0.25) keeps ~36% of all pairs, so the verify
+    join materializes Theta(n^2) candidate rows and the pure 64-dim
+    GEMM is strictly faster (2.3 s vs 10.3 s at sf0.1) — which is why
+    the bench's embedding near-dup entry stays
+    ``dedup_embedding_gemm``."""
     from text_grabr_orc_spark.operators.similarity import (
         embedding_random_projection,
     )

@@ -120,24 +120,38 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     keys = keys.withColumn("L", F.length("key"))
+    # join on the 8-byte hash of the variant, not the string: the
+    # shuffle carries ints instead of ~20-char strings, and a hash
+    # collision can only ADD a candidate pair, which the exact
+    # Levenshtein verify below then rejects — recall is unaffected
     variants = keys.select(
-        "doc_id", "key", F.explode(F.expr(_variants_expr())).alias("variant")
+        "doc_id",
+        F.explode(
+            F.transform(F.expr(_variants_expr()), lambda v: F.xxhash64(v))
+        ).alias("variant"),
     )
-    a = variants.select(
-        F.col("doc_id").alias("doc_id_a"),
-        F.col("key").alias("key_a"),
-        "variant",
-    )
-    b = variants.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("key").alias("key_b"),
-        "variant",
-    )
+    # the exchange carries ONLY (doc_id, variant-hash) int pairs; key
+    # strings rejoin after the candidate pairs are distinct'd, from
+    # the doc->key table (corpus-row-count sized, not variant-sized)
+    a = variants.select(F.col("doc_id").alias("doc_id_a"), "variant")
+    b = variants.select(F.col("doc_id").alias("doc_id_b"), "variant")
     candidates = (
         a.join(b, "variant")
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "key_a", "key_b")
+        .select("doc_id_a", "doc_id_b")
         .distinct()
+        .join(
+            keys.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("key").alias("key_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            keys.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("key").alias("key_b")
+            ),
+            "doc_id_b",
+        )
     )
     # banded verify: threshold form is O(k*len) and returns -1 above k
     dist = F.levenshtein("key_a", "key_b", _MAX_DIST)
