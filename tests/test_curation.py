@@ -251,3 +251,18 @@ def test_logreg_training_learns_the_length_signal(spark, sf_dir):
     p = 1.0 / (1.0 + np.exp(-z))
     loss = -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
     assert loss < np.log(2.0), loss
+
+
+def test_logreg_predict_consistent_with_trainer(spark, sf_dir):
+    """Scores are the sigmoid of the trained weights' margin; the
+    decision boundary is score >= 0.5; every token-bearing doc is
+    scored exactly once."""
+    from text_grabr_orc_spark.operators.curation import (
+        predict_logreg_quality,
+    )
+
+    rows = predict_logreg_quality(spark, sf_dir).collect()
+    assert len(rows) == len({r.doc_id for r in rows})
+    for r in rows:
+        assert 0.0 <= r.score <= 1.0
+        assert r.predicted == (r.score >= 0.5)

@@ -972,12 +972,13 @@ _LR_RATE = 0.5
 _LR_FEATURES = ("bias", "len_scaled", "distinct_ratio", "mean_tok_len")
 
 
-def _logreg_oracle() -> str:
-    """Unroll all three GD iterations as CTE layers: each layer
-    quantizes the sigmoid to 9 dp (engine exp() agrees far past that
-    — the bigram-LM ln() convention), sums the per-row gradient terms
-    as exact DECIMAL, and rounds the weight update to 9 dp, so no
-    float difference can compound across iterations."""
+def _logreg_layers() -> tuple[list[str], str]:
+    """The unrolled-GD CTE layers (shared by the train and predict
+    oracles): each iteration quantizes the sigmoid to 9 dp (engine
+    exp() agrees far past that — the bigram-LM ln() convention), sums
+    the per-row gradient terms as exact DECIMAL, and rounds the
+    weight update to 9 dp, so no float difference can compound across
+    iterations. Returns (layers, name of the final weight CTE)."""
     toks = _ORACLE_TOKS
     feats = f"""
         SELECT doc_id,
@@ -1008,7 +1009,11 @@ def _logreg_oracle() -> str:
             for w, x in zip("abcd", ("x0", "x1", "x2", "x3"))
         )
         layers.append(f"{wn} AS (SELECT {upd} FROM {p} CROSS JOIN {wp})")
-    final = f"w{_LR_ITERS}"
+    return layers, f"w{_LR_ITERS}"
+
+
+def _logreg_oracle() -> str:
+    layers, final = _logreg_layers()
     return f"""
     WITH {", ".join(layers)}
     SELECT f.feature, CASE f.feature
@@ -1108,3 +1113,74 @@ def train_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_logreg_quality.__doc__ = train_logreg_quality.__doc__.format(
     iters=_LR_ITERS
 )
+
+
+def _logreg_predict_oracle() -> str:
+    """Score every document with the final trained weights — same
+    unrolled layers, one more scoring pass."""
+    layers, final = _logreg_layers()
+    return f"""
+    WITH {", ".join(layers)}
+    SELECT f.doc_id,
+           round(1.0 / (1.0 + exp(-({final}.a * f.x0 + {final}.b * f.x1
+                                    + {final}.c * f.x2
+                                    + {final}.d * f.x3))), 6) AS score,
+           ({final}.a * f.x0 + {final}.b * f.x1 + {final}.c * f.x2
+            + {final}.d * f.x3) >= 0.0 AS predicted,
+           f.y = 1.0 AS label
+    FROM f CROSS JOIN {final}
+    """
+
+
+@register("predict_logreg_quality", oracle=_logreg_predict_oracle())
+def predict_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the in-engine-trained model: score every document with
+    the weights ``train_logreg_quality`` learns (train -> apply in one
+    lineage, the standard batch-inference shape). The weight vector is
+    4 floats, so inference is a map-only pass — no join, no shuffle;
+    at 100 TB this is a single scan with a fused scalar expression.
+
+    Oracle: the same unrolled-GD layers as the trainer plus one
+    scoring projection, so the driver hash-checks training AND
+    inference as one contract (score quantized at 6 dp; the decision
+    uses the raw margin sign, identical doubles on both engines)."""
+    toks = tokens(F.col("text"))
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(tokens(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.lit(1.0).alias("x0"),
+            (F.col("n_chars") / F.lit(500.0)).alias("x1"),
+            (
+                F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            ).alias("x2"),
+            (
+                F.aggregate(
+                    F.transform(toks, F.length),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / (F.lit(10.0) * F.size(toks))
+            ).alias("x3"),
+            F.when(F.col("n_chars") >= 250, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+        )
+    )
+    w = {
+        r["feature"]: r["weight"]
+        for r in train_logreg_quality(spark, sf_dir).collect()
+    }
+    z = (
+        F.lit(w["bias"]) * F.col("x0")
+        + F.lit(w["len_scaled"]) * F.col("x1")
+        + F.lit(w["distinct_ratio"]) * F.col("x2")
+        + F.lit(w["mean_tok_len"]) * F.col("x3")
+    )
+    return feats.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        (z >= 0.0).alias("predicted"),
+        (F.col("y") == 1.0).alias("label"),
+    )
