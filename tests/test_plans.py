@@ -321,3 +321,46 @@ def test_dynamic_partition_pruning_expression_in_scan(spark, sf_dir):
     # and the result itself stays correct
     rows = {r.lang: r.n_docs for r in df.collect()}
     assert len(rows) == 2 and all(n > 0 for n in rows.values())
+
+
+def test_fuzzy_join_is_keyed_no_cartesian(spark, sf_dir):
+    """FastSS blocking must plan as an equi-join on the variant hash
+    — never a cartesian/nested-loop over the corpus — and the exact
+    Levenshtein verify stays JVM-side (no Python nodes)."""
+    from text_grabr_orc_spark.operators.linkage import fuzzy_join_blocked
+
+    df = fuzzy_join_blocked(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        "Join" in ln and "variant" in ln for ln in plan.splitlines()
+    ), "variant equi-join missing"
+    assert_no_python(df)
+
+
+def test_quantile_sketch_broadcasts_bounds_no_python(spark, sf_dir):
+    """Pass-1 bounds are broadcast back onto the fact scan; the whole
+    sketch is expression-only."""
+    from text_grabr_orc_spark.operators.sketches import (
+        quantile_sketch_histogram,
+    )
+
+    df = quantile_sketch_histogram(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_python(df)
+    assert "CartesianProduct" not in executed_plan(df)
+
+
+def test_logreg_feature_pass_is_aggregate_only(spark, sf_dir):
+    """Inference over the trained model is a map-only scan: no join,
+    no window, no Python in the scoring plan."""
+    from text_grabr_orc_spark.operators.curation import (
+        predict_logreg_quality,
+    )
+
+    df = predict_logreg_quality(spark, sf_dir)
+    plan = executed_plan(df)
+    assert_no_python(df)
+    for node in ("Join", "Window", "CartesianProduct"):
+        assert node not in plan, node
