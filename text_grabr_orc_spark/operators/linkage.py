@@ -57,6 +57,14 @@ _ORACLE_TOKS = (
 _KEY_TOKENS = 3
 #: maximum edit distance for a match (and the deletion depth).
 _MAX_DIST = 2
+#: hard cap on the key length: variant fan-out is O(L^2/2), so an
+#: adversarial document whose first token is huge would otherwise
+#: explode one row into millions of variants (and skew that task).
+#: 64 chars caps fan-out at ~2,081 variants/row; keys compare on
+#: their first 64 chars, which for a 3-token head key loses nothing
+#: on natural text (the fixture's max key is 22 chars — asserted
+#: nowhere, ENFORCED here).
+_KEY_MAX_CHARS = 64
 
 
 def _variants_expr() -> str:
@@ -95,7 +103,8 @@ def _variants_expr() -> str:
     oracle=f"""
     WITH k AS (
         SELECT doc_id,
-               array_to_string(({_ORACLE_TOKS})[1:{_KEY_TOKENS}], ' ') AS key
+               substr(array_to_string(({_ORACLE_TOKS})[1:{_KEY_TOKENS}],
+                             ' '), 1, {_KEY_MAX_CHARS}) AS key
         FROM documents
     )
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
@@ -115,9 +124,11 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     keys = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.array_join(F.slice(tokens(F.col("text")), 1, _KEY_TOKENS), " ").alias(
-            "key"
-        ),
+        F.substring(
+            F.array_join(F.slice(tokens(F.col("text")), 1, _KEY_TOKENS), " "),
+            1,
+            _KEY_MAX_CHARS,
+        ).alias("key"),
     )
     keys = keys.withColumn("L", F.length("key"))
     # join on the 8-byte hash of the variant, not the string: the
