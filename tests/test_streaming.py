@@ -178,3 +178,40 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
         )
     }
     assert got == want and got
+
+
+def test_streaming_histogram_p90_brackets_exact_quantile(spark, sf_dir):
+    """The streamed sketch keeps the batch sketch's guarantee: per
+    (hour, type) the estimate brackets the ceil(0.9n)-th order
+    statistic from above within one bin width."""
+    import math
+
+    import duckdb
+
+    from text_grabr_orc_spark.streaming.events import streaming_histogram_p90
+
+    rows = streaming_histogram_p90(spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    vals: dict = {}
+    for h, t, v in con.execute(
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00'),"
+        " event_type, value FROM events ORDER BY 1, 2, 3"
+    ).fetchall():
+        vals.setdefault((h, t), []).append(v)
+    bounds = {
+        t: (lo, hi)
+        for t, lo, hi in con.execute(
+            "SELECT event_type, min(value), max(value) FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    for r in rows:
+        xs = vals[(r.hour_start, r.event_type)]
+        assert len(xs) == r.n
+        lo, hi = bounds[r.event_type]
+        width = (hi - lo) / 256
+        x = xs[math.ceil(0.9 * len(xs)) - 1]
+        assert x - 1e-6 <= r.est_p90 <= x + width + 1e-6, (r, x, width)

@@ -640,3 +640,125 @@ def streaming_stream_stream_left_join(
         F.unix_micros("click_ts").alias("click_us"),
         F.coalesce(F.unix_micros("purchase_ts"), F.lit(-1)).alias("purchase_us"),
     )
+
+
+@register(
+    "streaming_histogram_p90",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type, min(value) AS vmin, max(value) AS vmax
+        FROM events GROUP BY 1
+    ), binned AS (
+        SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:00:00')
+                   AS hour_start,
+               e.event_type,
+               CASE WHEN b.vmax = b.vmin THEN 0
+                    ELSE least(255,
+                               CAST(floor((e.value - b.vmin)
+                                          / (b.vmax - b.vmin) * 256)
+                                    AS BIGINT))
+               END AS bin
+        FROM events e JOIN bounds b USING (event_type)
+    ), hist AS (
+        SELECT hour_start, event_type, bin, count(*) AS n
+        FROM binned GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT hour_start, event_type, bin,
+               sum(n) OVER (PARTITION BY hour_start, event_type
+                            ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+               sum(n) OVER (PARTITION BY hour_start, event_type) AS total
+        FROM hist
+    ), hit AS (
+        SELECT hour_start, event_type, total, min(bin) AS qbin
+        FROM cum WHERE c >= ceil(0.9 * total)
+        GROUP BY 1, 2, 3
+    )
+    SELECT h.hour_start, h.event_type, CAST(h.qbin AS BIGINT) AS qbin,
+           round(b.vmin + (h.qbin + 1) * ((b.vmax - b.vmin) / 256), 6)
+               AS est_p90,
+           CAST(h.total AS BIGINT) AS n
+    FROM hit h JOIN bounds b USING (event_type)
+    """,
+)
+def streaming_histogram_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable histogram quantile sketch
+    (``quantile_sketch_histogram``) as a STREAM: per tumbling hour and
+    event type, maintain 256 equi-width bin counters in streaming
+    state and read the p90 estimate off the final counts. Bin bounds
+    come from a batch calibration pass (per-type min/max — the
+    standard fixed-calibration trick, since a stream cannot two-pass),
+    broadcast into the stream as a stream-static join; the streaming
+    aggregate state is exactly the sketch (#windows x #types x <=256
+    counters, bounded by the watermark), which is what makes the
+    sketch the RIGHT quantile shape for unbounded data — counts merge
+    associatively across micro-batches by construction.
+
+    The quantile extraction (cumulative scan over <=256 rows per
+    group) runs on the materialized sketch after the AvailableNow
+    run — on a live trigger it would sit in a foreachBatch over the
+    update stream. Result equals the batch computation; the oracle
+    replicates calibration, binning, hourly windows and extraction."""
+    from pyspark.sql import Window as W
+
+    batch = spark.read.parquet(table_path(sf_dir, "events"))
+    bounds = F.broadcast(
+        batch.groupBy("event_type").agg(
+            F.min("value").alias("vmin"), F.max("value").alias("vmax")
+        )
+    )
+    ev = events_stream(spark, sf_dir)
+    bin_col = F.when(
+        F.col("vmax") == F.col("vmin"), F.lit(0).cast("bigint")
+    ).otherwise(
+        F.least(
+            F.lit(255).cast("bigint"),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * 256
+            ),
+        )
+    )
+    hist = (
+        ev.withWatermark("ts_utc", "10 minutes")
+        .join(bounds, "event_type")
+        .select("ts_utc", "event_type", bin_col.alias("bin"))
+        .groupBy(
+            F.window("ts_utc", "1 hour").alias("w"), "event_type", "bin"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sketch = run_to_memory(hist, "complete").select(
+        _fmt_instant("w.start", "yyyy-MM-dd HH:00:00").alias("hour_start"),
+        "event_type",
+        "bin",
+        "n",
+    )
+    wcum = (
+        W.partitionBy("hour_start", "event_type")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("hour_start", "event_type")
+    cum = sketch.select(
+        "hour_start",
+        "event_type",
+        "bin",
+        F.sum("n").over(wcum).alias("c"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+    hit = (
+        cum.filter(F.col("c") >= F.ceil(0.9 * F.col("total")))
+        .groupBy("hour_start", "event_type")
+        .agg(F.min("bin").alias("qbin"), F.first("total").alias("n"))
+    )
+    return hit.join(bounds, "event_type").select(
+        "hour_start",
+        "event_type",
+        F.col("qbin").cast("bigint"),
+        F.round(
+            F.col("vmin") + (F.col("qbin") + 1) * ((F.col("vmax") - F.col("vmin")) / 256),
+            6,
+        ).alias("est_p90"),
+        F.col("n").cast("bigint"),
+    )
