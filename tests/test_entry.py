@@ -112,3 +112,37 @@ def test_all_derived_tmp_caches_key_by_cache_tag():
             if "cache_tag" not in src:
                 offenders.append(os.path.relpath(path, root))
     assert not offenders, f"caches without content fingerprint: {offenders}"
+
+
+def test_overlap_chunks_cover_every_token_with_bounded_overlap(spark, sf_dir):
+    """Sliding chunks: full coverage (union of [start, start+n) spans
+    = [0, n_doc)), consecutive full chunks overlap by exactly
+    size - stride, and no chunk is contained in its predecessor."""
+    from text_grabr_orc_spark.operators.pipeline import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+        chunk_documents_overlap,
+    )
+    from text_grabr_orc_spark.functions.text import py_fields
+    from text_grabr_orc_spark.tables import load_table
+
+    by_doc: dict = {}
+    for r in chunk_documents_overlap(spark, sf_dir).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_toks = {
+        r["doc_id"]: len(py_fields(r["text"]))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        covered = set()
+        for r in chunks:
+            assert r.start_tok == r.chunk_idx * _CHUNK_STRIDE
+            assert 1 <= r.n_tokens <= _CHUNK_TOKENS
+            assert len(r.chunk_text.split(" ")) == r.n_tokens
+            covered.update(range(r.start_tok, r.start_tok + r.n_tokens))
+        assert covered == set(range(n_toks[doc_id]))
+        # the last chunk reaches the end; earlier chunks are full
+        for r in chunks[:-1]:
+            assert r.n_tokens == _CHUNK_TOKENS

@@ -381,3 +381,83 @@ def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("padding_waste").cast("bigint"),
         )
     )
+
+
+#: sliding-window chunk geometry: 32-token windows every 24 tokens
+#: (8-token overlap) — the RAG / context-chunking shape, where a fact
+#: straddling a boundary must appear whole in at least one chunk.
+_CHUNK_STRIDE = 24
+
+_CHUNK_OVERLAP_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{ORACLE_WS_RUN}'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CASE WHEN len(toks) <= {_CHUNK_TOKENS} THEN 1
+                    ELSE CAST(ceil((len(toks) - {_CHUNK_TOKENS})
+                                   / {_CHUNK_STRIDE}.0) AS BIGINT) + 1
+               END AS n_chunks
+        FROM tok WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           i AS chunk_idx,
+           CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           array_to_string(
+               toks[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_TOKENS}],
+               ' ') AS chunk_text,
+           least({_CHUNK_TOKENS}, n - i*{_CHUNK_STRIDE}) AS n_tokens
+    FROM sized, UNNEST(range(n_chunks)) AS u(i)
+"""
+
+
+@register("chunk_documents_overlap", oracle=_CHUNK_OVERLAP_ORACLE)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap: 32-token windows starting
+    every 24 tokens, so consecutive chunks share 8 tokens — the
+    retrieval/RAG chunking shape (``chunk_documents`` is its
+    stride==size special case). The chunk list stops at the first
+    window that reaches the document's end: full coverage, bounded
+    redundancy (size/stride = 4/3x token mass), and no chunk whose
+    content is entirely contained in its predecessor.
+
+    Same physical shape as ``chunk_documents``: map-only
+    transform-over-sequence + posexplode, zero shuffles, whole-stage
+    codegen — at 100 TB a linear scan with a 4/3x output multiplier
+    that the downstream embedder consumes partition-local."""
+    from text_grabr_orc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    k, s = _CHUNK_TOKENS, _CHUNK_STRIDE
+    with_toks = docs.filter(F.col("text").rlike(r"(?U)\S")).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    n = F.size("toks")
+    n_chunks = (
+        F.when(n <= k, F.lit(1).cast("bigint"))
+        .otherwise(F.ceil((n - k) / F.lit(float(s))).cast("bigint") + 1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), n_chunks - 1),
+        lambda i: F.array_join(F.slice("toks", (i * s + 1).cast("int"), k), " "),
+    )
+    return (
+        with_toks.select(
+            "doc_id",
+            n.alias("n_toks"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint"),
+            (F.col("chunk_idx") * s).cast("bigint").alias("start_tok"),
+            "chunk_text",
+            F.least(F.lit(k).cast("bigint"), F.col("n_toks") - F.col("chunk_idx") * s)
+            .alias("n_tokens"),
+        )
+        .select(
+            "doc_id", "chunk_idx", "start_tok", "chunk_text", "n_tokens"
+        )
+    )
