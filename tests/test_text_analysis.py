@@ -185,3 +185,27 @@ def test_perplexity_buckets_are_balanced_thirds(spark, sf_dir):
         .count()
     )
     assert len(rows) == n_scored
+
+
+def test_lang_confusion_matrix_is_consistent(spark, sf_dir):
+    """Matrix mass equals the corpus size; n_agree is n_docs on the
+    diagonal and 0 off it; per-row sums equal the declared-language
+    counts."""
+    from text_grabr_orc_spark.operators.text_analysis import (
+        lang_id_confusion,
+    )
+    from text_grabr_orc_spark.tables import load_table
+
+    rows = lang_id_confusion(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.n_agree == (r.n_docs if r.labeled_lang == r.pred_lang else 0)
+    declared = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    by_label: dict = {}
+    for r in rows:
+        by_label[r.labeled_lang] = by_label.get(r.labeled_lang, 0) + r.n_docs
+    assert by_label == declared

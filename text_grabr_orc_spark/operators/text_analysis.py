@@ -810,3 +810,48 @@ def perplexity_bucket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") <= 2).alias("kept"),
         )
     )
+
+
+def _lang_confusion_oracle() -> str:
+    """Nest the registered lang-ID SQL and aggregate its predictions
+    into a (declared, detected) confusion matrix."""
+    from text_grabr_orc_spark.registry import ORACLES
+
+    inner = ORACLES["text_lang_id"]
+    return f"""
+    WITH p AS (
+        SELECT * FROM ({inner})
+    )
+    SELECT labeled_lang, pred_lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN labeled_lang = pred_lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+    FROM p
+    GROUP BY 1, 2
+    """
+
+
+@register("lang_id_confusion", oracle=_lang_confusion_oracle())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-metadata QA: the confusion matrix between a corpus's
+    DECLARED language column and the content-based detector
+    (``text_lang_id``) — the standard audit a multilingual pipeline
+    runs to find mislabeled shards before per-language processing
+    fans out on the wrong axis. Off-diagonal mass IS the data-quality
+    finding; the n_agree column makes the diagonal explicit so the
+    matrix reads without a self-join.
+
+    Composition, not reimplementation: predictions come from the
+    registered operator (the oracle nests its SQL verbatim), so
+    detector and audit can never drift apart. Scale: map-only
+    detection followed by one #langs^2-key aggregate — partial
+    map-side combine collapses the corpus before the exchange."""
+    pred = text_lang_id(spark, sf_dir)
+    return pred.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("labeled_lang") == F.col("pred_lang"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+    )
