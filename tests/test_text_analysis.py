@@ -209,3 +209,19 @@ def test_lang_confusion_matrix_is_consistent(spark, sf_dir):
     for r in rows:
         by_label[r.labeled_lang] = by_label.get(r.labeled_lang, 0) + r.n_docs
     assert by_label == declared
+
+
+def test_bm25_ranking_properties(spark, sf_dir):
+    """Top-k is exactly k with dense ranks; scores are positive and
+    non-increasing; a doc containing all three query terms outranks
+    any doc containing none (trivially true — docs with no query term
+    score 0 and never appear)."""
+    from text_grabr_orc_spark.operators.text_analysis import (
+        _BM25_TOPN,
+        search_bm25_topk,
+    )
+
+    rows = sorted(search_bm25_topk(spark, sf_dir).collect(), key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, _BM25_TOPN + 1))
+    assert all(r.bm25 > 0 for r in rows)
+    assert all(a.bm25 >= b.bm25 for a, b in zip(rows, rows[1:]))

@@ -855,3 +855,145 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_agree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+#: BM25 constants (Robertson-Sparck Jones, public) and a fixed probe
+#: query over fixture vocabulary.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("join", "scan", "filter")
+_BM25_TOPN = 20
+
+
+def _bm25_oracle() -> str:
+    toks = (
+        "list_filter(regexp_split_to_array(text, "
+        f"'{ORACLE_WS_RUN}'), t -> t <> '')"
+    )
+    terms = ", ".join(f"('{t}')" for t in _BM25_QUERY)
+    # per-(doc, term) partial score quantized to DECIMAL(18,9) before
+    # the per-doc sum — the repo's order-proof summation device; idf
+    # ln() quantized inside the same rounding
+    score = f"""
+        CAST(round(
+            ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+            * tf.tf * ({_BM25_K1} + 1.0)
+            / (tf.tf + {_BM25_K1}
+               * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)), 9)
+            AS DECIMAL(18,9))
+    """
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, lower(unnest({{toks}})) AS term
+        FROM documents
+    ), q(term) AS (VALUES {terms}),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM tok JOIN q USING (term) GROUP BY 1, 2
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        JOIN q USING (term) GROUP BY 1
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+    ), s AS (
+        SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl
+        FROM dl
+    ), scored AS (
+        SELECT tf.doc_id, sum({score}) AS bm25
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN s
+        GROUP BY 1
+    ), ranked AS (
+        SELECT doc_id, round(CAST(bm25 AS DOUBLE), 6) AS bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT doc_id, bm25, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_BM25_TOPN}
+    """.replace("{toks}", toks)
+
+
+@register("search_bm25_topk", oracle=_bm25_oracle())
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-{n} documents for a fixed probe
+    query, scored with the standard Okapi BM25 formula (k1={k1},
+    b={b}) over corpus statistics computed in the same plan — the
+    full-text search capability that makes the inverted-index
+    operator (``text_inverted_index``) consumable end-to-end.
+
+    Determinism device: idf and the per-(doc, term) partial score are
+    one double expression (identical on both engines — ln() agrees
+    far past the 9 dp quantization) rounded and summed as exact
+    DECIMAL, so the per-doc score can't depend on join order; ranking
+    ties break on doc_id.
+
+    Scale: term postings are filtered to the query's terms AT THE
+    EXPLODE (the tf aggregate sees query-term rows only); df and the
+    corpus stats (n_docs, avgdl) are broadcast scalars; the final
+    ranking pushes a WindowGroupLimit. At 100 TB with a prebuilt
+    index this is the classic DAAT scatter-gather: score only the
+    postings of the query terms, never the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    ).select("doc_id", F.lower("t").alias("term"))
+    q = F.col("term").isin(*_BM25_QUERY)
+    tf = tok.filter(q).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = (
+        tok.filter(q)
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    s = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    part = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(s))
+        .select(
+            "doc_id",
+            F.round(part, 9).cast("decimal(18,9)").alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("p").alias("bm25"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_TOPN)
+        .select(
+            "doc_id",
+            F.round(F.col("bm25").cast("double"), 6).alias("bm25"),
+            F.col("rk").cast("bigint"),
+        )
+    )
+
+
+search_bm25_topk.__doc__ = search_bm25_topk.__doc__.format(
+    n=_BM25_TOPN, k1=_BM25_K1, b=_BM25_B
+)
