@@ -374,9 +374,7 @@ def test_jl_prefilter_recall_and_pruning(spark, sf_dir):
         dedup_embedding_gemm,
         gemm_cosine_pairs,
     )
-    from text_grabr_orc_spark.operators.similarity import (
-        embedding_random_projection,
-    )
+    from text_grabr_orc_spark.operators.similarity import _jl_project
     from text_grabr_orc_spark.tables import load_table
 
     exact = {
@@ -390,7 +388,7 @@ def test_jl_prefilter_recall_and_pruning(spark, sf_dir):
     # ~0.9 on the adversarial uniform fixture (see _JL_PREFILTER_MIN)
     assert len(got) >= 0.85 * len(exact), (len(got), len(exact))
 
-    proj = embedding_random_projection(spark, sf_dir).select(
+    proj = _jl_project(spark, sf_dir).select(
         "vec_id", F.col("proj").alias("embedding")
     )
     n_cand = gemm_cosine_pairs(proj, _JL_PREFILTER_MIN).count()

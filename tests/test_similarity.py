@@ -298,7 +298,7 @@ def test_jl_projection_preserves_pairwise_distances(spark, sf_dir):
     JL bound.)"""
     proj = {
         r.vec_id: np.asarray(r.proj)
-        for r in similarity.embedding_random_projection(spark, sf_dir)
+        for r in similarity._jl_project(spark, sf_dir)
         .filter(F.col("vec_id") < 40)
         .collect()
     }

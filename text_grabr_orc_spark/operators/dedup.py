@@ -1496,13 +1496,12 @@ def _jl_prefilter_oracle() -> str:
     """Candidates from the registered JL projection (identical rounded
     values), verified with the exact 64-d cosine — the prefilter is
     part of the contract, so the oracle replicates BOTH stages."""
-    # imported for its registration side effect: dedup loads before
-    # similarity in registry.load_all, and this oracle composes the
-    # JL projection's registered SQL
-    from text_grabr_orc_spark.operators import similarity  # noqa: F401
-    from text_grabr_orc_spark.registry import ORACLES
+    # the registered embedding_random_projection oracle is the EXPLODED
+    # scalar shape (driver-comparator contract); this composition wants
+    # the array-shaped view, shared as a module constant
+    from text_grabr_orc_spark.operators.similarity import _JL_PROJ_ARRAY_SQL
 
-    proj_sql = ORACLES["embedding_random_projection"]
+    proj_sql = _JL_PROJ_ARRAY_SQL
     cos16 = (
         "list_dot_product(a.proj, b.proj) / "
         "(sqrt(list_dot_product(a.proj, a.proj)) * "
@@ -1567,11 +1566,9 @@ def dedup_embedding_jl(
     GEMM is strictly faster (2.3 s vs 10.3 s at sf0.1) — which is why
     the bench's embedding near-dup entry stays
     ``dedup_embedding_gemm``."""
-    from text_grabr_orc_spark.operators.similarity import (
-        embedding_random_projection,
-    )
+    from text_grabr_orc_spark.operators.similarity import _jl_project
 
-    proj = embedding_random_projection(spark, sf_dir).select(
+    proj = _jl_project(spark, sf_dir).select(
         "vec_id", F.col("proj").alias("embedding")
     )
     cand = gemm_cosine_pairs(proj, _JL_PREFILTER_MIN).select("vec_a", "vec_b")

@@ -1352,9 +1352,12 @@ _JL_SIGN = (
 )
 
 
-@register(
-    "embedding_random_projection",
-    oracle=f"""
+#: The array-shaped projection SQL — shared with the composed
+#: ``dedup_embedding_jl`` oracle (which consumes `(vec_id, proj)` list
+#: rows); the REGISTERED oracle below explodes it to scalar rows so the
+#: external comparator can canonicalize the output (pandas sort_values
+#: cannot order list cells — CORRECTNESS_r04 `unhashable type: list`).
+_JL_PROJ_ARRAY_SQL = f"""
     WITH dims AS (
         SELECT i.i, k.k,
                CASE WHEN ('0x' || substr(md5(i.i::VARCHAR || ':' ||
@@ -1377,16 +1380,15 @@ _JL_SIGN = (
                                for i in range(1, {_JL_IN} + 1)])
                      / sqrt({_JL_OUT}), 6)) AS proj
     FROM v CROSS JOIN m
-    """,
-)
-def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Johnson-Lindenstrauss dimensionality reduction 64 -> 16 with a
-    deterministic +-1 sign matrix — the cheap projection a 100 TB
-    pipeline runs BEFORE expensive pairwise work (near-dup candidate
-    generation, coarse clustering) to cut the vector payload 4x while
-    preserving pairwise distances within the JL distortion bound
-    (distortion is spot-checked in tests; the driver hash-checks the
-    exact arithmetic).
+"""
+
+
+def _jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-shaped JL projection `(vec_id, proj array<double>)` — the
+    internal composition surface (``dedup_embedding_jl`` feeds it
+    straight into the tiled-GEMM pair scan). The registered query
+    explodes this to scalar rows; both views compute the identical
+    sequential arithmetic.
 
     The sign matrix is derived, not stored: cell (i, k) is the parity
     of the first hex digit of md5("i:k"), which both engines compute
@@ -1432,3 +1434,37 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return emb.crossJoin(F.broadcast(mat)).select("vec_id", proj.alias("proj"))
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+    SELECT p.vec_id, k.k AS k, p.proj[k.k + 1] AS v
+    FROM ({_JL_PROJ_ARRAY_SQL}) p
+    CROSS JOIN (SELECT unnest(range({_JL_OUT})) AS k) k
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 16 with a
+    deterministic +-1 sign matrix — the cheap projection a 100 TB
+    pipeline runs BEFORE expensive pairwise work (near-dup candidate
+    generation, coarse clustering) to cut the vector payload 4x while
+    preserving pairwise distances within the JL distortion bound
+    (distortion is spot-checked in tests; the driver hash-checks the
+    exact arithmetic).
+
+    Output shape is EXPLODED scalar rows `(vec_id, k, v)` — one row per
+    (vector, output dim) — not an `array<double>` column: the external
+    comparator canonicalizes by pandas sort and cannot order list cells
+    (r04's one red row). The array-shaped view lives on as
+    :func:`_jl_project` for in-engine composition; this is a map-only
+    posexplode of the same arithmetic, so no extra shuffle.
+    """
+    arr = _jl_project(spark, sf_dir)
+    return arr.select(
+        "vec_id", F.posexplode("proj").alias("k", "v")
+    ).select(
+        "vec_id",
+        F.col("k").cast("bigint").alias("k"),
+        F.col("v").cast("double").alias("v"),
+    )
