@@ -205,6 +205,31 @@ def test_gemm_dense_tiles_on_sparse_vec_ids(spark, sf_dir, tmp_path):
             assert n == block, (blk, n)
 
 
+def test_dense_tile_ids_fast_path_is_map_only(spark, sf_dir):
+    """On a dense id space (the fixture's consecutive vec_ids) the
+    tile assignment must take the probe-then-map fast path: a single
+    projection with NO shuffle and NO window — the r04 prefix-sum tax
+    (range Exchange + collect + window per invocation) must not
+    reappear for the common case."""
+    from text_grabr_orc_spark.plans import formatted_plan
+
+    tids = dedup._dense_tile_ids(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        64,
+    )
+    plan = formatted_plan(tids)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    # and it still matches the prefix-sum assignment exactly
+    n = tids.count()
+    by_blk = {
+        r["blk"]: r["n"]
+        for r in tids.groupBy("blk").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sorted(by_blk) == list(range((n + 63) // 64))
+    assert all(v == 64 for k, v in by_blk.items() if k < max(by_blk))
+
+
 def test_two_phase_cc_logarithmic_on_chain(spark):
     """The pathological topology for min-label propagation: a single
     chain 0-1-2-...-63 (diameter 63, so propagation needs ~63 rounds).

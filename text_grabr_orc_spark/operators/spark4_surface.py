@@ -309,16 +309,13 @@ def dedup_clusters_rsql(spark: SparkSession, sf_dir: str) -> DataFrame:
     on dense components: for those the iterative operator (or
     small-star/large-star) is the production path; this one is the
     declarative-surface twin."""
-    from text_grabr_orc_spark.operators.dedup import dedup_embedding_gemm
+    from text_grabr_orc_spark.operators.dedup import _gemm_pairs_cached
 
     # materialize the pair graph ONCE — the recursive member re-reads
     # its inputs at every level, and re-running the all-pairs cosine
-    # per level would multiply the dominant cost by the depth
-    pairs = (
-        dedup_embedding_gemm(spark, sf_dir)
-        .select("vec_a", "vec_b")
-        .localCheckpoint()
-    )
+    # per level would multiply the dominant cost by the depth; the
+    # cached set is also shared with the rest of the graph family
+    pairs = _gemm_pairs_cached(spark, sf_dir)
     pairs.createOrReplaceTempView("tgos_rsql_pairs")
     return spark.sql(
         f"""
