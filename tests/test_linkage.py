@@ -114,9 +114,10 @@ def test_sorted_neighborhood_subset_of_fastss_with_bounded_candidates(
     )
     from text_grabr_orc_spark.tables import load_table
 
+    fast_rows = fuzzy_join_blocked(spark, sf_dir).collect()
     full = {
         (min(r.doc_id_a, r.doc_id_b), max(r.doc_id_a, r.doc_id_b), r.dist)
-        for r in fuzzy_join_blocked(spark, sf_dir).collect()
+        for r in fast_rows
     }
     sn_rows = fuzzy_join_sorted_neighborhood(spark, sf_dir).collect()
     # SN orders pairs by RANK (a = sort-order predecessor), FastSS by
@@ -130,7 +131,23 @@ def test_sorted_neighborhood_subset_of_fastss_with_bounded_candidates(
     n = load_table(spark, sf_dir, "documents").count()
     for r in sn_rows:
         assert 1 <= r.rank_gap <= _SN_WINDOW - 1
-    # identical keys always sort adjacent: every exact-dup pair within
-    # the window must be found
-    assert all(d > 0 or gap <= _SN_WINDOW - 1
-               for (_, _, d), gap in zip(sn, (r.rank_gap for r in sn_rows)))
+    # identical keys always sort adjacent: every dist==0 pair from the
+    # full-recall FastSS result whose identical-key GROUP fits inside
+    # the window (group size <= w => rank gap <= w-1 for any two
+    # members) must also be found by sorted-neighborhood
+    key_of = {}
+    for r in fast_rows:
+        key_of[r.doc_id_a] = r.key_a
+        key_of[r.doc_id_b] = r.key_b
+    sn_pairs = {(a, b) for (a, b, _) in sn}
+    exact_checked = 0
+    for r in fast_rows:
+        if r.dist != 0:
+            continue
+        group = sum(1 for k in key_of.values() if k == r.key_a)
+        if group <= _SN_WINDOW:
+            pair = (min(r.doc_id_a, r.doc_id_b), max(r.doc_id_a, r.doc_id_b))
+            assert pair in sn_pairs, (pair, r.key_a, group)
+            exact_checked += 1
+    # the fixture must actually exercise the claim
+    assert exact_checked > 0

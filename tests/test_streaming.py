@@ -215,3 +215,107 @@ def test_streaming_histogram_p90_brackets_exact_quantile(spark, sf_dir):
         width = (hi - lo) / 256
         x = xs[math.ceil(0.9 * len(xs)) - 1]
         assert x - 1e-6 <= r.est_p90 <= x + width + 1e-6, (r, x, width)
+
+
+def test_update_mode_watermark_keeps_state_bounded(spark, tmp_path):
+    """The live-trigger deployment shape streaming_histogram_p90's
+    docstring promises: under UPDATE output mode the watermark evicts
+    closed hour windows from the state store, so per-batch state stays
+    at the open-window bound instead of accumulating every hour ever
+    seen (which is what COMPLETE mode — the bounded-replay shape —
+    retains by design). 16 time-ordered files, maxFilesPerTrigger=1,
+    state rows read from each micro-batch's progress event."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.1 fixtures absent")
+    from text_grabr_orc_spark.sources.events import EPOCH_US_EXPR
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n_files = 16
+    split = str(tmp_path / "ev_split")
+    (
+        ev.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(split)
+    )
+    # deterministic arrival order: FileStreamSource takes oldest
+    # mtime first; range partition k holds the k-th time slice
+    parts = sorted(
+        f for f in os.listdir(split) if f.startswith("part-")
+    )
+    assert len(parts) == n_files
+    base = os.path.getmtime(os.path.join(split, parts[0]))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(split, f), (base + i, base + i))
+
+    schema = ev.schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split)
+    )
+    agg = (
+        raw.select(
+            F.expr(f"timestamp_micros({EPOCH_US_EXPR})").alias("ts_utc"),
+            "event_type",
+        )
+        .withWatermark("ts_utc", "10 minutes")
+        .groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("tgos_state_bound")
+            .outputMode("update")
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [
+            p
+            for p in (q.recentProgress or [])
+            if p.get("stateOperators")
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    assert len(progress) >= n_files
+    state_rows = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+
+    # ground truth: total (hour, type) groups over the whole table,
+    # and the per-batch open-window bound
+    g_total = (
+        ev.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .distinct()
+        .count()
+    )
+    n_types = ev.select("event_type").distinct().count()
+    lo, hi = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    span_hours = (hi - lo).total_seconds() / 3600
+    # a batch spans ~1/16 of the time range; at its end the state
+    # holds that slice's windows plus the watermark lag (eviction
+    # uses the PREVIOUS batch's watermark, hence +1 slice slack)
+    per_batch_bound = (2 * (span_hours / n_files) + 3) * n_types
+    assert max(state_rows) <= per_batch_bound, (
+        max(state_rows),
+        per_batch_bound,
+    )
+    # the bound must be a real statement: without eviction the final
+    # batch would hold every group ever seen
+    assert g_total >= 3 * per_batch_bound
+    # and state growth is flat, not monotone: the last batch holds no
+    # more than ~the per-slice working set, far below the total
+    assert state_rows[-1] <= per_batch_bound

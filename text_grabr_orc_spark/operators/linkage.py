@@ -228,7 +228,7 @@ def fuzzy_join_sorted_neighborhood(
     prefix-sum (range-partition by key, broadcast per-partition count
     offsets, partition-local row_numbers). Neighbor pairing is then a
     d = 1..{w}-1 explode + equi-join on rank+d: every stage is a keyed
-    exchange on ints.""".format(w=_SN_WINDOW)
+    exchange on ints."""
     from pyspark.storagelevel import StorageLevel
 
     keys = load_table(spark, sf_dir, "documents").select(
@@ -289,3 +289,10 @@ def fuzzy_join_sorted_neighborhood(
             F.col("dist").cast("bigint").alias("dist"),
         )
     )
+
+
+# post-definition, like search_bm25_topk/train_logreg_quality: an
+# inline ``""".format(...)`` is a discarded expression, not a docstring
+fuzzy_join_sorted_neighborhood.__doc__ = (
+    fuzzy_join_sorted_neighborhood.__doc__.format(w=_SN_WINDOW)
+)

@@ -689,15 +689,21 @@ def streaming_histogram_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard fixed-calibration trick, since a stream cannot two-pass),
     broadcast into the stream as a stream-static join; the streaming
     aggregate state is exactly the sketch (#windows x #types x <=256
-    counters, bounded by the watermark), which is what makes the
-    sketch the RIGHT quantile shape for unbounded data — counts merge
-    associatively across micro-batches by construction.
+    counters per window), which is what makes the sketch the RIGHT
+    quantile shape for unbounded data — counts merge associatively
+    across micro-batches by construction.
 
-    The quantile extraction (cumulative scan over <=256 rows per
-    group) runs on the materialized sketch after the AvailableNow
-    run — on a live trigger it would sit in a foreachBatch over the
-    update stream. Result equals the batch computation; the oracle
-    replicates calibration, binning, hourly windows and extraction."""
+    State-bound caveat: this query runs in COMPLETE output mode
+    (AvailableNow + one in-memory table), where the watermark never
+    evicts state — fine for a bounded replay, unbounded on a live
+    trigger. The live-deployment shape is UPDATE/APPEND mode with the
+    same watermark (closed hour windows then age out of the state
+    store, capping state at the open-window count x #types x 256)
+    and the quantile extraction in a foreachBatch over the update
+    stream. The per-batch state-growth bound is pinned in
+    tests/test_streaming.py. Result equals the batch computation; the
+    oracle replicates calibration, binning, hourly windows and
+    extraction."""
     from pyspark.sql import Window as W
 
     batch = spark.read.parquet(table_path(sf_dir, "events"))
