@@ -364,3 +364,36 @@ def test_logreg_feature_pass_is_aggregate_only(spark, sf_dir):
     assert_no_python(df)
     for node in ("Join", "Window", "CartesianProduct"):
         assert node not in plan, node
+
+
+def test_global_and_grouped_topk_rewrite_to_window_group_limit(spark, sf_dir):
+    """Every row_number+filter top-k in the repo must hit Spark's
+    WindowGroupLimit rewrite (per-partition pruning to k rows BEFORE
+    the final exchange) — without it an unpartitioned Window.orderBy
+    is a single-task global sort over the full relation, the classic
+    100 TB scale-killer. Pinned as a plan-shape contract so a Spark
+    version bump or an innocent pattern edit (e.g. rank -> a
+    non-rank-function expression) can't silently reintroduce it.
+    Covers the unpartitioned global top-k paths (BM25 ranked
+    retrieval, vocabulary head, BPE pair counts) and the grouped
+    per-query ranking paths (brute-force / IVFPQ similarity)."""
+    from text_grabr_orc_spark.operators import curation, similarity, text_analysis
+
+    cases = {
+        "search_bm25_topk": text_analysis.search_bm25_topk,
+        "vocab_top_tokens": curation.vocab_top_tokens,
+        "bpe_merge_pairs": curation.bpe_merge_pairs,
+        "similarity_topk_bruteforce": similarity.similarity_topk_bruteforce,
+        "similarity_topk_ivf_pq": similarity.similarity_topk_ivf_pq,
+    }
+    for name, fn in cases.items():
+        plan = formatted_plan(fn(spark, sf_dir))
+        # two acceptable rewrites: WindowGroupLimit (grouped rank
+        # pruning) or LimitPushDownThroughWindow, which materializes
+        # as TakeOrderedAndProject under the Window (per-partition
+        # global top-N + driver merge — strictly better for the
+        # unpartitioned case). Either way the Window never sees the
+        # full relation through a single-task sort.
+        assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, (
+            f"{name} lost the top-k rewrite:\n{plan}"
+        )
