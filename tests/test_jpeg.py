@@ -188,3 +188,125 @@ def test_ocr_pipeline_decodes_jpegs(spark, tmp_path):
     # flat 200 > threshold: binarizes all-white regardless of codec ->
     # identical preprocessed pixels -> identical stub text
     assert out["flat.jpg"]["text"] == out["flat.png"]["text"]
+
+
+# ---------------------------------------------------------------------------
+# Adobe CMYK / YCCK (4-component) decode
+# ---------------------------------------------------------------------------
+
+
+def _cmyk_fixture(h=24, w=32):
+    g = gradient(h, w).astype(np.float64)
+    c = g
+    m = 255 - g
+    y = np.roll(g, 7, axis=1)
+    k = (g * 0.3).astype(np.float64)  # light black plate
+    return np.stack([c, m, y, k], axis=-1).astype(np.uint8)
+
+
+def _cmyk_reference_rgb(cmyk):
+    """Ground-truth conversion on the TRUE ink densities:
+    R = (255-C)(255-K)/255 — the color.CMYK/libjpeg formula."""
+    f = 255.0 - cmyk.astype(np.float64)
+    rgb = f[..., :3] * (f[..., 3:4] / 255.0)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_cmyk_adobe_roundtrip_close():
+    from text_grabr_orc_spark.imaging.jpeg import encode_jpeg_cmyk
+
+    cmyk = _cmyk_fixture()
+    back = decode_jpeg(encode_jpeg_cmyk(cmyk, ycck=False))
+    want = _cmyk_reference_rgb(cmyk)
+    assert back.shape == want.shape == (24, 32, 3)
+    assert np.abs(back.astype(int) - want.astype(int)).mean() < 12
+
+
+def test_jpeg_ycck_adobe_roundtrip_close():
+    from text_grabr_orc_spark.imaging.jpeg import encode_jpeg_cmyk
+
+    cmyk = _cmyk_fixture()
+    back = decode_jpeg(encode_jpeg_cmyk(cmyk, ycck=True))
+    want = _cmyk_reference_rgb(cmyk)
+    assert back.shape == want.shape
+    # YCCK rides the coarse chroma table: looser but still recognizable
+    assert np.abs(back.astype(int) - want.astype(int)).mean() < 20
+
+
+def test_jpeg_cmyk_flat_is_near_exact():
+    from text_grabr_orc_spark.imaging.jpeg import encode_jpeg_cmyk
+
+    cmyk = np.full((16, 16, 4), 0, np.uint8)
+    cmyk[..., 3] = 51  # 20% black only
+    back = decode_jpeg(encode_jpeg_cmyk(cmyk))
+    want = _cmyk_reference_rgb(cmyk)
+    assert np.abs(back.astype(int) - want.astype(int)).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation
+# ---------------------------------------------------------------------------
+
+
+def test_exif_orientation_read_and_decode_parity():
+    """The tag reads back for all 8 values; decode_jpeg output is
+    BYTE-IDENTICAL with and without the APP1 (Go image.Decode parity:
+    the stdlib decoder ignores EXIF)."""
+    from text_grabr_orc_spark.imaging.jpeg import (
+        exif_orientation,
+        insert_exif,
+    )
+
+    plain = encode_jpeg(gradient())
+    base = decode_jpeg(plain)
+    assert exif_orientation(plain) == 1
+    for o in range(1, 9):
+        tagged = insert_exif(plain, o)
+        assert exif_orientation(tagged) == o
+        assert (decode_jpeg(tagged) == base).all()
+
+
+def test_exif_orientation_little_endian_and_malformed():
+    from text_grabr_orc_spark.imaging.jpeg import (
+        exif_app1_segment,
+        exif_orientation,
+    )
+
+    plain = encode_jpeg(gradient())
+    # little-endian TIFF variant, hand-assembled
+    tiff = (
+        b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHIHH", 0x0112, 3, 1, 6, 0)
+        + struct.pack("<I", 0)
+    )
+    body = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    assert exif_orientation(plain[:2] + seg + plain[2:]) == 6
+    # malformed/out-of-range -> identity, never an exception
+    bad = plain[:2] + exif_app1_segment(9) + plain[2:]
+    assert exif_orientation(bad) == 1
+    trunc = b"\xff\xd8\xff\xe1\x00\x04Ex"
+    assert exif_orientation(trunc) == 1
+    assert exif_orientation(b"") == 1
+
+
+def test_apply_exif_orientation_semantics():
+    """Hand-checked transform table on an asymmetric array: 6 is a
+    clockwise quarter turn (np.rot90 k=-1), 8 counterclockwise, 3 a
+    half turn; mirrored variants = flip of the rotated ones; applying
+    the correction leaves an orientation-1 image untouched."""
+    from text_grabr_orc_spark.imaging.jpeg import apply_exif_orientation
+
+    a = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    assert (apply_exif_orientation(a, 1) == a).all()
+    assert (apply_exif_orientation(a, 2) == a[:, ::-1]).all()
+    assert (apply_exif_orientation(a, 3) == np.rot90(a, 2)).all()
+    assert (apply_exif_orientation(a, 4) == a[::-1, :]).all()
+    assert (apply_exif_orientation(a, 5) == a.T).all()
+    assert (apply_exif_orientation(a, 6) == np.rot90(a, -1)).all()
+    assert (apply_exif_orientation(a, 7) == np.rot90(a.T, 2)).all()
+    assert (apply_exif_orientation(a, 8) == np.rot90(a, 1)).all()
+    # RGB arrays keep the channel axis
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    assert apply_exif_orientation(rgb, 6).shape == (4, 2, 3)

@@ -87,3 +87,28 @@ def test_image_dhash_brightness_invariant_and_dedup(spark, sf_dir):
     assert pairs[("img_001.png", "img_001_dup.png")] == 0
     # a dup never pairs with the WRONG original
     assert ("img_000.png", "img_001_dup.png") not in pairs
+
+
+def test_scan_corpus_exif_cmyk_normalization(spark, sf_dir):
+    """The scanned-document variants (gray JFIF / RGB / Adobe CMYK /
+    YCCK, EXIF orientations 1..8) all decode through the Spark stage:
+    no error rows, the orientation tag reads back, quarter-turn
+    orientations (5..8) swap the upright dims, and CMYK/YCCK files
+    come out as 3-channel RGB."""
+    from text_grabr_orc_spark.operators.multimodal import (
+        multimodal_image_exif_cmyk,
+    )
+
+    rows = multimodal_image_exif_cmyk(spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert all(r["error"] is None for r in rows)
+    for r in rows:
+        vid = int(r["file"][5:8])
+        assert r["orientation"] == (vid % 8) + 1
+        assert (r["raw_h"], r["raw_w"]) == (16, 24)
+        if r["orientation"] >= 5:
+            assert (r["h"], r["w"]) == (24, 16)
+        else:
+            assert (r["h"], r["w"]) == (16, 24)
+        # kind cycle: 0 gray, 1 rgb, 2 cmyk, 3 ycck
+        assert r["channels"] == (1 if vid % 4 == 0 else 3)

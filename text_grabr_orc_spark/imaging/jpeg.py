@@ -235,7 +235,15 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline or progressive JPEG -> uint8 HxW (gray) or HxWx3 (RGB)."""
+    """Baseline or progressive JPEG -> uint8 HxW (gray) or HxWx3 (RGB).
+
+    4-component Adobe CMYK / YCCK (APP14 transform 0 / 2 — scanned-
+    document and print-pipeline corpora) decode to RGB via the
+    libjpeg/Adobe convention (ink values stored inverted, so
+    R = s_c * s_k / 255 on the stored bytes). EXIF orientation is NOT
+    applied here — ``image.Decode`` parity (``main.go:149``; the Go
+    stdlib ignores EXIF too); callers normalize explicitly with
+    :func:`exif_orientation` + :func:`apply_exif_orientation`."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -243,6 +251,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    adobe_transform = None  # APP14 "Adobe" color-transform byte
     coef = None  # progressive: per-component zigzag coefficient store
     pos = 2
     n = len(data)
@@ -296,9 +305,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14: "Adobe" + version(2) + flags0(2) + flags1(2) +
+            # transform(1): 0 = CMYK/RGB, 1 = YCbCr, 2 = YCCK
+            adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
+            frame["adobe"] = adobe_transform
             ns = seg[0]
             scan_map = {}
             scan_comps = []
@@ -377,13 +391,23 @@ def _decode_scan(data, pos, frame, scan_map, qt, huff_dc, huff_ac, dri):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_index += 1
-    return _assemble_planes(planes, comps, hmax, vmax, h, w)
+    return _assemble_planes(
+        planes, comps, hmax, vmax, h, w, frame.get("adobe")
+    )
 
 
-def _assemble_planes(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+def _ycc_to_rgb(y, cb, cr):
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return r, g, b
+
+
+def _assemble_planes(planes, comps, hmax, vmax, h, w, adobe=None) -> np.ndarray:
     """Upsample chroma to full resolution, crop to (h, w), and
     color-convert — the shared reconstruction tail of the baseline and
-    progressive decoders."""
+    progressive decoders. ``adobe`` is the APP14 transform byte (or
+    None), consulted only for 4-component frames."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -391,12 +415,23 @@ def _assemble_planes(planes, comps, hmax, vmax, h, w) -> np.ndarray:
         full.append(p[:h, :w])
     if len(comps) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    if len(comps) == 4:
+        # Adobe CMYK (transform 0/absent) or YCCK (transform 2); ink
+        # channels are stored INVERTED (libjpeg/Adobe convention), so
+        # with stored values s: R = s_c * s_k / 255 — equivalently
+        # (255-C)(255-K)/255 on the true ink densities.
+        if adobe == 2:  # YCCK: first three channels ride YCbCr
+            sc, sm, sy = _ycc_to_rgb(
+                full[0], full[1] - 128.0, full[2] - 128.0
+            )
+        else:
+            sc, sm, sy = full[0], full[1], full[2]
+        sk = full[3]
+        rgb = np.stack([sc, sm, sy], axis=-1) * (sk[..., None] / 255.0)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     if len(comps) != 3:
         raise JpegError(f"unsupported component count {len(comps)}")
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
+    r, g, b = _ycc_to_rgb(full[0], full[1] - 128.0, full[2] - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
@@ -611,7 +646,9 @@ def _reconstruct_progressive(frame, qt, coef) -> np.ndarray:
                     _idct2(block.reshape(8, 8)) + 128.0
                 )
         planes.append(plane)
-    return _assemble_planes(planes, comps, hmax, vmax, frame["h"], frame["w"])
+    return _assemble_planes(
+        planes, comps, hmax, vmax, frame["h"], frame["w"], frame.get("adobe")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -974,5 +1011,182 @@ def encode_jpeg_progressive(img: np.ndarray) -> bytes:
                         _encode_ac_refine_block(bw, ac_enc, blk, ss, se, al, state)
         _emit_eobrun(bw, ac_enc, state)
         out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (APP1 / TIFF tag 0x0112) — scanned-document corpora
+# ---------------------------------------------------------------------------
+
+
+def exif_orientation(data: bytes) -> int:
+    """Read the EXIF Orientation tag (1..8) from a JPEG's APP1
+    segment; 1 (identity) when absent or malformed. Parses only the
+    TIFF IFD0 header (public EXIF 2.x / TIFF 6.0 spec) — no thumbnail
+    or maker-note walking. ``decode_jpeg`` deliberately does NOT apply
+    it (Go ``image.Decode`` parity); pair with
+    :func:`apply_exif_orientation` to normalize a scan corpus."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return 1
+    pos, n = 2, len(data)
+    while pos + 4 <= n and data[pos] == 0xFF:
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            return 1
+        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if marker == 0xDA:  # entropy-coded data: EXIF must precede it
+            return 1
+        if marker == 0xE1:
+            seg = data[pos + 4:pos + 2 + seglen]
+            if seg[:6] == b"Exif\x00\x00":
+                return _tiff_orientation(seg[6:])
+        pos += 2 + seglen
+    return 1
+
+
+def _tiff_orientation(t: bytes) -> int:
+    try:
+        if t[:2] == b"II":
+            u16 = lambda b, i: int.from_bytes(b[i:i + 2], "little")  # noqa: E731
+            u32 = lambda b, i: int.from_bytes(b[i:i + 4], "little")  # noqa: E731
+        elif t[:2] == b"MM":
+            u16 = lambda b, i: int.from_bytes(b[i:i + 2], "big")  # noqa: E731
+            u32 = lambda b, i: int.from_bytes(b[i:i + 4], "big")  # noqa: E731
+        else:
+            return 1
+        if u16(t, 2) != 42:
+            return 1
+        ifd = u32(t, 4)
+        n_entries = u16(t, ifd)
+        for i in range(n_entries):
+            e = ifd + 2 + 12 * i
+            if u16(t, e) == 0x0112 and u16(t, e + 2) == 3:  # SHORT
+                v = u16(t, e + 8)
+                return v if 1 <= v <= 8 else 1
+        return 1
+    except (IndexError, struct.error):
+        return 1
+
+
+def apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Map a decoded image to upright display orientation per the EXIF
+    tag (1 identity, 2 mirror-H, 3 rot180, 4 mirror-V, 5 transpose,
+    6 rot90 CW, 7 transverse, 8 rot270 CW). Pure numpy views +
+    ``ascontiguousarray`` so downstream codecs see packed buffers."""
+    if orientation == 2:
+        out = img[:, ::-1]
+    elif orientation == 3:
+        out = img[::-1, ::-1]
+    elif orientation == 4:
+        out = img[::-1, :]
+    elif orientation == 5:
+        out = np.swapaxes(img, 0, 1)
+    elif orientation == 6:
+        out = np.swapaxes(img, 0, 1)[:, ::-1]
+    elif orientation == 7:
+        out = np.swapaxes(img, 0, 1)[::-1, ::-1]
+    elif orientation == 8:
+        out = np.swapaxes(img, 0, 1)[::-1, :]
+    else:
+        out = img
+    return np.ascontiguousarray(out)
+
+
+def exif_app1_segment(orientation: int) -> bytes:
+    """Minimal valid APP1/EXIF segment carrying only the Orientation
+    tag (big-endian TIFF, one IFD0 entry) — fixture material for the
+    orientation tests; byte-level layout from the public TIFF 6.0 /
+    EXIF specs."""
+    tiff = (
+        b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+        + struct.pack(">H", 1)                      # 1 IFD entry
+        + struct.pack(">HHIHH", 0x0112, 3, 1, orientation, 0)
+        + struct.pack(">I", 0)                      # next IFD: none
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def insert_exif(jpeg: bytes, orientation: int) -> bytes:
+    """Splice an Orientation-only APP1 right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG")
+    return jpeg[:2] + exif_app1_segment(orientation) + jpeg[2:]
+
+
+# ---------------------------------------------------------------------------
+# CMYK / YCCK encoder (fixtures for the 4-component decode path)
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg_cmyk(cmyk: np.ndarray, ycck: bool = False) -> bytes:
+    """uint8 HxWx4 TRUE ink densities -> baseline Adobe JPEG
+    (4 components, 4:4:4, APP14 transform 0=CMYK / 2=YCCK). Channels
+    are stored INVERTED per the Adobe/libjpeg convention
+    (s = 255 - ink), matching what ``decode_jpeg``'s 4-component
+    branch reads back; for YCCK the inverted CMY additionally rides
+    the YCbCr transform. Fixture/round-trip material — real corpora
+    are decoded, not produced, by this module."""
+    if cmyk.dtype != np.uint8 or cmyk.ndim != 3 or cmyk.shape[2] != 4:
+        raise JpegError(f"expected uint8 HxWx4, got {cmyk.dtype} {cmyk.shape}")
+    inv = 255.0 - cmyk.astype(np.float64)
+    if ycck:
+        sc, sm, sy = inv[..., 0], inv[..., 1], inv[..., 2]
+        y = 0.299 * sc + 0.587 * sm + 0.114 * sy
+        cb = -0.168736 * sc - 0.331264 * sm + 0.5 * sy + 128
+        cr = 0.5 * sc - 0.418688 * sm - 0.081312 * sy + 128
+        chans = np.stack([y, cb, cr, inv[..., 3]], axis=-1)
+        tids = [0, 1, 1, 0]
+    else:
+        chans = inv
+        tids = [0, 0, 0, 0]
+    h, w = cmyk.shape[:2]
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(x) for x in _QT_LUMA)
+    if ycck:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(
+            int(x) for x in _QT_CHROMA)
+    # APP14 Adobe: version 100, flags 0, transform byte last
+    adobe = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 2 if ycck else 0)
+    out += b"\xff\xee" + struct.pack(">H", len(adobe) + 2) + adobe
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for c in range(4):
+        sof += bytes([c + 1, 0x11, tids[c]])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _huff_segment(0, 0, *_DC_LUMA)
+    out += _huff_segment(1, 0, *_AC_LUMA)
+    if ycck:
+        out += _huff_segment(0, 1, *_DC_CHROMA)
+        out += _huff_segment(1, 1, *_AC_CHROMA)
+    sos = bytes([4])
+    for c in range(4):
+        sos += bytes([c + 1, 0x11 * tids[c]])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    dc_enc = {0: _build_encode_table(*_DC_LUMA), 1: _build_encode_table(*_DC_CHROMA)}
+    ac_enc = {0: _build_encode_table(*_AC_LUMA), 1: _build_encode_table(*_AC_CHROMA)}
+    qts = {0: _QT_LUMA.astype(np.float64), 1: _QT_CHROMA.astype(np.float64)}
+    bw = _BitWriter()
+    pred = [0] * 4
+    blocks_y = (h + 7) // 8
+    blocks_x = (w + 7) // 8
+    padded = np.pad(
+        chans, ((0, blocks_y * 8 - h), (0, blocks_x * 8 - w), (0, 0)),
+        mode="edge",
+    )
+    for by in range(blocks_y):
+        for bx in range(blocks_x):
+            for c in range(4):
+                tid = tids[c]
+                block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, c]
+                pred[c] = _encode_block(
+                    bw, block, qts[tid], dc_enc[tid], ac_enc[tid], pred[c]
+                )
+    out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -425,3 +425,129 @@ def multimodal_image_dedup_dhash(
         .distinct()
         .orderBy("file_a", "file_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scanned-document JPEG variants: EXIF orientation + Adobe CMYK/YCCK
+# ---------------------------------------------------------------------------
+
+_SCAN_CACHE: dict[str, str] = {}
+
+
+def synthesize_scan_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic scanned-corpus JPEG fixtures from the embeddings
+    table: per vector one JPEG cycling through the shapes a real OCR
+    corpus contains — grayscale JFIF, RGB, Adobe CMYK (APP14
+    transform 0) and YCCK (transform 2) — each tagged with an EXIF
+    orientation 1..8 so the normalization stage has work to do."""
+    from text_grabr_orc_spark.imaging.jpeg import (
+        encode_jpeg,
+        encode_jpeg_cmyk,
+        insert_exif,
+    )
+
+    if sf_dir in _SCAN_CACHE:
+        return _SCAN_CACHE[sf_dir]
+    rows = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    out = tempfile.mkdtemp(prefix="tgos_scan_")
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        g = ((v - v.min()) / max(v.max() - v.min(), 1e-9) * 255).astype(np.uint8)
+        img = np.repeat(np.repeat(g.reshape(8, 8), 2, axis=0), 3, axis=1)
+        vid = int(r["vec_id"])
+        kind = vid % 4
+        if kind == 0:  # grayscale JFIF
+            data = encode_jpeg(img)
+        elif kind == 1:  # RGB
+            rgb = np.stack([img, 255 - img, np.roll(img, 3, axis=1)], -1)
+            data = encode_jpeg(rgb)
+        else:  # Adobe CMYK / YCCK
+            cmyk = np.stack(
+                [img, 255 - img, np.roll(img, 5, axis=1), img // 3], -1
+            )
+            data = encode_jpeg_cmyk(cmyk, ycck=(kind == 3))
+        data = insert_exif(data, (vid % 8) + 1)
+        with open(os.path.join(out, f"scan_{vid:03d}.jpg"), "wb") as f:
+            f.write(data)
+    _SCAN_CACHE[sf_dir] = out
+    return out
+
+
+@register("multimodal_image_exif_cmyk")  # Python decode stage -> rows-only;
+# decode/orientation semantics pinned by tests/test_jpeg.py goldens
+def multimodal_image_exif_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-corpus normalization over the synthesized JPEG variants:
+    binaryFile scan -> one Arrow mapInPandas pass that decodes
+    (grayscale / RGB / Adobe CMYK / YCCK), reads the EXIF orientation
+    tag, applies the upright transform, and emits scalar facts per
+    file (orientation, pre/post dims, channel count, mean luma,
+    content sha); decode failures become error rows, never task
+    failures. The Spark-side shape is the production one — schema'd
+    binary column in, per-file scalars out, all pairwise/aggregate
+    work stays relational downstream."""
+    from text_grabr_orc_spark.imaging import decode_image
+    from text_grabr_orc_spark.imaging.jpeg import (
+        apply_exif_orientation,
+        exif_orientation,
+    )
+
+    d = synthesize_scan_dir(spark, sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(d, "*.jpg"))
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    raw = bytes(content)
+                    img = decode_image(raw)
+                    o = exif_orientation(raw)
+                    up = apply_exif_orientation(img, o)
+                    out.append(
+                        (
+                            path,
+                            o,
+                            img.shape[0],
+                            img.shape[1],
+                            up.shape[0],
+                            up.shape[1],
+                            1 if up.ndim == 2 else up.shape[2],
+                            round(float(up.mean()), 3),
+                            hashlib.sha256(up.tobytes()).hexdigest(),
+                            None,
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001 - errors become rows
+                    out.append(
+                        (path, None, None, None, None, None, None, None,
+                         None, f"{type(e).__name__}: {e}")
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "path", "orientation", "raw_h", "raw_w", "h", "w",
+                    "channels", "mean_px", "sha", "error",
+                ],
+            )
+
+    schema = (
+        "path string, orientation int, raw_h int, raw_w int, h int, w int,"
+        " channels int, mean_px double, sha string, error string"
+    )
+    return (
+        files.select("path", "content")
+        .mapInPandas(run, schema)
+        .select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("file"),
+            "orientation", "raw_h", "raw_w", "h", "w", "channels",
+            "mean_px", "sha", "error",
+        )
+        .orderBy("file")
+    )
