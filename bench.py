@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     # family's bench entry is the exact GEMM
     "perplexity_bucket_filter",
     "train_logreg_quality",
+    # round-5 additions: one per new operator family
+    "bpe_train_merges",
+    "dsir_importance_topk",
+    "embedding_sq8_error",
     "streaming_hourly_counts",
     "ocr_pipeline_stub",
 ]

@@ -7,6 +7,8 @@ physical plan shapes that the oracle cannot see.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from text_grabr_orc_spark.operators.curation import (
     _N_SHARDS,
     _REP_DISTINCT_MIN,
@@ -266,3 +268,169 @@ def test_logreg_predict_consistent_with_trainer(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.score <= 1.0
         assert r.predicted == (r.score >= 0.5)
+
+
+def test_bpe_train_merges_is_real_bpe(spark, sf_dir):
+    """The learned merge table must equal a reference pure-Python BPE
+    trainer run on the same word-frequency table (greedy
+    left-to-right application, count-then-merge rounds, (count desc,
+    pair asc) tie-break) — pinning that the relational loop is real
+    BPE, not merely deterministic."""
+    import re
+    from collections import Counter
+
+    from text_grabr_orc_spark.functions.text import py_fields
+    from text_grabr_orc_spark.operators.curation import (
+        _BPE_N_MERGES,
+        bpe_train_merges,
+    )
+    from text_grabr_orc_spark.tables import load_table
+
+    rows = bpe_train_merges(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, _BPE_N_MERGES + 1))
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    words = Counter()
+    for t in texts:
+        for tok in py_fields(t):
+            w = tok.lower()
+            if re.fullmatch(r"[a-z0-9]+", w):
+                words[w] += 1
+    seqs = {tuple(w): n for w, n in words.items()}
+
+    def merge_seq(seq, a, b):
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return tuple(out)
+
+    expected = []
+    for _ in range(_BPE_N_MERGES):
+        pc = Counter()
+        for seq, n in seqs.items():
+            for i in range(len(seq) - 1):
+                pc[(seq[i], seq[i + 1])] += n
+        (a, b), np_ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((a, b, a + b, np_))
+        merged = {}
+        for seq, n in seqs.items():
+            ns = merge_seq(seq, a, b)
+            merged[ns] = merged.get(ns, 0) + n
+        seqs = merged
+
+    got = [(r["lhs"], r["rhs"], r["merged"], r["n_pair"]) for r in rows]
+    assert got == expected
+
+
+def test_temperature_sampling_properties(spark, sf_dir):
+    """Temperature shares form a distribution; alpha=0.5 pulls every
+    source toward uniform (small sources upsampled, big ones
+    downsampled relative to natural share); epochs = ceil(factor)."""
+    import math
+
+    from text_grabr_orc_spark.operators.curation import (
+        source_temperature_sampling,
+    )
+
+    rows = source_temperature_sampling(spark, sf_dir).collect()
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r["share"] > mean_share:
+            assert r["temp_share"] <= r["share"] + 1e-9
+        if r["share"] < mean_share:
+            assert r["temp_share"] >= r["share"] - 1e-9
+        assert r["epochs"] == math.ceil(r["upsample_factor"] - 1e-12)
+
+
+def test_dsir_topk_prefers_target_lang(spark, sf_dir):
+    """The importance ranking must enrich the target domain: the
+    top-k is overwhelmingly the target language, and every selected
+    doc scores >= any non-selected doc (verified by rank contiguity
+    and weight monotonicity)."""
+    from text_grabr_orc_spark.operators.curation import (
+        _DSIR_TARGET_LANG,
+        dsir_importance_topk,
+    )
+
+    rows = dsir_importance_topk(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    ws = [r["dsir_logratio"] for r in rows]
+    assert ws == sorted(ws, reverse=True)
+    frac_target = sum(r["lang"] == _DSIR_TARGET_LANG for r in rows) / len(rows)
+    # the fixture's languages share ONE vocabulary (differences are
+    # distributional only), so the honest claim is enrichment over
+    # the base rate, not dominance — dominance is pinned on the
+    # disjoint-vocabulary crafted fixture below
+    from text_grabr_orc_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.filter(F.col("lang") == _DSIR_TARGET_LANG).count() / docs.count()
+    )
+    assert frac_target > base, (frac_target, base)
+
+
+def test_dsir_dominates_on_disjoint_vocabulary(spark, tmp_path):
+    """When the target domain has its OWN vocabulary (the real DSIR
+    setting: curated target vs crawl), the top-k must be entirely
+    target-language docs."""
+    import os
+
+    from text_grabr_orc_spark.operators.curation import (
+        _DSIR_TARGET_LANG,
+        dsir_importance_topk,
+    )
+
+    rows = []
+    for i in range(200):
+        if i % 2 == 0:
+            text = " ".join(f"enword{j % 17}" for j in range(40))
+            rows.append((i, text, _DSIR_TARGET_LANG, "srcA", len(text)))
+        else:
+            text = " ".join(f"othertok{j % 23}" for j in range(40))
+            rows.append((i, text, "xx", "srcB", len(text)))
+    d = str(tmp_path / "sf_dsir")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    top = dsir_importance_topk(spark, d).collect()
+    assert len(top) == 100
+    assert all(r["lang"] == _DSIR_TARGET_LANG for r in top)
+
+
+def test_embedding_sq8_error_within_quantization_bound(spark, sf_dir):
+    """Per-vector MSE must respect the uniform-quantizer bound: every
+    dimension's reconstruction error is at most half a bin width, so
+    mse <= max_k (range_k/256)^2 / 4; saturation only at the range
+    endpoints; codes hash-checked upstream, sanity here."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from text_grabr_orc_spark.operators.similarity import (
+        embedding_sq8_error,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    m = np.asarray([np.asarray(v, np.float64) for v in t["embedding"]])
+    widths = (m.max(axis=0) - m.min(axis=0)) / 256.0
+    bound = (widths.max() ** 2) / 4.0 + 1e-9
+    rows = embedding_sq8_error(spark, sf_dir).collect()
+    assert len(rows) == m.shape[0]
+    for r in rows:
+        assert 0.0 <= r["mse"] <= bound, (r, bound)
+        assert 0 <= r["n_saturated"] <= 64
+    # per-dimension max/min rows ARE saturated somewhere: total
+    # saturation count >= number of dimensions (arg-max per dim)
+    assert sum(r["n_saturated"] for r in rows) >= 64

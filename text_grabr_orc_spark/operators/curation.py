@@ -1184,3 +1184,362 @@ def predict_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (z >= 0.0).alias("predicted"),
         (F.col("y") == 1.0).alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source sampling (multilingual mixing)
+# ---------------------------------------------------------------------------
+
+#: sampling temperature alpha: p_i ∝ share_i^alpha. 0.5 is the
+#: classic multilingual-pretraining setting (upsamples the tail
+#: without letting any head source dominate).
+_TEMP_ALPHA = 0.5
+
+
+@register(
+    "source_temperature_sampling",
+    oracle="""
+    WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM per),
+    q AS (
+        SELECT source, n_docs,
+               CAST(round(sqrt(n_docs::DOUBLE / tot.n), 9)
+                    AS DECIMAL(18,9)) AS pw
+        FROM per CROSS JOIN tot
+    ), z AS (SELECT sum(pw) AS zsum FROM q)
+    SELECT q.source, q.n_docs,
+           round(q.n_docs::DOUBLE / tot.n, 6) AS share,
+           round(CAST(q.pw / z.zsum AS DOUBLE), 6) AS temp_share,
+           round(CAST(q.pw / z.zsum AS DOUBLE) * tot.n / q.n_docs, 6)
+               AS upsample_factor,
+           CAST(ceil(CAST(q.pw / z.zsum AS DOUBLE) * tot.n / q.n_docs)
+                AS BIGINT) AS epochs
+    FROM q CROSS JOIN z CROSS JOIN tot
+    """,
+)
+def source_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling plan (the multilingual-LLM
+    mixing rule, public since mBERT/XLM-R): sampling probability
+    p_i ∝ share_i^alpha with alpha=0.5, reported per source as the
+    temperature share, the implied upsample factor p_i·N/n_i, and the
+    integer epoch count a sharded data loader would materialize.
+    Complements ``source_mixing_weights`` (uniform-equalization
+    target) with the tunable-temperature family between uniform
+    (alpha=0) and natural (alpha=1).
+
+    Cross-engine float discipline: sqrt is IEEE correctly-rounded
+    (identical on both engines); each sqrt is quantized to
+    DECIMAL(18,9) BEFORE the normalizing sum, so the only float sum
+    in the operator is exact decimal arithmetic — the same device as
+    the bigram-LM ln quantization.
+
+    Scale: one partial-aggregated shuffle on source; everything after
+    runs on the source-cardinality table."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy()
+    per = per.withColumn("n", F.sum("n_docs").over(w))
+    # alpha = 0.5 exactly: pow -> sqrt (correctly rounded IEEE op)
+    per = per.withColumn(
+        "pw",
+        F.round(F.sqrt(F.col("n_docs").cast("double") / F.col("n")), 9).cast(
+            "decimal(18,9)"
+        ),
+    ).withColumn("zsum", F.sum("pw").over(w))
+    ts = (F.col("pw") / F.col("zsum")).cast("double")
+    up = ts * F.col("n") / F.col("n_docs")
+    return per.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("n"), 6).alias("share"),
+        F.round(ts, 6).alias("temp_share"),
+        F.round(up, 6).alias("upsample_factor"),
+        F.ceil(up).cast("bigint").alias("epochs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance-weighted data selection
+# ---------------------------------------------------------------------------
+
+#: hashed feature space for the unigram importance model; 512 buckets
+#: keeps the weight table broadcast-sized at ANY corpus scale.
+_DSIR_BUCKETS = 512
+#: docs to select (top-k by importance weight).
+_DSIR_TOPN = 100
+#: the in-fixture "target domain": English docs stand in for the
+#: curated target corpus DSIR reweights toward.
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('dsir:' || lower(unnest({_ORACLE_TOKS}))),
+                               1, 8))::BIGINT % {_DSIR_BUCKETS} AS bucket
+        FROM documents
+    ), raw AS (
+        SELECT bucket, count(*) AS cr FROM tok GROUP BY bucket
+    ), tgt AS (
+        SELECT bucket, count(*) AS ct FROM tok
+        WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket
+    ), totals AS (
+        SELECT (SELECT count(*) FROM tok) AS r_tot,
+               (SELECT count(*) FROM tok
+                WHERE lang = '{_DSIR_TARGET_LANG}') AS t_tot
+    ), lw AS (
+        -- Laplace-smoothed log-likelihood ratio per hashed feature,
+        -- ln quantized to DECIMAL(18,9) (the bigram-LM device)
+        SELECT raw.bucket,
+               CAST(round(
+                   ln((coalesce(tgt.ct, 0) + 1)::DOUBLE
+                      / (totals.t_tot + {_DSIR_BUCKETS}))
+                   - ln((raw.cr + 1)::DOUBLE
+                        / (totals.r_tot + {_DSIR_BUCKETS})), 9)
+                    AS DECIMAL(18,9)) AS w
+        FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN totals
+    ), doc AS (
+        SELECT t.doc_id, any_value(t.lang) AS lang,
+               count(*) AS n_tok, sum(lw.w) AS s
+        FROM tok t JOIN lw ON lw.bucket = t.bucket
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+           round(CAST(s AS DOUBLE), 6) AS dsir_logratio,
+           CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM doc
+    QUALIFY rank <= {_DSIR_TOPN}
+    """,
+)
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", public): score
+    every raw document by the log importance ratio of a hashed
+    unigram model between a target domain (here: the English slice,
+    standing in for the curated target corpus) and the raw pool, and
+    keep the top-k — the standard cheap way to steer a 100 TB crawl
+    toward a target distribution without a neural scorer.
+
+    Cross-engine float discipline: the ONLY transcendental (ln of the
+    two smoothed probabilities) is rounded to 9 dp and cast to
+    DECIMAL(18,9) per bucket before any summation, so per-document
+    scores are exact decimal sums — the driver hash-checks the
+    learned ranking, not a float approximation.
+
+    Scale: the feature space is fixed at {n} buckets, so the weight
+    table is broadcast-sized for ANY corpus; per-doc scoring is one
+    equi-join of (doc, bucket, count) rows against that broadcast and
+    one partial-aggregated sum — a single corpus-sized shuffle on
+    doc_id. The top-k is orderBy+limit (TakeOrdered), never a global
+    window."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", "lang", F.explode(tokens("text")).alias("t"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("dsir:"), F.lower("t"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+        .persist()
+    )
+    raw = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("r_tot"),
+        F.sum(
+            (F.col("lang") == _DSIR_TARGET_LANG).cast("bigint")
+        ).alias("t_tot"),
+    )
+    lw = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t_tot") + _DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("r_tot") + _DSIR_BUCKETS)
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("w"),
+        )
+    )
+    doc = (
+        tok.join(F.broadcast(lw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("w").alias("s"),
+        )
+    )
+    top = doc.orderBy(F.col("s").desc(), "doc_id").limit(_DSIR_TOPN)
+    w = Window.orderBy(F.col("s").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        "lang",
+        F.col("n_tok").cast("bigint"),
+        F.round(F.col("s").cast("double"), 6).alias("dsir_logratio"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+dsir_importance_topk.__doc__ = dsir_importance_topk.__doc__.format(
+    n=_DSIR_BUCKETS
+)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: the full iterative merge loop
+# ---------------------------------------------------------------------------
+
+#: number of merges the in-engine trainer learns.
+_BPE_N_MERGES = 4
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled CTE oracle for the iterative BPE trainer: one
+    (pairs_i, best_i, words_i) layer per merge — the same
+    layer-unrolling device as train_logreg_quality. Symbol sequences
+    ride a bracketed string encoding ('[t][h][e]') whose '[x][y]' ->
+    '[xy]' replace is the leftmost-non-overlapping greedy merge on
+    BOTH engines."""
+    head = f"""
+    WITH words0 AS (
+        SELECT regexp_replace(lower(tok), '(.)', '[\\1]', 'g') AS s,
+               count(*) AS n
+        FROM (SELECT unnest({_ORACLE_TOKS}) AS tok FROM documents)
+        WHERE regexp_full_match(lower(tok), '[a-z0-9]+')
+        GROUP BY 1
+    ), idx AS (
+        SELECT unnest(range(1, (SELECT max(length(s)) FROM words0)))::INT AS i
+    )"""
+    layers, finals = [], []
+    for m in range(1, _BPE_N_MERGES + 1):
+        prev = f"words{m - 1}"
+        layers.append(f"""
+    , sy{m} AS (
+        SELECT str_split(substr(s, 2, length(s) - 2), '][') AS syms, n
+        FROM {prev}
+    ), pairs{m} AS (
+        SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(n) AS np
+        FROM sy{m} CROSS JOIN idx
+        WHERE i <= len(syms) - 1
+        GROUP BY 1, 2
+    ), best{m} AS (
+        SELECT lhs, rhs, np FROM pairs{m}
+        ORDER BY np DESC, lhs, rhs LIMIT 1
+    ), words{m} AS (
+        SELECT replace(s, '[' || b.lhs || '][' || b.rhs || ']',
+                       '[' || b.lhs || b.rhs || ']') AS s, n
+        FROM {prev} CROSS JOIN best{m} b
+    )""")
+        finals.append(
+            f"SELECT CAST({m} AS BIGINT) AS rank, lhs, rhs,"
+            f" lhs || rhs AS merged, CAST(np AS BIGINT) AS n_pair"
+            f" FROM best{m}"
+        )
+    return head + "".join(layers) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register("bpe_train_merges", oracle=_bpe_train_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE tokenizer TRAINING (Sennrich et al. 2016,
+    public): the full iterative merge loop, not just the first pair
+    table — each round counts adjacent symbol pairs over the
+    word-frequency table (weighted by corpus frequency), merges the
+    argmax pair everywhere it occurs, and repeats on the shrunken
+    symbol sequences. The driver hash-checks the LEARNED MERGE TABLE
+    (rank, pair, merged symbol, count at merge time) — like the
+    logistic-regression trainer, the artifact under test is the
+    model, and the oracle unrolls every iteration as CTE layers.
+
+    Symbol sequences are encoded as bracketed strings ('[t][h][e]'):
+    the merge is then one ``replace('[x][y]' -> '[xy]')`` whose
+    leftmost-non-overlapping greedy semantics are identical on both
+    engines (and match real BPE's left-to-right application — e.g.
+    'aaa' under merge (a,a) becomes 'aa'+'a'). Words are restricted
+    to ``[a-z0-9]+`` so the bracket encoding is unambiguous — the
+    pre-tokenizer normalization every BPE recipe applies anyway.
+
+    Scale: every round's state is the WORD-FREQUENCY table (bounded
+    by vocabulary, not corpus — the first aggregate is the only
+    corpus-sized shuffle); pair counts partial-combine into a
+    charset^2-bounded exchange; the argmax is orderBy+limit
+    (TakeOrdered), broadcast back as a 1-row join — no collect, no
+    global window, O(merges) rounds of vocabulary-sized work."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .select(F.lower("tok").alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.regexp_replace("w", "(.)", "[$1]").alias("s"), "n")
+    )
+    merges = []
+    cur = words
+    for m in range(1, _BPE_N_MERGES + 1):
+        syms = F.split(F.expr("substr(s, 2, length(s) - 2)"), r"\]\[")
+        with_syms = cur.select("n", syms.alias("syms"))
+        i_seq = F.when(
+            F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (
+            with_syms.select("n", "syms", F.explode(i_seq).alias("i"))
+            .select(
+                "n",
+                F.element_at("syms", F.col("i")).alias("lhs"),
+                F.element_at("syms", F.col("i") + 1).alias("rhs"),
+            )
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("n").alias("np"))
+        )
+        best = pairs.orderBy(F.col("np").desc(), "lhs", "rhs").limit(1)
+        merges.append(
+            best.select(
+                F.lit(m).cast("bigint").alias("rank"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                F.col("np").cast("bigint").alias("n_pair"),
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit("["), F.col("lhs"), F.lit("]["), F.col("rhs"), F.lit("]")),
+                F.concat(F.lit("["), F.col("lhs"), F.col("rhs"), F.lit("]")),
+            ).alias("s"),
+            "n",
+        )
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionAll(mdf)
+    return out

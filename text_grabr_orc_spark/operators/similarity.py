@@ -1468,3 +1468,108 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("bigint").alias("k"),
         F.col("v").cast("double").alias("v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8 embeddings) with reconstruction accounting
+# ---------------------------------------------------------------------------
+
+#: quantization levels per dimension (uint8 codes).
+_SQ_LEVELS = 256
+
+
+@register(
+    "embedding_sq8_error",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id, k.k AS k,
+               CAST(embedding[k.k + 1] AS DOUBLE) AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range({_JL_IN})) AS k) k
+    ), stats AS (
+        SELECT k, min(v) AS mn, max(v) AS mx FROM x GROUP BY k
+    ), q AS (
+        SELECT x.vec_id, x.v, s.mn, s.mx,
+               CASE WHEN s.mx = s.mn THEN 0
+                    ELSE least({_SQ_LEVELS - 1},
+                               CAST(floor((x.v - s.mn) / (s.mx - s.mn)
+                                          * {_SQ_LEVELS}) AS BIGINT))
+               END AS code
+        FROM x JOIN stats s USING (k)
+    ), e AS (
+        SELECT vec_id, code,
+               CAST(round(
+                   (v - (mn + (code + 0.5) * ((mx - mn) / {_SQ_LEVELS})))
+                   * (v - (mn + (code + 0.5) * ((mx - mn) / {_SQ_LEVELS}))),
+                   12) AS DECIMAL(24,12)) AS se
+        FROM q
+    )
+    SELECT vec_id,
+           round(CAST(sum(se) AS DOUBLE) / {_JL_IN}, 9) AS mse,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           CAST(count(*) FILTER (WHERE code IN (0, {_SQ_LEVELS - 1}))
+                AS BIGINT) AS n_saturated
+    FROM e GROUP BY vec_id
+    """,
+)
+def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4x
+    memory cut (float32 -> uint8 codes) every serving-scale vector
+    store applies before PQ is worth its training cost — with
+    per-vector reconstruction accounting: per-dimension [min, max]
+    ranges over the corpus, uniform 256-level codes, bin-center
+    dequantization, and the driver hash-checks the CODES (via their
+    sum), the per-vector MSE and the saturation count.
+
+    Cross-engine float discipline: the code is the histogram
+    operator's floor-bin device (floor of one identically-ordered
+    float expression — never round-half cases); each squared
+    reconstruction error is quantized to DECIMAL(24,12) before the
+    per-vector sum, so the MSE is an exact decimal sum divided once.
+
+    Scale: dimension stats are a 64-row aggregate (partial-combined;
+    broadcast back); quantization is map-only after that broadcast —
+    one corpus-sized shuffle on vec_id for the final per-vector
+    aggregate, nothing pairwise anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    x = emb.select(
+        "vec_id", F.posexplode("e").alias("k", "v")
+    )
+    stats = x.groupBy("k").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    q = x.join(F.broadcast(stats), "k").select(
+        "vec_id",
+        "v",
+        "mn",
+        "mx",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(_SQ_LEVELS - 1).cast("bigint"),
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * _SQ_LEVELS
+                ),
+            )
+        )
+        .alias("code"),
+    )
+    recon = F.col("mn") + (F.col("code") + 0.5) * (
+        (F.col("mx") - F.col("mn")) / _SQ_LEVELS
+    )
+    e = q.select(
+        "vec_id",
+        "code",
+        F.round((F.col("v") - recon) * (F.col("v") - recon), 12)
+        .cast("decimal(24,12)")
+        .alias("se"),
+    )
+    return e.groupBy("vec_id").agg(
+        F.round(F.sum("se").cast("double") / _JL_IN, 9).alias("mse"),
+        F.sum("code").cast("bigint").alias("code_sum"),
+        F.sum(
+            F.col("code").isin(0, _SQ_LEVELS - 1).cast("bigint")
+        ).cast("bigint").alias("n_saturated"),
+    )
