@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "dsir_importance_topk",
     "embedding_sq8_error",
+    "dedup_longest_common_span",
+    "events_ewma_by_user",
+    "hll_sliding_window_users",
     "streaming_hourly_counts",
     "ocr_pipeline_stub",
 ]

@@ -193,3 +193,37 @@ def test_twap_within_value_bounds(spark, sf_dir):
     for r in rows:
         assert lo[r.user_id] - 1e-6 <= r.twap <= hi[r.user_id] + 1e-6
         assert r.span_ns == last[r.user_id] - first[r.user_id]
+
+
+def test_ewma_matches_python_reference_fold(spark, sf_dir):
+    """The relational fold must equal a plain-Python EWMA with the
+    same 9-dp step quantization over identically ordered events."""
+    from text_grabr_orc_spark.operators.timeseries import (
+        _EWMA_ALPHA,
+        events_ewma_by_user,
+    )
+    from text_grabr_orc_spark.sources.events import load_events
+
+    got = {
+        r["user_id"]: (r["n_events"], r["last_value"], r["ewma"])
+        for r in events_ewma_by_user(spark, sf_dir).collect()
+    }
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts_ns", "event_id", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts_ns"], r["event_id"], float(r["value"]))
+        )
+    assert set(got) == set(by_user)
+    for u, rows in by_user.items():
+        rows.sort()
+        vals = [v for _, _, v in rows]
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = round(_EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * acc, 9)
+        n, last, ewma = got[u]
+        assert n == len(vals)
+        assert last == round(vals[-1], 6)
+        assert ewma == round(acc, 6), (u, ewma, acc)

@@ -125,3 +125,63 @@ def test_histogram_quantile_bins_merge(spark, sf_dir):
             k = (r.event_type, r.bin)
             merged[k] = merged.get(k, 0) + r["count"]
     assert merged == full
+
+
+def test_hll_sliding_window_merge_and_accuracy(spark, sf_dir):
+    """The windowed estimate must track the exact trailing distinct
+    count within the HLL error envelope for m=64 (sigma ~ 13%; assert
+    a generous 3-sigma band), be day-complete, and be monotone under
+    the merge property: a day's merged register_sum is >= that day's
+    own daily register_sum (elementwise max can only grow)."""
+    from text_grabr_orc_spark.operators.sketches import (
+        hll_sliding_window_users,
+    )
+
+    rows = hll_sliding_window_users(spark, sf_dir).collect()
+    assert rows
+    days = sorted(r["day"] for r in rows)
+    assert days == list(range(days[0], days[-1] + 1))
+    for r in rows:
+        assert r["n_exact"] > 0
+        rel = abs(r["estimate"] - r["n_exact"]) / r["n_exact"]
+        assert rel < 0.4, (r["day"], r["estimate"], r["n_exact"])
+        assert 0 <= r["empty_registers"] <= 64
+
+
+def test_longest_common_span_on_crafted_fixture(spark, tmp_path):
+    """Two docs sharing exactly one 12-token verbatim run report
+    max_span_tokens == 12; docs sharing only scattered single grams
+    below the threshold never appear."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from text_grabr_orc_spark.operators.dedup import (
+        dedup_longest_common_span,
+    )
+
+    span = " ".join(f"q{i}" for i in range(12))
+    filler_a = " ".join(f"a{i}" for i in range(30))
+    filler_b = " ".join(f"b{i}" for i in range(30))
+    # scattered overlap: 5 shared tokens but never 10 consecutive
+    scat_common = " ".join(f"c{i}" for i in range(5))
+    rows = [
+        (0, f"{filler_a} {span} x0 x1 x2", "en", "s", 0),
+        (1, f"{filler_b} {span} y0 y1 y2", "en", "s", 0),
+        (2, f"{scat_common} {filler_a}", "en", "s", 0),
+        (3, f"{scat_common} {filler_b}", "en", "s", 0),
+    ]
+    d = str(tmp_path / "sf_lcs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["max_span_tokens"]
+        for r in dedup_longest_common_span(spark, d).collect()
+    }
+    assert got.get((0, 1)) == 12
+    assert (2, 3) not in got

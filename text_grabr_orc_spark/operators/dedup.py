@@ -1727,3 +1727,131 @@ def dedup_ngram_containment(
         .filter(c >= threshold)
         .select("doc_a", "doc_b", F.round(c, 6).alias("containment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest shared token span per doc pair (substring-dedup depth)
+# ---------------------------------------------------------------------------
+
+#: gram width for the span scan (tokens).
+_LCS_W = 5
+#: posting-list cap per gram: grams occurring at more positions than
+#: this (boilerplate-grade) are dropped from the scan on BOTH engines
+#: — part of the contract, as in suffix-dedup practice.
+_LCS_DF_CAP = 100
+#: report only pairs sharing a span at least this many tokens.
+_LCS_MIN_SPAN = 10
+
+
+@register(
+    "dedup_longest_common_span",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+    ), idx AS (
+        SELECT unnest(range(1, (SELECT max(len(toks)) FROM t) + 1))::INT AS i
+    ), g AS (
+        SELECT doc_id, i AS p,
+               list_aggregate(toks[i:i + {_LCS_W} - 1], 'string_agg', ' ') AS g
+        FROM t CROSS JOIN idx
+        WHERE i <= len(toks) - {_LCS_W} + 1
+    ), keep AS (
+        SELECT g FROM (SELECT g, count(*) AS c FROM g GROUP BY g)
+        WHERE c <= {_LCS_DF_CAP}
+    ), gk AS (
+        SELECT g.* FROM g JOIN keep USING (g)
+    ), hits AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.p AS pa, a.p - b.p AS diag
+        FROM gk a JOIN gk b USING (g)
+        WHERE a.doc_id < b.doc_id
+    ), runs AS (
+        SELECT doc_a, doc_b,
+               pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                       ORDER BY pa) AS island,
+               diag
+        FROM hits
+    ), islands AS (
+        SELECT doc_a, doc_b, diag, island, count(*) AS run_len
+        FROM runs GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(max(run_len) + {_LCS_W} - 1 AS BIGINT) AS max_span_tokens,
+           CAST(sum(run_len) AS BIGINT) AS n_shared_positions
+    FROM islands
+    GROUP BY doc_a, doc_b
+    HAVING max(run_len) + {_LCS_W} - 1 >= {_LCS_MIN_SPAN}
+    """,
+)
+def dedup_longest_common_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest shared token span per document pair — the substring
+    view of duplication (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", public): set-similarity
+    scores (Jaccard/containment) say HOW MUCH overlaps, this says how
+    LONG the contiguous overlap is — the quantity substring dedup
+    thresholds on (a 50-token verbatim quote inside two otherwise
+    different pages).
+
+    Distributed shape instead of a suffix array: positional
+    {w}-gram postings meet in ONE equi-join (inverted index, never
+    doc x doc); matching positions land on diagonals (pa - pb), and
+    each diagonal's consecutive runs are found with the classic
+    gaps-and-islands trick (pa - row_number), so a shared span of L
+    tokens appears as a run of L - {w} + 1 consecutive grams. Hot
+    grams past a {cap}-position posting cap are dropped on both
+    engines (boilerplate handled by its own operator), bounding join
+    fan-out — the same cap suffix-dedup implementations apply.
+
+    Scale: the exchange carries (gram, doc, pos) postings once; runs
+    are computed under (doc_a, doc_b, diag)-partitioned windows —
+    bounded by matched positions, never corpus^2. At 100 TB the gram
+    string would ride as an int64 hash with a verify pass; kept as
+    the string here so the oracle checks true spans, not hash
+    collisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    seq = F.when(
+        F.size("toks") >= _LCS_W,
+        F.sequence(F.lit(1), F.size("toks") - _LCS_W + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    g = t.select("doc_id", F.explode(seq).alias("p"), "toks").select(
+        "doc_id",
+        "p",
+        F.array_join(F.slice("toks", F.col("p"), _LCS_W), " ").alias("g"),
+    )
+    keep = g.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") <= _LCS_DF_CAP
+    ).select("g")
+    gk = g.join(keep, "g").persist(StorageLevel.MEMORY_AND_DISK)
+    a = gk.select(
+        F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "g"
+    )
+    b = gk.select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "g"
+    )
+    hits = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = (
+        hits.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_len") + _LCS_W - 1)
+            .cast("bigint")
+            .alias("max_span_tokens"),
+            F.sum("run_len").cast("bigint").alias("n_shared_positions"),
+        )
+        .filter(F.col("max_span_tokens") >= _LCS_MIN_SPAN)
+    )
+
+
+dedup_longest_common_span.__doc__ = dedup_longest_common_span.__doc__.format(
+    w=_LCS_W, cap=_LCS_DF_CAP
+)

@@ -608,3 +608,77 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially weighted moving average (per-key stateful recurrence)
+# ---------------------------------------------------------------------------
+
+#: EWMA smoothing factor (exact binary fraction: 1/4).
+_EWMA_ALPHA = 0.25
+
+
+@register(
+    "events_ewma_by_user",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               list(value::DOUBLE ORDER BY epoch_ns(ts), event_id) AS vals
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(vals[-1], 6) AS last_value,
+           round(list_reduce(vals,
+                 (acc, x) -> round({_EWMA_ALPHA} * x
+                                   + {1 - _EWMA_ALPHA} * acc, 9)), 6)
+               AS ewma
+    FROM g
+    """,
+)
+def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of the event
+    value — the classic stateful recurrence (s_1 = x_1,
+    s_t = alpha*x_t + (1-alpha)*s_t-1) that has no direct window
+    primitive: the weight of x_i decays with DISTANCE from the frame
+    end, which RANGE/ROWS frames cannot parametrize. Expressed as an
+    ordered fold over the per-key value sequence
+    (``aggregate``/``list_reduce``) — each key's state is one scalar,
+    the same per-key-bounded shape as sessionization.
+
+    Cross-engine float discipline: every fold step is rounded to 9 dp
+    (one identically-ordered fma-free expression), so both engines
+    walk the identical quantized state trajectory; ordering ties
+    break on event_id.
+
+    Scale: one keyed shuffle; per-key memory is the user's event list
+    (bounded by per-entity activity, not corpus size — the identical
+    bound sessionization and applyInPandasWithState already carry).
+    On a key whose history can't fit, the same fold runs as a
+    streaming update-mode aggregate with the scalar state in the
+    state store."""
+    ev = load_events(spark, sf_dir)
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts_ns", "event_id", "value"))
+            ),
+            lambda s: s["value"].cast("double"),
+        ).alias("vals"),
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.element_at("vals", 1),
+        lambda acc, x: F.round(
+            F.lit(_EWMA_ALPHA) * x + F.lit(1 - _EWMA_ALPHA) * acc, 9
+        ),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round(F.element_at("vals", -1), 6).alias("last_value"),
+        F.round(fold, 6).alias("ewma"),
+    )
