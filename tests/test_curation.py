@@ -434,3 +434,30 @@ def test_embedding_sq8_error_within_quantization_bound(spark, sf_dir):
     # per-dimension max/min rows ARE saturated somewhere: total
     # saturation count >= number of dimensions (arg-max per dim)
     assert sum(r["n_saturated"] for r in rows) >= 64
+
+
+def test_waterfill_allocation_invariants(spark, sf_dir):
+    """Waterfilling correctness: exhausted sources are taken in full
+    and sit below the water level; capped sources all get
+    floor(level); total allocation hits the budget within the
+    per-source floor rounding slack."""
+    from text_grabr_orc_spark.operators.curation import (
+        _WF_BUDGET_FRAC,
+        token_budget_waterfill,
+    )
+
+    rows = token_budget_waterfill(spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = int(_WF_BUDGET_FRAC * total)
+    level = rows[0]["fill_level"]
+    for r in rows:
+        assert r["fill_level"] == level
+        if r["exhausted"]:
+            assert r["alloc_tokens"] == r["n_tokens"]
+            assert r["n_tokens"] <= level + 1e-6
+        else:
+            assert r["alloc_tokens"] == int(level)
+            assert r["alloc_tokens"] <= r["n_tokens"]
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    n_capped = sum(1 - r["exhausted"] for r in rows)
+    assert budget - n_capped <= alloc <= budget

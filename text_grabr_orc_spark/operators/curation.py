@@ -1543,3 +1543,121 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for mdf in merges[1:]:
         out = out.unionAll(mdf)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Token-budget waterfilling across sources
+# ---------------------------------------------------------------------------
+
+#: fraction of the corpus token total to allocate.
+_WF_BUDGET_FRAC = 0.5
+
+
+@register(
+    "token_budget_waterfill",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               CAST(coalesce(sum(len({_ORACLE_TOKS})), 0) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS s,
+               CAST(floor({_WF_BUDGET_FRAC} * sum(n_tokens)) AS BIGINT)
+                   AS budget
+        FROM per
+    ), ranked AS (
+        SELECT source, n_tokens,
+               row_number() OVER (ORDER BY n_tokens, source) AS rk,
+               sum(n_tokens) OVER (ORDER BY n_tokens, source
+                                   ROWS UNBOUNDED PRECEDING) AS pref
+        FROM per
+    ), lvl AS (
+        -- water level: smallest rk whose level (budget - smaller
+        -- sources all taken in full, split over the rest) fits
+        -- under the next source size; exact rational arithmetic
+        SELECT min(r.rk) AS k
+        FROM ranked r CROSS JOIN tot
+        WHERE (tot.budget - (r.pref - r.n_tokens))
+              <= (tot.s - r.rk + 1) * r.n_tokens
+    ), level AS (
+        SELECT CAST(tot.budget - (r.pref - r.n_tokens) AS DECIMAL(28,6))
+                   / (tot.s - lvl.k + 1) AS t_level
+        FROM ranked r CROSS JOIN tot CROSS JOIN lvl
+        WHERE r.rk = lvl.k
+    )
+    SELECT r.source, r.n_tokens,
+           CAST(CASE WHEN r.rk < lvl.k THEN r.n_tokens
+                     ELSE floor(level.t_level) END AS BIGINT) AS alloc_tokens,
+           CASE WHEN r.rk < lvl.k THEN 1 ELSE 0 END AS exhausted,
+           round(CAST(level.t_level AS DOUBLE), 6) AS fill_level
+    FROM ranked r CROSS JOIN lvl CROSS JOIN level
+    """,
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget WATERFILLING across sources: allocate a fixed
+    budget (here 50% of total corpus tokens) by filling every source
+    up to a common water level t — small sources are taken in full
+    (exhausted=1), large ones are capped at t — the standard
+    allocation rule when a pretraining mix must hit an exact token
+    count without over-draining any single domain. The level has the
+    closed form t = (B - sum_exhausted) / n_remaining at the unique
+    pivot rank, found here with exact integer comparisons (no search
+    loop) and one DECIMAL division.
+
+    Scale: one partial-aggregated shuffle on source; ranking, prefix
+    sums and the pivot scan run on the source-cardinality table
+    (unpartitioned window over #sources rows, the same bounded-
+    relation argument as source_mixing_weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t_df = docs.select("doc_id", "source", tokens("text").alias("tk"))
+    per = t_df.groupBy("source").agg(
+        F.coalesce(F.sum(F.size("tk")), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    per = (
+        per.withColumn("t", F.sum("n_tokens").over(w))
+        .withColumn("s", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "budget",
+            F.floor(F.lit(_WF_BUDGET_FRAC) * F.col("t")).cast("bigint"),
+        )
+    )
+    ow = Window.orderBy("n_tokens", "source")
+    ranked = per.withColumn("rk", F.row_number().over(ow)).withColumn(
+        "pref",
+        F.sum("n_tokens").over(ow.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    fits = (
+        F.col("budget") - (F.col("pref") - F.col("n_tokens"))
+    ) <= (F.col("s") - F.col("rk") + 1) * F.col("n_tokens")
+    lvl = (
+        ranked.filter(fits)
+        .agg(F.min("rk").alias("k"))
+    )
+    level = (
+        ranked.join(F.broadcast(lvl), ranked.rk == F.col("k"))
+        .select(
+            (
+                (F.col("budget") - (F.col("pref") - F.col("n_tokens")))
+                .cast("decimal(28,6)")
+                / (F.col("s") - F.col("k") + 1)
+            ).alias("t_level"),
+            "k",
+        )
+    )
+    return ranked.crossJoin(F.broadcast(level)).select(
+        "source",
+        "n_tokens",
+        F.when(F.col("rk") < F.col("k"), F.col("n_tokens"))
+        .otherwise(F.floor(F.col("t_level")))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        F.when(F.col("rk") < F.col("k"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("exhausted"),
+        F.round(F.col("t_level").cast("double"), 6).alias("fill_level"),
+    )
