@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "dedup_longest_common_span",
     "events_ewma_by_user",
     "hll_sliding_window_users",
+    "triplet_mining_hard",
     "streaming_hourly_counts",
     "ocr_pipeline_stub",
 ]

@@ -461,3 +461,23 @@ def test_waterfill_allocation_invariants(spark, sf_dir):
     alloc = sum(r["alloc_tokens"] for r in rows)
     n_capped = sum(1 - r["exhausted"] for r in rows)
     assert budget - n_capped <= alloc <= budget
+
+
+def test_calibration_bins_account_for_every_doc(spark, sf_dir):
+    """Bin counts sum to the scored-doc total; per-bin mean scores
+    sit inside their bin's range; the count-weighted mean of
+    obs_rate equals the corpus positive rate exactly."""
+    from text_grabr_orc_spark.operators.curation import (
+        logreg_calibration_bins,
+        predict_logreg_quality,
+    )
+
+    pred = predict_logreg_quality(spark, sf_dir).collect()
+    rows = logreg_calibration_bins(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == len(pred)
+    for r in rows:
+        assert r["bin"] / 100 - 1e-9 <= r["mean_score"] < (r["bin"] + 1) / 100 + 1e-9
+        assert r["gap"] == round(r["mean_score"] - r["obs_rate"], 6)
+    n_pos = sum(1 for p in pred if p["label"])
+    weighted = sum(r["obs_rate"] * r["n"] for r in rows)
+    assert abs(weighted - n_pos) < 0.01 * len(rows) + 1e-6

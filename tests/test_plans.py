@@ -397,3 +397,33 @@ def test_global_and_grouped_topk_rewrite_to_window_group_limit(spark, sf_dir):
         assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, (
             f"{name} lost the top-k rewrite:\n{plan}"
         )
+
+
+def test_round5_operators_plan_shapes(spark, sf_dir):
+    """New round-5 operators keep scale-correct plans: the span scan
+    joins on the gram key (no cartesian anywhere); DSIR's weight
+    table and the waterfill level arrive as broadcasts; the EWMA fold
+    is one aggregation (no window, no Python)."""
+    from text_grabr_orc_spark.operators.curation import (
+        dsir_importance_topk,
+        token_budget_waterfill,
+    )
+    from text_grabr_orc_spark.operators.dedup import (
+        dedup_longest_common_span,
+    )
+    from text_grabr_orc_spark.operators.timeseries import events_ewma_by_user
+
+    lcs = formatted_plan(dedup_longest_common_span(spark, sf_dir))
+    assert "CartesianProduct" not in lcs
+    assert "BroadcastNestedLoopJoin" not in lcs
+
+    dsir = formatted_plan(dsir_importance_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in dsir
+    assert "CartesianProduct" not in dsir
+
+    wf = formatted_plan(token_budget_waterfill(spark, sf_dir))
+    assert "CartesianProduct" not in wf
+
+    ewma = formatted_plan(events_ewma_by_user(spark, sf_dir))
+    assert "Window" not in ewma
+    assert "Python" not in ewma and "ArrowEval" not in ewma

@@ -321,3 +321,36 @@ def test_jl_projection_preserves_pairwise_distances(spark, sf_dir):
     assert rel.mean() < 0.4, rel.mean()
     assert np.median(rel) < 0.35
     assert 0.8 < (d_lo / d_hi).mean() < 1.2
+
+
+def test_triplet_mining_matches_numpy_argmax(spark, sf_dir):
+    """Positives/negatives must equal a numpy brute-force argmax over
+    cosine within/without the anchor's label (tie-break lowest id),
+    and the margin column is the rounded difference."""
+    rows = similarity.triplet_mining_hard(spark, sf_dir).collect()
+    assert len(rows) == similarity._TRIP_ANCHORS
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.asarray(t["vec_id"])
+    labels = np.asarray(t["label"])
+    m = np.asarray([np.asarray(v, np.float64) for v in t["embedding"]])
+    norms = np.linalg.norm(m, axis=1)
+    by_id = {int(i): k for k, i in enumerate(ids)}
+    for r in rows:
+        a = by_id[r["anchor_id"]]
+        cos = (m @ m[a]) / (norms * norms[a])
+        order = np.lexsort((ids, -np.round(cos, 12)))
+        same = labels == labels[a]
+        best = {}
+        for idx in order:
+            if int(ids[idx]) == r["anchor_id"]:
+                continue
+            key = bool(same[idx])
+            if key not in best:
+                best[key] = idx
+        assert r["pos_id"] == int(ids[best[True]])
+        assert r["neg_id"] == int(ids[best[False]])
+        assert abs(r["pos_cos"] - round(float(cos[best[True]]), 6)) < 2e-6
+        assert r["margin"] == round(r["pos_cos"] - r["neg_cos"], 6)
+        # label contract
+        assert labels[by_id[r["pos_id"]]] == labels[a]
+        assert labels[by_id[r["neg_id"]]] != labels[a]

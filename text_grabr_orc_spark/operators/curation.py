@@ -1661,3 +1661,82 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exhausted"),
         F.round(F.col("t_level").cast("double"), 6).alias("fill_level"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration (reliability diagram over the served model)
+# ---------------------------------------------------------------------------
+
+
+def _calibration_oracle() -> str:
+    """Reliability bins over the served scores — nests the same
+    unrolled training layers as predict, one more grouping pass."""
+    layers, final = _logreg_layers()
+    return f"""
+    WITH {", ".join(layers)}, scored AS (
+        SELECT round(1.0 / (1.0 + exp(-({final}.a * f.x0 + {final}.b * f.x1
+                                       + {final}.c * f.x2
+                                       + {final}.d * f.x3))), 6) AS score,
+               f.y = 1.0 AS label
+        FROM f CROSS JOIN {final}
+    )
+    SELECT CAST(least(99, floor(score * 100)) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(score AS DECIMAL(12,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_score,
+           round(sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS obs_rate,
+           round(round(CAST(sum(CAST(score AS DECIMAL(12,6))) AS DOUBLE)
+                       / count(*), 6)
+                 - round(sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 6), 6) AS gap
+    FROM scored GROUP BY 1
+    """
+
+
+@register("logreg_calibration_bins", oracle=_calibration_oracle())
+def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the in-engine-trained classifier:
+    centile-bin the served scores (fixed-width map-only bins —
+    rank-based equal-mass bins would need a global sort; fixed width
+    stays scale-safe and the occupied-bin count adapts to the score
+    spread) and compare mean predicted
+    probability against the observed positive rate per bin — the
+    calibration audit a production quality-filter runs before its
+    threshold is trusted (an uncalibrated filter silently shifts the
+    kept-data distribution). Composes the registered trainer +
+    inference (same device as perplexity_bucket_filter nesting the
+    bigram LM): the oracle nests the unrolled-GD layers, so the
+    driver hash-checks training -> scoring -> binning as one
+    contract.
+
+    Scale: map-only scoring (4 broadcast weights) followed by one
+    <=100-group partial-combined aggregate; exact DECIMAL sums of the
+    6-dp scores, int-ratio observed rates, gap computed from the two
+    already-rounded values so no float path diverges."""
+    pred = predict_logreg_quality(spark, sf_dir)
+    b = F.least(F.lit(99), F.floor(F.col("score") * 100)).cast("bigint")
+    g = (
+        pred.select(
+            b.alias("bin"),
+            F.col("score").cast("decimal(12,6)").alias("sd"),
+            F.col("label").cast("int").alias("li"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("sd").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_score"
+            ),
+            F.round(
+                F.sum("li").cast("double") / F.count(F.lit(1)), 6
+            ).alias("obs_rate"),
+        )
+    )
+    return g.select(
+        "bin",
+        "n",
+        "mean_score",
+        "obs_rate",
+        F.round(F.col("mean_score") - F.col("obs_rate"), 6).alias("gap"),
+    )

@@ -1573,3 +1573,103 @@ def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("code").isin(0, _SQ_LEVELS - 1).cast("bigint")
         ).cast("bigint").alias("n_saturated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative triplet mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+#: anchors mined per run (the fixture's query-set convention).
+_TRIP_ANCHORS = 50
+
+
+@register(
+    "triplet_mining_hard",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), s AS (
+        SELECT q.vec_id AS anchor_id, c.vec_id AS cand,
+               (c.label = q.label) AS same,
+               {_DK_COS.format(a="q.e", b="c.e")} AS cos,
+               row_number() OVER (
+                   PARTITION BY q.vec_id, (c.label = q.label)
+                   ORDER BY {_DK_COS.format(a="q.e", b="c.e")} DESC, c.vec_id
+               ) AS rk
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_TRIP_ANCHORS}
+    ), p AS (
+        SELECT anchor_id, cand AS pos_id, round(cos, 6) AS pos_cos
+        FROM s WHERE same AND rk = 1
+    ), n AS (
+        SELECT anchor_id, cand AS neg_id, round(cos, 6) AS neg_cos
+        FROM s WHERE NOT same AND rk = 1
+    )
+    SELECT p.anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+           round(p.pos_cos - n.neg_cos, 6) AS margin
+    FROM p JOIN n USING (anchor_id)
+    """,
+)
+def triplet_mining_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE triplet mining — the data-prep step for training
+    embedding models (sentence-transformers / SimCSE recipes, public):
+    per anchor, the positive is the most-similar SAME-label vector
+    and the negative is the most-similar DIFFERENT-label vector (the
+    "hardest" impostor — random negatives teach a contrastive model
+    nothing once it separates the easy mass). The margin column
+    (pos_cos - neg_cos) is the quantity the triplet loss pushes on.
+
+    Scale: the anchor set is broadcast, so the corpus is scanned ONCE
+    with no vector shuffle; both argmaxes ride one
+    (anchor, same-label) window that WindowGroupLimit prunes to a row
+    per group before the exchange. At 100 TB anchors come in batches
+    and the exact scan swaps for the IVF/PQ shortlist operators
+    registered above — the mining shape (argmax within / without the
+    label) is unchanged."""
+    emb = _emb(spark, sf_dir)
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") < _TRIP_ANCHORS).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("qlabel"),
+            F.col("e").alias("qe"),
+            F.col("n").alias("qn"),
+        )
+    )
+    cos = cosine_from_parts(
+        dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n")
+    )
+    scored = (
+        emb.join(anchors, F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("cand"),
+            (F.col("label") == F.col("qlabel")).alias("same"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.col("cos").desc(), F.col("cand")
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    p = top.filter(F.col("same")).select(
+        "anchor_id",
+        F.col("cand").alias("pos_id"),
+        F.round("cos", 6).alias("pos_cos"),
+    )
+    n = top.filter(~F.col("same")).select(
+        "anchor_id",
+        F.col("cand").alias("neg_id"),
+        F.round("cos", 6).alias("neg_cos"),
+    )
+    return p.join(n, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )
