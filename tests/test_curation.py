@@ -481,3 +481,30 @@ def test_calibration_bins_account_for_every_doc(spark, sf_dir):
     n_pos = sum(1 for p in pred if p["label"])
     weighted = sum(r["obs_rate"] * r["n"] for r in rows)
     assert abs(weighted - n_pos) < 0.01 * len(rows) + 1e-6
+
+
+def test_bpe_encode_composition_invariants(spark, sf_dir):
+    """Applying the learned merges can only shrink: char-token count
+    >= bpe-token count per doc, with strict shrinkage wherever a doc
+    contains a merged pair; eligible+skipped covers every token; the
+    corpus-level compression is strictly > 1 (the merges were learned
+    FROM this corpus, so they must fire)."""
+    from text_grabr_orc_spark.functions.text import py_fields
+    from text_grabr_orc_spark.operators.curation import bpe_encode_corpus
+    from text_grabr_orc_spark.tables import load_table
+
+    rows = bpe_encode_corpus(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert {r["doc_id"] for r in rows} == set(docs)
+    tot_chr = tot_bpe = 0
+    for r in rows:
+        assert r["n_char_tokens"] >= r["n_bpe_tokens"] >= 0
+        assert r["n_words"] + r["n_skipped"] == len(py_fields(docs[r["doc_id"]]))
+        if r["n_bpe_tokens"]:
+            assert r["compression"] >= 1.0
+        tot_chr += r["n_char_tokens"]
+        tot_bpe += r["n_bpe_tokens"]
+    assert tot_chr > tot_bpe

@@ -1423,20 +1423,22 @@ dsir_importance_topk.__doc__ = dsir_importance_topk.__doc__.format(
 _BPE_N_MERGES = 4
 
 
-def _bpe_train_oracle() -> str:
-    """Unrolled CTE oracle for the iterative BPE trainer: one
-    (pairs_i, best_i, words_i) layer per merge — the same
-    layer-unrolling device as train_logreg_quality. Symbol sequences
-    ride a bracketed string encoding ('[t][h][e]') whose '[x][y]' ->
-    '[xy]' replace is the leftmost-non-overlapping greedy merge on
-    BOTH engines."""
+def _bpe_oracle_chain() -> tuple[str, list[str]]:
+    """(head + layer CTE text, per-merge final SELECTs) for the
+    unrolled BPE chain — shared by the trainer oracle (reads the
+    best_i rows) and the encoder oracle (reads words{N}). Symbol
+    sequences ride a bracketed string encoding ('[t][h][e]') whose
+    '[x][y]' -> '[xy]' replace is the leftmost-non-overlapping greedy
+    merge on BOTH engines; every words_i carries the raw word w so
+    the encoder can join the corpus back."""
     head = f"""
     WITH words0 AS (
-        SELECT regexp_replace(lower(tok), '(.)', '[\\1]', 'g') AS s,
+        SELECT lower(tok) AS w,
+               regexp_replace(lower(tok), '(.)', '[\\1]', 'g') AS s,
                count(*) AS n
         FROM (SELECT unnest({_ORACLE_TOKS}) AS tok FROM documents)
         WHERE regexp_full_match(lower(tok), '[a-z0-9]+')
-        GROUP BY 1
+        GROUP BY 1, 2
     ), idx AS (
         SELECT unnest(range(1, (SELECT max(length(s)) FROM words0)))::INT AS i
     )"""
@@ -1456,8 +1458,8 @@ def _bpe_train_oracle() -> str:
         SELECT lhs, rhs, np FROM pairs{m}
         ORDER BY np DESC, lhs, rhs LIMIT 1
     ), words{m} AS (
-        SELECT replace(s, '[' || b.lhs || '][' || b.rhs || ']',
-                       '[' || b.lhs || b.rhs || ']') AS s, n
+        SELECT w, replace(s, '[' || b.lhs || '][' || b.rhs || ']',
+                          '[' || b.lhs || b.rhs || ']') AS s, n
         FROM {prev} CROSS JOIN best{m} b
     )""")
         finals.append(
@@ -1465,7 +1467,14 @@ def _bpe_train_oracle() -> str:
             f" lhs || rhs AS merged, CAST(np AS BIGINT) AS n_pair"
             f" FROM best{m}"
         )
-    return head + "".join(layers) + "\n" + "\nUNION ALL\n".join(finals)
+    return head + "".join(layers), finals
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled CTE oracle for the iterative BPE trainer — the same
+    layer-unrolling device as train_logreg_quality."""
+    chain, finals = _bpe_oracle_chain()
+    return chain + "\n" + "\nUNION ALL\n".join(finals)
 
 
 @register("bpe_train_merges", oracle=_bpe_train_oracle())
@@ -1494,6 +1503,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     charset^2-bounded exchange; the argmax is orderBy+limit
     (TakeOrdered), broadcast back as a 1-row join — no collect, no
     global window, O(merges) rounds of vocabulary-sized work."""
+    merges, _ = _bpe_chain(spark, sf_dir)
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionAll(mdf)
+    return out
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str):
+    """(per-merge best-pair DataFrames, final merged word table) —
+    the shared train chain, consumed by the trainer (merge table) and
+    the encoder (applies the final symbol strings to the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens("text")).alias("tok"))
@@ -1501,7 +1521,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w").rlike("^[a-z0-9]+$"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.regexp_replace("w", "(.)", "[$1]").alias("s"), "n")
+        .select("w", F.regexp_replace("w", "(.)", "[$1]").alias("s"), "n")
     )
     merges = []
     cur = words
@@ -1532,6 +1552,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         cur = cur.crossJoin(F.broadcast(best)).select(
+            "w",
             F.replace(
                 F.col("s"),
                 F.concat(F.lit("["), F.col("lhs"), F.lit("]["), F.col("rhs"), F.lit("]")),
@@ -1539,10 +1560,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "n",
         )
-    out = merges[0]
-    for mdf in merges[1:]:
-        out = out.unionAll(mdf)
-    return out
+    return merges, cur
 
 
 # ---------------------------------------------------------------------------
@@ -1739,4 +1757,87 @@ def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_score",
         "obs_rate",
         F.round(F.col("mean_score") - F.col("obs_rate"), 6).alias("gap"),
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    chain, _ = _bpe_oracle_chain()
+    return f"""{chain}
+    , vocab AS (
+        SELECT w,
+               len(str_split(substr(s, 2, length(s) - 2), '][')) AS n_sym,
+               length(w) AS n_chr
+        FROM words{_BPE_N_MERGES}
+    ), dtok AS (
+        SELECT doc_id, lower(unnest({_ORACLE_TOKS})) AS w FROM documents
+    ), scored AS (
+        SELECT d.doc_id,
+               CASE WHEN v.w IS NULL THEN 0 ELSE 1 END AS elig,
+               coalesce(v.n_sym, 0) AS n_sym,
+               coalesce(v.n_chr, 0) AS n_chr
+        FROM dtok d LEFT JOIN vocab v USING (w)
+    )
+    SELECT doc_id,
+           CAST(sum(elig) AS BIGINT) AS n_words,
+           CAST(sum(1 - elig) AS BIGINT) AS n_skipped,
+           CAST(sum(n_chr) AS BIGINT) AS n_char_tokens,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+           round(CASE WHEN sum(n_sym) = 0 THEN 0.0
+                      ELSE sum(n_chr)::DOUBLE / sum(n_sym) END, 6)
+               AS compression
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register("bpe_encode_corpus", oracle=_bpe_encode_oracle())
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the in-engine-trained BPE merges to the corpus — the
+    train -> tokenize composition (the same two-operator contract as
+    train_logreg_quality -> predict_logreg_quality): per document,
+    the token count under the learned segmentation next to the
+    character-level baseline and the compression ratio the merges
+    buy. This is the number a tokenizer-budget planner actually needs
+    (tokens-per-doc under the CURRENT tokenizer draft), and the
+    oracle nests the full unrolled training chain, so training and
+    application are hash-checked as one contract.
+
+    Scale: the merged vocabulary is vocabulary-bounded state (the
+    word table), applied to the corpus by ONE equi-join of exploded
+    doc tokens against it — no per-document merge loop; out-of-
+    alphabet tokens are counted, not dropped silently."""
+    _, final_words = _bpe_chain(spark, sf_dir)
+    core = F.expr("substr(s, 2, length(s) - 2)")
+    vocab = final_words.select(
+        "w",
+        F.size(F.split(core, r"\]\[")).alias("n_sym"),
+        F.length("w").alias("n_chr"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    ).select("doc_id", F.lower("t").alias("w"))
+    scored = dtok.join(vocab, "w", "left").select(
+        "doc_id",
+        F.when(F.col("n_sym").isNull(), 0).otherwise(1).alias("elig"),
+        F.coalesce("n_sym", F.lit(0)).alias("n_sym"),
+        F.coalesce("n_chr", F.lit(0)).alias("n_chr"),
+    )
+    g = scored.groupBy("doc_id").agg(
+        F.sum("elig").cast("bigint").alias("n_words"),
+        F.sum(1 - F.col("elig")).cast("bigint").alias("n_skipped"),
+        F.sum("n_chr").cast("bigint").alias("n_char_tokens"),
+        F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+    )
+    return g.select(
+        "doc_id",
+        "n_words",
+        "n_skipped",
+        "n_char_tokens",
+        "n_bpe_tokens",
+        F.round(
+            F.when(F.col("n_bpe_tokens") == 0, F.lit(0.0)).otherwise(
+                F.col("n_char_tokens").cast("double") / F.col("n_bpe_tokens")
+            ),
+            6,
+        ).alias("compression"),
     )
