@@ -319,3 +319,27 @@ def test_update_mode_watermark_keeps_state_bounded(spark, tmp_path):
     # and state growth is flat, not monotone: the last batch holds no
     # more than ~the per-slice working set, far below the total
     assert state_rows[-1] <= per_batch_bound
+
+
+def test_streaming_cms_overcounts_only_and_covers_all_keys(spark, sf_dir):
+    """CMS can only overcount (collisions add); every (hour, type)
+    key present in the batch table gets a probed estimate."""
+    from text_grabr_orc_spark.streaming.events import (
+        streaming_cms_heavy_hitters,
+    )
+
+    rows = streaming_cms_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["overcount"] >= 0
+        assert r["cms_n"] >= r["exact_n"] >= 1
+    ev = load_events(spark, sf_dir)
+    n_keys = (
+        ev.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00"),
+            "event_type",
+        )
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_keys

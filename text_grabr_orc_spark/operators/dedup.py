@@ -1855,3 +1855,69 @@ def dedup_longest_common_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_longest_common_span.__doc__ = dedup_longest_common_span.__doc__.format(
     w=_LCS_W, cap=_LCS_DF_CAP
 )
+
+
+# ---------------------------------------------------------------------------
+# Duplication profile: component-size histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_size_profile",
+    oracle=f"""
+    WITH labeled AS ({_CC_ORACLE}), sizes AS (
+        SELECT cluster_id, count(*) AS sz FROM labeled GROUP BY cluster_id
+    ), hist AS (
+        SELECT sz, count(*) AS n_clusters, sum(sz) AS n_docs
+        FROM sizes GROUP BY sz
+    ), singles AS (
+        SELECT (SELECT count(*) FROM embeddings)
+               - (SELECT count(*) FROM labeled) AS n
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM hist
+    UNION ALL
+    SELECT 1, CAST(n AS BIGINT), CAST(n AS BIGINT)
+    FROM singles WHERE n > 0
+    """,
+)
+def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplication PROFILE a cleaning run reports before anyone
+    deletes anything: histogram of near-dup component sizes (how many
+    pairs vs template families vs mega-clusters) plus the singleton
+    mass — the number that tells you whether dedup will remove 0.1%
+    or 40% of the corpus, and whether a boilerplate pass should run
+    first (mega-clusters = templates, not duplicates). Composes the
+    registered connected-components operator, so the oracle nests the
+    same recursive-CTE closure.
+
+    Scale: everything after the (shared, cached) pair graph and CC
+    labels is aggregation on cluster-cardinality tables; the
+    singleton count is corpus_total - clustered_total, two scalar
+    aggregates."""
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    hist = sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    ).select(F.col("sz").cast("bigint").alias("cluster_size"), "n_clusters", "n_docs")
+    emb_n = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.count(F.lit(1)).alias("tot"))
+    )
+    lab_n = labels.agg(F.count(F.lit(1)).alias("lab"))
+    singles = (
+        emb_n.crossJoin(lab_n)
+        .select((F.col("tot") - F.col("lab")).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            F.col("n").cast("bigint").alias("n_clusters"),
+            F.col("n").cast("bigint").alias("n_docs"),
+        )
+    )
+    return hist.unionAll(singles)

@@ -768,3 +768,135 @@ def streaming_histogram_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_p90"),
         F.col("n").cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streamed count-min sketch: windowed heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _cms_stream_oracle() -> str:
+    from text_grabr_orc_spark.operators.sketches import _CMS_D, _CMS_W
+
+    return f"""
+    WITH cells AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')
+                   AS hour_start,
+               j,
+               ('0x' || substr(md5(j::VARCHAR || ':' || event_type),
+                               1, 8))::BIGINT % {_CMS_W} AS bucket,
+               count(*) AS n
+        FROM events CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j)
+        GROUP BY 1, 2, 3
+    ), keys AS (
+        SELECT DISTINCT strftime(date_trunc('hour', ts),
+                                 '%Y-%m-%d %H:00:00') AS hour_start,
+               event_type
+        FROM events
+    ), probes AS (
+        SELECT k.hour_start, k.event_type, c.n
+        FROM keys k
+        CROSS JOIN (SELECT unnest(range({_CMS_D})) AS jj) r
+        JOIN cells c
+          ON c.hour_start = k.hour_start
+         AND c.j = r.jj
+         AND c.bucket = ('0x' || substr(md5(r.jj::VARCHAR || ':'
+                                            || k.event_type), 1, 8))::BIGINT
+                        % {_CMS_W}
+    ), est AS (
+        SELECT hour_start, event_type, CAST(min(n) AS BIGINT) AS cms_n
+        FROM probes GROUP BY 1, 2
+    ), exact AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')
+                   AS hour_start,
+               event_type, count(*) AS exact_n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.hour_start, e.event_type, e.exact_n, est.cms_n,
+           CAST(est.cms_n - e.exact_n AS BIGINT) AS overcount
+    FROM exact e JOIN est USING (hour_start, event_type)
+    """
+
+
+@register("streaming_cms_heavy_hitters", oracle=_cms_stream_oracle())
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch as a STREAM: per tumbling hour, maintain
+    the d x w counter cells in streaming state (each event increments
+    d cells — an explode before the windowed aggregate) and probe the
+    materialized sketch for every (hour, event_type) key. The
+    streaming state per window is EXACTLY the sketch (d*w counters),
+    independent of the key cardinality — the whole point of CMS when
+    the hot-key space is unbounded; counts merge associatively across
+    micro-batches because cell increments are sums.
+
+    Same honesty stance as streaming_histogram_p90: the run is
+    AvailableNow + complete mode into a memory sink (bounded replay);
+    a live deployment runs update mode with watermark eviction of
+    closed hour windows, capping state at open_windows x d x w. The
+    probe (min over d cells) runs on the materialized sketch.
+    Overcount >= 0 by construction; the oracle replicates cells,
+    probe and exact counts per hour."""
+    from text_grabr_orc_spark.operators.sketches import _CMS_D, _CMS_W, _bucket
+
+    ev = events_stream(spark, sf_dir)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _bucket(j, F.col("event_type")).alias("bucket"),
+                )
+                for j in range(_CMS_D)
+            ]
+        )
+    ).alias("r")
+    cells_stream = (
+        ev.withWatermark("ts_utc", "10 minutes")
+        .select("ts_utc", rows)
+        .select("ts_utc", "r.j", "r.bucket")
+        .groupBy(F.window("ts_utc", "1 hour").alias("w"), "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = run_to_memory(cells_stream, "complete").select(
+        _fmt_instant("w.start", "yyyy-MM-dd HH:00:00").alias("hour_start"),
+        "j",
+        "bucket",
+        "n",
+    )
+    batch = spark.read.parquet(table_path(sf_dir, "events")).select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+            "hour_start"
+        ),
+        "event_type",
+    )
+    keys = batch.distinct()
+    probes = keys.select(
+        "hour_start",
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bucket(j, F.col("event_type")).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("hour_start", "event_type", "p.j", "p.bucket")
+    est = (
+        probes.join(cells, ["hour_start", "j", "bucket"])
+        .groupBy("hour_start", "event_type")
+        .agg(F.min("n").cast("bigint").alias("cms_n"))
+    )
+    exact = batch.groupBy("hour_start", "event_type").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return exact.join(est, ["hour_start", "event_type"]).select(
+        "hour_start",
+        "event_type",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    )
