@@ -452,3 +452,39 @@ def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
         for r in dedup_ngram_jaccard(spark, d).collect()
     }
     assert (0, 1) not in jac
+
+
+def test_kcore_crafted_graph_and_fixpoint(spark, sf_dir):
+    """Crafted graph: a triangle survives the 2-core with degree 2
+    everywhere; a pendant chain hanging off it peels away entirely
+    (each chain tip has degree 1, exposing the next). Plus the
+    operator contract: one more peeling round past the bound changes
+    nothing on the real fixture (fixpoint within _KCORE_ROUNDS)."""
+    # triangle 0-1-2, chain 2-10-11-12
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 10), (10, 11), (11, 12)],
+        "vec_a bigint, vec_b bigint",
+    )
+    got = {
+        r["node_id"]: r["core_degree"]
+        for r in dedup.kcore_peel(pairs, 2, 6).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2}
+
+    base = {
+        (r["node_id"], r["core_degree"])
+        for r in dedup.graph_kcore_membership(spark, sf_dir).collect()
+    }
+    from text_grabr_orc_spark.operators.dedup import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _gemm_pairs_cached,
+    )
+
+    extra = {
+        (r["node_id"], r["core_degree"])
+        for r in dedup.kcore_peel(
+            _gemm_pairs_cached(spark, sf_dir), _KCORE_K, _KCORE_ROUNDS + 1
+        ).collect()
+    }
+    assert base == extra

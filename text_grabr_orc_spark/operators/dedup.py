@@ -1921,3 +1921,113 @@ def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hist.unionAll(singles)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the near-dup graph (cohesion peeling)
+# ---------------------------------------------------------------------------
+
+#: core order: keep nodes with >= _KCORE_K neighbors inside the core.
+_KCORE_K = 2
+#: fixed peeling rounds — the CONTRACT (same device as the
+#: recursive-CTE depth bound): convergence inside the bound is
+#: asserted post-hoc in tests, and extra rounds past the fixpoint are
+#: no-ops, so both engines agree for any graph that converges.
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    head = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), p AS ({_CC_PAIRS_ORACLE}
+    ), e AS (
+        SELECT vec_a AS s, vec_b AS d FROM p
+        UNION
+        SELECT vec_b, vec_a FROM p
+    ), n0 AS (SELECT DISTINCT s FROM e)"""
+    layers = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        prev = f"n{r - 1}"
+        layers.append(f"""
+    , d{r} AS (
+        SELECT e.s, count(*) AS c
+        FROM e
+        JOIN {prev} a ON a.s = e.s
+        JOIN {prev} b ON b.s = e.d
+        GROUP BY e.s
+    ), n{r} AS (SELECT s FROM d{r} WHERE c >= {_KCORE_K})""")
+    final = f"""
+    SELECT e.s AS node_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e
+    JOIN n{_KCORE_ROUNDS} a ON a.s = e.s
+    JOIN n{_KCORE_ROUNDS} b ON b.s = e.d
+    GROUP BY e.s
+    """
+    return head + "".join(layers) + final
+
+
+@register("graph_kcore_membership", oracle=_kcore_oracle())
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the near-dup similarity graph: iteratively peel
+    nodes with fewer than {k} surviving neighbors until stable, and
+    report each core member with its within-core degree. The k-core
+    separates COHESIVE duplication (template families, boilerplate
+    mills — every member tied to several others) from incidental
+    pairs that a cosine threshold alone can't distinguish; triangle
+    counting measures local closure, the core measures global
+    robustness (a node survives only if its SUPPORTERS survive).
+
+    Fixed {r}-round peeling is the cross-engine contract (the
+    recursive-CTE-depth device): rounds past the fixpoint are no-ops,
+    and fixpoint-within-bound is asserted in tests. Each round is one
+    self-join of the edge list against the surviving node set plus a
+    partial-combined degree count — shuffles sized by the SHRINKING
+    edge set, the same per-round shape as two-phase CC. At 100 TB the
+    edge list is bounded by duplicate mass, and O(log n)-ish rounds
+    hold because near-dup cores are shallow."""
+    pairs = _gemm_pairs_cached(spark, sf_dir)
+    return kcore_peel(pairs, _KCORE_K, _KCORE_ROUNDS)
+
+
+def kcore_peel(pairs: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected (vec_a, vec_b)
+    pair frame — the reusable core of ``graph_kcore_membership``
+    (crafted-graph semantics and the fixpoint bound are pinned in
+    tests through this surface)."""
+    edges = (
+        pairs.select(F.col("vec_a").alias("s"), F.col("vec_b").alias("d"))
+        .union(pairs.select(F.col("vec_b").alias("s"), F.col("vec_a").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def survivors_degree(nodes: DataFrame) -> DataFrame:
+        return (
+            edges.join(
+                nodes.select(F.col("s").alias("sa")), F.col("s") == F.col("sa")
+            )
+            .join(
+                nodes.select(F.col("s").alias("sb")), F.col("d") == F.col("sb")
+            )
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    nodes = edges.select("s").distinct()
+    for _ in range(rounds):
+        nodes = (
+            survivors_degree(nodes)
+            .filter(F.col("c") >= k)
+            .select("s")
+            .localCheckpoint()
+        )
+    return survivors_degree(nodes).select(
+        F.col("s").alias("node_id"), F.col("c").cast("bigint").alias("core_degree")
+    )
+
+
+graph_kcore_membership.__doc__ = graph_kcore_membership.__doc__.format(
+    k=_KCORE_K, r=_KCORE_ROUNDS
+)
