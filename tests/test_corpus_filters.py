@@ -155,3 +155,39 @@ def test_quality_classifier_flag_and_phase_consistency(spark, sf_dir):
     # the fixed weights must actually split the fixture, not collapse
     # every document into one bucket
     assert len(seen_phases) >= 2
+
+
+def test_weighted_ares_matches_python_reference(spark, sf_dir):
+    """The selected set must equal a plain-Python Efraimidis-Spirakis
+    draw with the identical md5 uniforms, ln quantization and
+    (key, doc_id) ordering."""
+    import hashlib
+    import math
+
+    from text_grabr_orc_spark.functions.text import py_fields
+    from text_grabr_orc_spark.operators.sampling import (
+        _ARES_K,
+        sample_weighted_ares,
+    )
+    from text_grabr_orc_spark.tables import load_table
+
+    got = [
+        (r["rank"], r["doc_id"], r["weight"], r["sort_key"])
+        for r in sample_weighted_ares(spark, sf_dir).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    keyed = []
+    for r in docs:
+        wt = len(py_fields(r["text"]))
+        if wt == 0:
+            continue
+        u32 = int(hashlib.md5(f"ares:{r['doc_id']}".encode()).hexdigest()[:8], 16)
+        k = round(-math.log((u32 + 1) / 4294967297.0) / wt, 9)
+        keyed.append((k, r["doc_id"], wt))
+    keyed.sort()
+    want = [
+        (i + 1, d, w, k) for i, (k, d, w) in enumerate(keyed[:_ARES_K])
+    ]
+    assert sorted(got) == want

@@ -24,6 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from text_grabr_orc_spark.functions.text import ORACLE_WS_RUN, tokens
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.tables import cache_tag, load_table
 
@@ -258,4 +259,89 @@ def dynamic_partition_pruning_join(
             .cast("bigint")
             .alias("total_chars"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-Res)
+# ---------------------------------------------------------------------------
+
+#: sample size for the weighted draw.
+_ARES_K = 50
+
+
+@register(
+    "sample_weighted_ares",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               len(list_filter(regexp_split_to_array(text,
+                   '{ORACLE_WS_RUN}'), t -> t <> '')) AS wt,
+               ('0x' || substr(md5('ares:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   AS u32
+        FROM documents
+    ), keyed AS (
+        SELECT doc_id, source, wt,
+               round(-ln((u32 + 1) / 4294967297.0) / wt, 9) AS k
+        FROM w WHERE wt > 0
+    )
+    SELECT doc_id, source, CAST(wt AS BIGINT) AS weight, k AS sort_key,
+           CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS rank
+    FROM keyed
+    QUALIFY rank <= {_ARES_K}
+    """,
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006, public; the A-Res/A-ES family):
+    every doc draws key = -ln(u)/w from a deterministic per-doc
+    uniform, and the k smallest keys ARE a weighted sample without
+    replacement — the only known way to do this in ONE distributed
+    pass with no sequential state, which is why it's the standard
+    cluster-side primitive for token-weighted corpus draws
+    (inclusion probability proportional to the doc's token count).
+
+    Determinism/portability: u = (md5_u32 + 1) / 2^32+1 in (0, 1)
+    exactly as both engines compute it; the single ln is quantized to
+    9 dp (the bigram-LM device) so ranking keys are identical; top-k
+    is orderBy+limit (TakeOrdered), never a global window.
+
+    Scale: map-only key assignment, then a k-row TakeOrdered — the
+    same shuffle profile as any top-k; at 100 TB this is the
+    one-pass weighted reservoir over the whole corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("wt"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ares:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u32"),
+    ).filter(F.col("wt") > 0)
+    keyed = w.select(
+        "doc_id",
+        "source",
+        "wt",
+        F.round(
+            -F.log((F.col("u32") + 1) / F.lit(4294967297.0)) / F.col("wt"), 9
+        ).alias("k"),
+    )
+    from pyspark.sql import Window
+
+    top = keyed.orderBy("k", "doc_id").limit(_ARES_K)
+    rw = Window.orderBy("k", "doc_id")
+    return top.select(
+        "doc_id",
+        "source",
+        F.col("wt").cast("bigint").alias("weight"),
+        F.col("k").alias("sort_key"),
+        F.row_number().over(rw).cast("bigint").alias("rank"),
     )
