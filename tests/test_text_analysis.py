@@ -225,3 +225,39 @@ def test_bm25_ranking_properties(spark, sf_dir):
     assert [r.rk for r in rows] == list(range(1, _BM25_TOPN + 1))
     assert all(r.bm25 > 0 for r in rows)
     assert all(a.bm25 >= b.bm25 for a, b in zip(rows, rows[1:]))
+
+
+def test_percentile_rank_tracks_exact_rank(spark, sf_dir):
+    """The histogram mid-bin estimate must sit within the largest
+    bin's mass of the exact mid-rank percentile for every doc, and
+    inside [0, 1]."""
+    from text_grabr_orc_spark.operators.text_analysis import (
+        quality_percentile_rank,
+    )
+
+    rows = quality_percentile_rank(spark, sf_dir).collect()
+    scores = sorted(r["quality_score"] for r in rows)
+    n = len(scores)
+    import bisect
+
+    from collections import Counter
+
+    bin_mass = Counter(r["bin"] for r in rows)
+    tol = max(bin_mass.values()) / n
+    for r in rows:
+        lo = bisect.bisect_left(scores, r["quality_score"])
+        hi = bisect.bisect_right(scores, r["quality_score"])
+        exact = (lo + hi) / (2 * n)
+        assert 0.0 <= r["est_pct"] <= 1.0
+        assert abs(r["est_pct"] - exact) <= tol + 1e-9, (r, exact, tol)
+
+
+def test_zipf_fit_is_a_falling_line(spark, sf_dir):
+    from text_grabr_orc_spark.operators.text_analysis import vocab_zipf_fit
+
+    row = vocab_zipf_fit(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_terms"] > 10
+    assert r["slope"] < 0
+    assert 0.0 < r["r2"] <= 1.0

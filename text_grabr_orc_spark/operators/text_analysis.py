@@ -997,3 +997,208 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 search_bm25_topk.__doc__ = search_bm25_topk.__doc__.format(
     n=_BM25_TOPN, k1=_BM25_K1, b=_BM25_B
 )
+
+
+# ---------------------------------------------------------------------------
+# Percentile-rank normalization without a global sort
+# ---------------------------------------------------------------------------
+
+#: histogram resolution for the approximate rank.
+_PCT_BINS = 256
+
+
+@register(
+    "quality_percentile_rank",
+    oracle=f"""
+    WITH q AS ({_ORACLE_QUALITY}
+    ), b AS (
+        SELECT min(quality_score) AS lo, max(quality_score) AS hi,
+               count(*) AS n
+        FROM q
+    ), binned AS (
+        SELECT q.doc_id, q.quality_score,
+               CASE WHEN b.hi = b.lo THEN 0
+                    ELSE least({_PCT_BINS - 1},
+                               CAST(floor((q.quality_score - b.lo)
+                                          / (b.hi - b.lo) * {_PCT_BINS})
+                                    AS BIGINT))
+               END AS bin
+        FROM q CROSS JOIN b
+    ), cells AS (
+        SELECT bin, count(*) AS c FROM binned GROUP BY bin
+    ), cum AS (
+        SELECT bin, c,
+               sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - c
+                   AS below
+        FROM cells
+    )
+    SELECT x.doc_id, x.quality_score, CAST(x.bin AS BIGINT) AS bin,
+           round((2 * cum.below + cum.c) / (2.0 * b.n), 6) AS est_pct
+    FROM binned x JOIN cum USING (bin) CROSS JOIN b
+    """,
+)
+def quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank NORMALIZATION of the quality score without a
+    global sort — the scale pattern for "rank every row" at 100 TB:
+    an exact global percent_rank needs a total order (single-task
+    sort or a range exchange of the whole corpus); instead the score
+    distribution is summarized into a {bins}-bin histogram (one
+    partial-combined aggregate), the cumulative bin table (<= {bins}
+    rows) is broadcast back, and every doc gets the mid-bin rank
+    estimate (below + c/2) / n in a MAP-ONLY pass. Error is bounded
+    by the largest bin's mass; composition with the registered
+    quality scorer means the oracle hash-checks scoring -> binning ->
+    rank end-to-end (the rank arithmetic is an exact integer ratio).
+
+    The normalized percentile is what curriculum schedulers and
+    mixed-corpus thresholds actually consume (a raw score of 0.7
+    means nothing across sources; "top 10%" does)."""
+    from pyspark.sql import Window
+
+    q = text_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    b = F.broadcast(
+        q.agg(
+            F.min("quality_score").alias("lo"),
+            F.max("quality_score").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    binned = q.crossJoin(b).select(
+        "doc_id",
+        "quality_score",
+        "n",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(_PCT_BINS - 1).cast("bigint"),
+                F.floor(
+                    (F.col("quality_score") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * _PCT_BINS
+                ),
+            )
+        )
+        .alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "bin", "c", (F.sum("c").over(wb) - F.col("c")).alias("below")
+    )
+    return binned.join(F.broadcast(cum), "bin").select(
+        "doc_id",
+        "quality_score",
+        F.col("bin").cast("bigint"),
+        F.round(
+            (2 * F.col("below") + F.col("c")) / (2.0 * F.col("n")), 6
+        ).alias("est_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit over the vocabulary head (corpus health check)
+# ---------------------------------------------------------------------------
+
+#: vocabulary head size for the log-log regression.
+_ZIPF_TOP = 100
+
+
+@register(
+    "vocab_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lower(unnest(list_filter(regexp_split_to_array(text,
+                   '{ORACLE_WS_RUN}'), t -> t <> ''))) AS t
+        FROM documents
+    ), freq AS (
+        SELECT t, count(*) AS n FROM tok GROUP BY t
+        ORDER BY n DESC, t LIMIT {_ZIPF_TOP}
+    ), ranked AS (
+        SELECT CAST(round(ln(row_number() OVER (ORDER BY n DESC, t)), 9)
+                    AS DECIMAL(18,9)) AS x,
+               CAST(round(ln(n), 9) AS DECIMAL(18,9)) AS y
+        FROM freq
+    ), s AS (
+        SELECT count(*) AS m,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM ranked
+    )
+    SELECT CAST(m AS BIGINT) AS n_terms,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+           round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m,
+                 6) AS intercept,
+           round((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                 / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the vocabulary head: least-squares slope of
+    ln(frequency) against ln(rank) for the top {top} tokens, with the
+    fit quality (r^2) — the one-row corpus HEALTH CHECK a curation
+    pipeline runs after every major filter (natural text sits near
+    slope -1; template/boilerplate-dominated or synthetic corpora
+    bend the head visibly; a filter that wrecks the fit wrecked the
+    distribution).
+
+    Cross-engine float discipline: both logs are quantized to
+    DECIMAL(18,9) per term; the five regression sums are exact
+    decimal arithmetic cast to double ONCE, and the closed-form
+    slope/intercept/r^2 are written as the identical expression on
+    both engines.
+
+    Scale: one token-keyed partial-combined aggregate, a {top}-row
+    TakeOrdered, and a single-row reduction — nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("t0"))
+        .select(F.lower("t0").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t")
+        .limit(_ZIPF_TOP)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "t")
+    ranked = freq.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("m").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+vocab_zipf_fit.__doc__ = vocab_zipf_fit.__doc__.format(top=_ZIPF_TOP)
