@@ -427,3 +427,19 @@ def test_round5_operators_plan_shapes(spark, sf_dir):
     ewma = formatted_plan(events_ewma_by_user(spark, sf_dir))
     assert "Window" not in ewma
     assert "Python" not in ewma and "ArrowEval" not in ewma
+
+
+def test_sql_variable_and_parameter_fold_into_scan_pushdown(spark, sf_dir):
+    """The session variable and the named parameter must behave as
+    true literals: both predicates reach the parquet reader as
+    PushedFilters — the property string-built SQL can't promise."""
+    from text_grabr_orc_spark.operators.spark4_surface import (
+        sql_variables_param_query,
+    )
+
+    df = sql_variables_param_query(spark, sf_dir)
+    plan = formatted_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    assert any("o_totalprice" in ln and "GreaterThan" in ln for ln in pushed)
+    assert any("o_orderstatus" in ln for ln in pushed)

@@ -227,3 +227,29 @@ def test_ewma_matches_python_reference_fold(spark, sf_dir):
         assert n == len(vals)
         assert last == round(vals[-1], 6)
         assert ewma == round(acc, 6), (u, ewma, acc)
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir):
+    """Each from_type's probabilities sum to 1 (within 6-dp rounding
+    slack) and transition counts conserve: total transitions =
+    total events - number of users (one fewer transition than
+    events per user)."""
+    from text_grabr_orc_spark.operators.events_batch import (
+        events_transition_matrix,
+    )
+    from text_grabr_orc_spark.sources.events import load_events
+
+    rows = events_transition_matrix(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    total = 0
+    for r in rows:
+        by_from[r["from_type"]] += r["p"]
+        total += r["n"]
+    for ft, s in by_from.items():
+        assert abs(s - 1.0) < 1e-4, (ft, s)
+    ev = load_events(spark, sf_dir)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users

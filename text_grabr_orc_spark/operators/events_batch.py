@@ -463,3 +463,63 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_abs_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order user journey model)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ns(ts), event_id)
+                   AS next_type
+        FROM events
+    ), t AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT from_type, sum(n) AS row_n FROM t GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           round(t.n::DOUBLE / tot.row_n, 6) AS p
+    FROM t JOIN tot USING (from_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the standard user-journey
+    model behind funnel diagnostics and next-action baselines. Row
+    normalization is an exact integer ratio, so the whole matrix is
+    hash-checked.
+
+    Scale: ONE keyed shuffle (user_id) for the lead() window —
+    per-user partitions, never global — then aggregation on the
+    (type x type)-bounded transition table; the row totals join is
+    broadcast-sized by construction."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
+    )

@@ -481,3 +481,53 @@ def ps_api_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_dec").cast("double"), 2).alias("sum_value"),
         F.round(F.col("mx").cast("double"), 6).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL session variables + parameterized SQL (Spark 4 surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_variables_param_query",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_totalprice > 150000.0
+      AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_variables_param_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE/SET VARIABLE) + parameterized
+    ``spark.sql`` with named parameter markers — the Spark 4 textual
+    surface for reusable, injection-safe query templates (the
+    parameter marker is a true literal in the plan, so Catalyst
+    constant-folds and PUSHES IT DOWN like any constant — asserted in
+    the plan test; string-concatenated SQL can't promise either).
+    The threshold rides a session variable read via
+    ``system.session.threshold``; the status filter arrives as a
+    named parameter."""
+    from text_grabr_orc_spark.tables import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "tgos_param_orders"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE threshold DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE threshold = 150000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                    AS DOUBLE) AS revenue
+        FROM tgos_param_orders
+        WHERE o_totalprice > system.session.threshold
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "O"},
+    )
