@@ -2031,3 +2031,62 @@ def kcore_peel(pairs: DataFrame, k: int, rounds: int) -> DataFrame:
 graph_kcore_membership.__doc__ = graph_kcore_membership.__doc__.format(
     k=_KCORE_K, r=_KCORE_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Pair evidence card: one row per flagged near-dup pair, all signals
+# ---------------------------------------------------------------------------
+
+
+def _pair_evidence_oracle() -> str:
+    from text_grabr_orc_spark.registry import ORACLES
+
+    return f"""
+    WITH mh AS ({ORACLES["dedup_minhash_lsh"]}),
+    ct AS ({ORACLES["dedup_ngram_containment"]}),
+    ls AS ({ORACLES["dedup_longest_common_span"]})
+    SELECT mh.doc_a, mh.doc_b, mh.jaccard,
+           coalesce(ct.containment, 0.0) AS containment,
+           CAST(coalesce(ls.max_span_tokens, 0) AS BIGINT)
+               AS max_span_tokens
+    FROM mh
+    LEFT JOIN ct USING (doc_a, doc_b)
+    LEFT JOIN ls USING (doc_a, doc_b)
+    """
+
+
+@register("dedup_pair_evidence", oracle=_pair_evidence_oracle())
+def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EVIDENCE CARD a human (or an auto-resolution policy) reads
+    per flagged near-dup pair: Jaccard (how much of either doc
+    overlaps), containment (is one doc inside the other), and the
+    longest shared verbatim span (is the overlap one contiguous
+    quote or scattered phrases) — three REGISTERED operators joined
+    on the pair key, because each catches a case the others
+    misclassify (symmetric rewrite vs quote-inside-page vs
+    boilerplate scatter). Composition-only: the oracle nests the
+    three operators' SQL verbatim, so the card inherits their proofs.
+
+    Scale: the MinHash pair set bounds the card count (duplicate
+    mass, not corpus^2); the other two signals join in by pair key —
+    two equi-joins on id pairs, nothing recomputed per pair."""
+    mh = dedup_minhash_lsh(spark, sf_dir)
+    ct = dedup_ngram_containment(spark, sf_dir).select(
+        "doc_a", "doc_b", "containment"
+    )
+    ls = dedup_longest_common_span(spark, sf_dir).select(
+        "doc_a", "doc_b", "max_span_tokens"
+    )
+    return (
+        mh.join(ct, ["doc_a", "doc_b"], "left")
+        .join(ls, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.coalesce("containment", F.lit(0.0)).alias("containment"),
+            F.coalesce("max_span_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("max_span_tokens"),
+        )
+    )
