@@ -508,3 +508,29 @@ def test_bpe_encode_composition_invariants(spark, sf_dir):
         tot_chr += r["n_char_tokens"]
         tot_bpe += r["n_bpe_tokens"]
     assert tot_chr > tot_bpe
+
+
+def test_curation_report_covers_all_sources_consistently(spark, sf_dir):
+    """One row per source; shares form distributions; the near-dup
+    exposure and quality means stay in range; allocation never
+    exceeds the source's own tokens."""
+    from text_grabr_orc_spark.operators.curation import (
+        corpus_curation_report,
+    )
+    from text_grabr_orc_spark.tables import load_table
+
+    rows = corpus_curation_report(spark, sf_dir).collect()
+    n_sources = (
+        load_table(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= r["neardup_rate"] <= 1.0
+        assert 0.0 < r["mean_quality"] <= 1.0
+        assert r["alloc_tokens"] <= r["n_tokens"]
+        assert r["epochs"] >= 1

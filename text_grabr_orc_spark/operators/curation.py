@@ -1841,3 +1841,127 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("compression"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source curation report (the dashboard a data team actually ships)
+# ---------------------------------------------------------------------------
+
+
+def _curation_report_oracle() -> str:
+    # imported for their registration side effects: curation may load
+    # before these modules in registry.load_all, and this oracle
+    # composes their registered SQL
+    from text_grabr_orc_spark.operators import dedup  # noqa: F401
+    from text_grabr_orc_spark.operators import text_analysis  # noqa: F401
+    from text_grabr_orc_spark.registry import ORACLES
+
+    return f"""
+    WITH mix AS ({ORACLES["source_mixing_weights"]}),
+    wf AS ({ORACLES["token_budget_waterfill"]}),
+    ts AS ({ORACLES["source_temperature_sampling"]}),
+    q AS ({ORACLES["text_quality_scores"]}),
+    mh AS ({ORACLES["dedup_minhash_lsh"]}),
+    qa AS (
+        SELECT source,
+               round(CAST(sum(CAST(quality_score AS DECIMAL(12,6)))
+                          AS DOUBLE) / count(*), 6) AS mean_quality
+        FROM q GROUP BY source
+    ), dup_docs AS (
+        SELECT DISTINCT d FROM (
+            SELECT doc_a AS d FROM mh UNION SELECT doc_b FROM mh
+        )
+    ), dup AS (
+        SELECT doc.source, count(*) AS n_dup_docs
+        FROM dup_docs JOIN documents doc ON doc.doc_id = dup_docs.d
+        GROUP BY doc.source
+    )
+    SELECT mix.source, mix.n_docs, mix.n_tokens, mix.token_share,
+           ts.temp_share, ts.epochs,
+           wf.alloc_tokens, wf.exhausted,
+           qa.mean_quality,
+           CAST(coalesce(dup.n_dup_docs, 0) AS BIGINT) AS n_neardup_docs,
+           round(coalesce(dup.n_dup_docs, 0)::DOUBLE / mix.n_docs, 6)
+               AS neardup_rate
+    FROM mix
+    JOIN wf USING (source)
+    JOIN ts USING (source)
+    JOIN qa USING (source)
+    LEFT JOIN dup USING (source)
+    """
+
+
+@register("corpus_curation_report", oracle=_curation_report_oracle())
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source CURATION DASHBOARD — one row per source joining
+    five registered operators: natural token share and equalization
+    weight (mixing), the temperature-sampling plan (epochs), the
+    waterfilled token allocation under the 50% budget, mean quality,
+    and the near-duplicate exposure (fraction of docs appearing in
+    any MinHash pair). This is the artifact a data team reviews
+    before a pretraining run; the whole thing is hash-checked because
+    every input is an already-proven operator and the report adds
+    only joins on the source key and exact ratios.
+
+    Scale: every input is source-cardinality (or pair-bounded for the
+    dup set); the report itself is broadcast joins on a tiny key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mix = source_mixing_weights(spark, sf_dir)
+    wf = token_budget_waterfill(spark, sf_dir).select(
+        "source", "alloc_tokens", "exhausted"
+    )
+    ts = source_temperature_sampling(spark, sf_dir).select(
+        "source", "temp_share", "epochs"
+    )
+    from text_grabr_orc_spark.operators.text_analysis import (
+        text_quality_scores,
+    )
+
+    qa = (
+        text_quality_scores(spark, sf_dir)
+        .select("source", F.col("quality_score").cast("decimal(12,6)").alias("qd"))
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum("qd").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_quality")
+        )
+    )
+    from text_grabr_orc_spark.operators.dedup import dedup_minhash_lsh
+
+    mh = dedup_minhash_lsh(spark, sf_dir)
+    dup_docs = (
+        mh.select(F.col("doc_a").alias("d"))
+        .union(mh.select(F.col("doc_b").alias("d")))
+        .distinct()
+    )
+    dup = (
+        dup_docs.join(docs, dup_docs.d == docs.doc_id)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    )
+    return (
+        mix.join(wf, "source")
+        .join(ts, "source")
+        .join(qa, "source")
+        .join(dup, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "token_share",
+            "temp_share",
+            "epochs",
+            "alloc_tokens",
+            "exhausted",
+            "mean_quality",
+            F.coalesce("n_dup_docs", F.lit(0))
+            .cast("bigint")
+            .alias("n_neardup_docs"),
+            F.round(
+                F.coalesce("n_dup_docs", F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("neardup_rate"),
+        )
+    )
