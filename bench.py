@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "events_ewma_by_user",
     "hll_sliding_window_users",
     "triplet_mining_hard",
+    "quality_percentile_rank",
+    "corpus_curation_report",
     "streaming_hourly_counts",
     "ocr_pipeline_stub",
 ]

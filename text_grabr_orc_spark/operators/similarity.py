@@ -1673,3 +1673,106 @@ def triplet_mining_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cos",
         F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide kNN graph construction (every vector, not a query set)
+# ---------------------------------------------------------------------------
+
+#: neighbors kept per vector in the graph.
+_KNN_K = 3
+#: centroid stride for the cell partition (same device as IVF).
+_KNN_STRIDE = 50
+
+
+@register(
+    "knn_graph_ivf",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS centroid_id, e AS ce FROM v
+        WHERE vec_id % {_KNN_STRIDE} = 0
+    ), assigned AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_DK_COS.format(a="v.e", b="cent.ce")} DESC,
+                                cent.centroid_id
+                   ) AS crk
+            FROM v CROSS JOIN cent
+        ) WHERE crk = 1
+    ), scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {_DK_COS.format(a="a.e", b="b.e")} AS cos,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_DK_COS.format(a="a.e", b="b.e")} DESC, b.vec_id
+               ) AS rk
+        FROM assigned a
+        JOIN assigned b ON b.centroid_id = a.centroid_id
+                       AND b.vec_id <> a.vec_id
+    )
+    SELECT src, dst, round(cos, 6) AS cosine, rk
+    FROM scored WHERE rk <= {_KNN_K}
+    """,
+)
+def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE approximate kNN graph — every vector gets its top-k
+    in-cell neighbors, the precursor structure for SemDeDup-style
+    semantic clustering, agglomerative corpus maps and kNN-graph ANN
+    (HNSW/NSW start from exactly this). Different contract from the
+    ``similarity_topk_*`` family: those search a bounded QUERY SET
+    against the corpus; this builds the graph over ALL n vectors,
+    which is only tractable because scoring is confined within IVF
+    cells (per-cell quadratic, n^2/c total work for c cells — the
+    standard first cut; recall vs the exact graph is measured in
+    tests, and edges to vectors in other cells are the documented
+    approximation).
+
+    Scale: one broadcast of the centroid table, one shuffle of the
+    corpus on centroid_id, per-cell self-join + WindowGroupLimit
+    ranking inside each cell partition. No stage touches n^2 rows
+    across cells; cell skew is AQE's case."""
+    emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") % _KNN_STRIDE == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("e").alias("ce"),
+            F.col("n").alias("cn"),
+        )
+    )
+    assigned = _nearest_centroid_assign(emb, cent).select(
+        "vec_id", "e", "n", "centroid_id"
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("ea"),
+        F.col("n").alias("na"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("dst"),
+        F.col("e").alias("eb"),
+        F.col("n").alias("nb"),
+        "centroid_id",
+    )
+    cos = cosine_from_parts(
+        dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+        .select(
+            "src",
+            "dst",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rk").cast("bigint"),
+        )
+    )
