@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "triplet_mining_hard",
     "quality_percentile_rank",
     "corpus_curation_report",
+    "knn_graph_ivf",
     "streaming_hourly_counts",
     "ocr_pipeline_stub",
 ]
