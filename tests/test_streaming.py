@@ -343,3 +343,40 @@ def test_streaming_cms_overcounts_only_and_covers_all_keys(spark, sf_dir):
         .count()
     )
     assert len(rows) == n_keys
+
+
+def test_streaming_minhash_incremental_equals_batch(spark, sf_dir, tmp_path):
+    """Multi-batch replay: documents split into 4 files arriving one
+    per micro-batch — cross-batch pairs are only found through the
+    band-bucket STATE — must equal the registered batch LSH output."""
+    import os
+
+    from text_grabr_orc_spark.operators.dedup import dedup_minhash_lsh
+    from text_grabr_orc_spark.streaming.events import (
+        streaming_minhash_neardup,
+    )
+
+    d = str(tmp_path / "sf_split")
+    os.makedirs(d, exist_ok=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    (
+        docs.repartition(4)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "documents.parquet"))
+    )
+    # deterministic arrival order across the 4 part files
+    pdir = os.path.join(d, "documents.parquet")
+    parts = sorted(f for f in os.listdir(pdir) if f.startswith("part-"))
+    base = os.path.getmtime(os.path.join(pdir, parts[0]))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(pdir, f), (base + i, base + i))
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in streaming_minhash_neardup(spark, d).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(spark, d).collect()
+    }
+    assert got == want and len(want) > 0

@@ -900,3 +900,154 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_n",
         (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup dedup: MinHash LSH with band-bucket state
+# ---------------------------------------------------------------------------
+
+
+def _minhash_stream_oracle() -> str:
+    # the streamed bucket-collision candidate set equals the batch
+    # band self-join's (collisions don't depend on arrival order), and
+    # verification is the same exact Jaccard — so the oracle is the
+    # batch operator's brute-force SQL, verbatim
+    from text_grabr_orc_spark.operators import dedup  # noqa: F401
+    from text_grabr_orc_spark.registry import ORACLES
+
+    return ORACLES["dedup_minhash_lsh"]
+
+
+@register("streaming_minhash_neardup", oracle=_minhash_stream_oracle())
+def streaming_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP DEDUP AT INGEST — the MinHash LSH pipeline run as a
+    STREAM with custom band-bucket state: each arriving document's
+    signature is banded, and per (band, hash) bucket the state stores
+    the doc ids seen so far; a new arrival emits a candidate pair
+    against every resident. This is the operator a 100 TB pipeline
+    runs on the ingest path so duplicates are caught when they ARRIVE
+    instead of in a nightly batch; state is bounded by bucket
+    occupancy (duplicate mass), and emitted candidates are verified
+    with the exact Jaccard downstream (on the materialized candidate
+    set — the same verify the batch operator uses).
+
+    The streamed result provably equals the registered batch operator
+    (bucket collisions are arrival-order-independent; the oracle IS
+    the batch brute-force SQL), and the multi-batch incremental run
+    is pinned in tests on a split fixture.
+
+    Engine notes: signatures on the stream come from per-row
+    higher-order expressions (a pre-stateful streaming AGGREGATE
+    would chain two stateful operators); the batch path keeps its
+    codegen'd aggregate shape. Candidate emission is append-mode
+    ``applyInPandasWithState`` keyed by (band_idx, band_hash)."""
+    import numpy as np  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from text_grabr_orc_spark.operators.dedup import (
+        _BAND_ROWS,
+        _MERSENNE,
+        _N_HASHES,
+        _PERM,
+        hashed_shingle_table,
+    )
+    from text_grabr_orc_spark.functions.text import tokens as _tokens  # noqa: F401
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # table materialized as a directory of part files (e.g. the
+        # multi-batch split fixture): stream the directory itself
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+    else:
+        # single-file fixture: the file source wants a directory, so
+        # stream the sf dir with a glob pinned to the table file
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    nonblank = raw.filter(F.col("text").rlike(r"(?U)\S"))
+    # map-only signature: shingles -> xxhash64 -> 64 affine mins via
+    # higher-order functions (no pre-stateful streaming aggregate)
+    from text_grabr_orc_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    sh = nonblank.select("doc_id", tokens("text").alias("t")).select(
+        "doc_id", shingles_from_tokens(F.col("t")).alias("shingles")
+    )
+    hs = sh.select(
+        "doc_id",
+        F.transform(
+            "shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+        ).alias("h"),
+    )
+    sig_cols = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "h", lambda x: (F.lit(a) * x + F.lit(b)) % _MERSENNE
+                )
+            )
+            for (a, b) in _PERM[:_N_HASHES]
+        ]
+    )
+    sigs = hs.filter(F.size("h") > 0).select("doc_id", sig_cols.alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_N_HASHES // _BAND_ROWS - 1)),
+                lambda j: F.struct(
+                    j.alias("band_idx"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), j * _BAND_ROWS + 1, _BAND_ROWS),
+                        j,
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+
+    def update(key, pdfs, state: GroupState):
+        ids = list(state.get[0]) if state.exists else []
+        out_a, out_b = [], []
+        for pdf in pdfs:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                for prev in ids:
+                    out_a.append(min(prev, d))
+                    out_b.append(max(prev, d))
+                ids.append(d)
+        state.update((ids,))
+        if out_a:
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    cand_stream = bands.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        update,
+        outputStructType="doc_a bigint, doc_b bigint",
+        stateStructType="ids array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    cand = run_to_memory(cand_stream, "append").distinct()
+    # exact verification on the materialized candidate set (batch)
+    docs = spark.read.parquet(path).filter(F.col("text").rlike(r"(?U)\S"))
+    shx = hashed_shingle_table(docs)
+    sha = shx.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    shb = shx.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
