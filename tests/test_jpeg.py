@@ -310,3 +310,19 @@ def test_apply_exif_orientation_semantics():
     # RGB arrays keep the channel axis
     rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
     assert apply_exif_orientation(rgb, 6).shape == (4, 2, 3)
+
+
+def test_exif_orientation_inverses_restore_original():
+    """Group property: each orientation's inverse transform restores
+    the original array (6 and 8 are mutual inverses; all others are
+    involutions)."""
+    from text_grabr_orc_spark.imaging.jpeg import apply_exif_orientation
+
+    inv = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    a = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    rgb = np.arange(72, dtype=np.uint8).reshape(4, 6, 3)
+    for o, io_ in inv.items():
+        assert (apply_exif_orientation(apply_exif_orientation(a, o), io_) == a).all(), o
+        assert (
+            apply_exif_orientation(apply_exif_orientation(rgb, o), io_) == rgb
+        ).all(), o
