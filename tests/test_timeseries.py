@@ -253,3 +253,43 @@ def test_transition_matrix_rows_are_distributions(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_mad_robust_to_planted_outlier(spark, sf_dir, tmp_path):
+    """Breakdown-point property: planting one enormous outlier per
+    type must leave median/MAD (computed on the polluted data)
+    essentially unchanged while the outlier itself is flagged —
+    the reason this operator exists next to the mean/stddev z-score."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from text_grabr_orc_spark.operators.events_batch import (
+        events_robust_zscore_mad,
+    )
+
+    base = {
+        r["event_type"]: r
+        for r in events_robust_zscore_mad(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    one = ev.limit(1).withColumn("value", F.lit(1e9)).withColumn(
+        "event_id", F.lit(10**12)
+    )
+    d = str(tmp_path / "sf_mad")
+    os.makedirs(d, exist_ok=True)
+    ev.unionByName(one).coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    polluted = {
+        r["event_type"]: r
+        for r in events_robust_zscore_mad(spark, d).collect()
+    }
+    for t, b in base.items():
+        p = polluted[t]
+        assert abs(p["median"] - b["median"]) <= 0.05 * max(abs(b["median"]), 1)
+        assert abs(p["mad"] - b["mad"]) <= 0.05 * max(b["mad"], 1)
+        assert p["n_anomalies"] >= b["n_anomalies"]
+    assert sum(p["n_anomalies"] for p in polluted.values()) == sum(
+        b["n_anomalies"] for b in base.values()
+    ) + 1

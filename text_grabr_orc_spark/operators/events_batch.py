@@ -523,3 +523,83 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly statistics (median/MAD, outlier-proof)
+# ---------------------------------------------------------------------------
+
+#: the classical consistency constant sigma ~= 1.4826 * MAD, and the
+#: 3-sigma flag threshold.
+_MAD_C = 1.4826
+_MAD_SIGMAS = 3.0
+
+
+@register(
+    "events_robust_zscore_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, e.value, med.med,
+               abs(e.value - med.med) AS ad
+        FROM events e JOIN med USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(dev.med), 6) AS median,
+           round(any_value(mad.mad), 6) AS mad,
+           CAST(sum(CASE WHEN dev.ad > {_MAD_SIGMAS} * {_MAD_C} * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def events_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly statistics per event type: median and MAD
+    (median absolute deviation) instead of mean/stddev — the
+    outlier-proof twin of ``events_zscore_anomalies`` (a single wild
+    value shifts a mean-based threshold toward the outliers it should
+    catch; the median/MAD breakdown point is 50%). Values beyond
+    3 * 1.4826 * MAD (the normal-consistency scaling) are counted as
+    anomalies.
+
+    Cross-engine: exact interpolating percentiles on both engines
+    (Spark ``percentile`` / DuckDB ``quantile_cont`` both average the
+    two middle order statistics with identical float arithmetic), so
+    median, MAD and the flag counts are all hash-checked.
+
+    Scale: two grouped exact percentiles (each one keyed shuffle of
+    (type, value) pairs — at 100 TB swap for the registered histogram
+    sketch quantiles at one-bin-width error) plus a broadcast join of
+    the per-type statistics back onto the fact rows."""
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.any_value("med"), 6).alias("median"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("ad") > _MAD_SIGMAS * _MAD_C * F.col("mad")).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )
