@@ -461,3 +461,60 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "chunk_idx", "start_tok", "chunk_text", "n_tokens"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup (RAG-index hygiene)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_dedup_profile",
+    oracle=f"""
+    WITH ch AS ({_CHUNK_OVERLAP_ORACLE}
+    ), g AS (
+        SELECT md5(chunk_text) AS h,
+               count(*) AS n_copies,
+               count(DISTINCT doc_id) AS n_docs
+        FROM ch GROUP BY md5(chunk_text)
+    )
+    SELECT CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(count(*) AS BIGINT) AS n_chunk_groups,
+           CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_doc_groups
+    FROM g GROUP BY n_copies
+    """,
+)
+def chunk_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-level exact-dup profile — RAG-index hygiene: after the
+    sliding-window chunker, how many chunk texts are verbatim
+    duplicates, and how many duplicate groups span documents (the
+    retrieval poison: the same passage retrieved k times crowds out
+    every other source). Composes the registered overlap chunker, so
+    the oracle nests its SQL; grouping is by chunk-text hash, i.e.
+    the exact-dedup shape applied one level below documents —
+    which is where dedup has to happen for RAG even when the parent
+    docs are distinct.
+
+    Scale: one map-side hash projection over the chunk table and one
+    hash-keyed aggregate (chunk-cardinality), then a histogram on the
+    group-size table; identical shuffle profile to document-level
+    exact dedup."""
+    ch = chunk_documents_overlap(spark, sf_dir)
+    g = ch.groupBy(F.md5("chunk_text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return g.groupBy("n_copies").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunk_groups"),
+        F.sum("n_copies").cast("bigint").alias("n_chunks"),
+        F.sum((F.col("n_docs") > 1).cast("int"))
+        .cast("bigint")
+        .alias("n_cross_doc_groups"),
+    ).select(
+        F.col("n_copies").cast("bigint"),
+        "n_chunk_groups",
+        "n_chunks",
+        "n_cross_doc_groups",
+    )
