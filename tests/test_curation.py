@@ -534,3 +534,17 @@ def test_curation_report_covers_all_sources_consistently(spark, sf_dir):
         assert 0.0 < r["mean_quality"] <= 1.0
         assert r["alloc_tokens"] <= r["n_tokens"]
         assert r["epochs"] >= 1
+
+
+def test_chunk_dedup_profile_conserves_chunks(spark, sf_dir):
+    from text_grabr_orc_spark.operators.pipeline import (
+        chunk_dedup_profile,
+        chunk_documents_overlap,
+    )
+
+    rows = chunk_dedup_profile(spark, sf_dir).collect()
+    total_chunks = chunk_documents_overlap(spark, sf_dir).count()
+    assert sum(r["n_chunks"] for r in rows) == total_chunks
+    for r in rows:
+        assert r["n_chunks"] == r["n_copies"] * r["n_chunk_groups"]
+        assert 0 <= r["n_cross_doc_groups"] <= r["n_chunk_groups"]
