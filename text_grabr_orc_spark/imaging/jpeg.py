@@ -1029,23 +1029,25 @@ def exif_orientation(data: bytes) -> int:
     :func:`apply_exif_orientation` to normalize a scan corpus."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         return 1
-    pos, n = 2, len(data)
-    while pos + 4 <= n and data[pos] == 0xFF:
-        marker = data[pos + 1]
-        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
-            pos += 2
-            continue
-        if pos + 4 > n:
-            return 1
-        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
-        if marker == 0xDA:  # entropy-coded data: EXIF must precede it
-            return 1
-        if marker == 0xE1:
-            seg = data[pos + 4:pos + 2 + seglen]
-            if seg[:6] == b"Exif\x00\x00":
-                return _tiff_orientation(seg[6:])
-        pos += 2 + seglen
-    return 1
+    try:
+        pos, n = 2, len(data)
+        while pos + 4 <= n and data[pos] == 0xFF:
+            marker = data[pos + 1]
+            if marker in (0x01, 0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                # standalone markers carry no length field
+                pos += 2
+                continue
+            seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+            if marker == 0xDA:  # entropy-coded data: EXIF must precede it
+                return 1
+            if marker == 0xE1:
+                seg = data[pos + 4:pos + 2 + seglen]
+                if seg[:6] == b"Exif\x00\x00":
+                    return _tiff_orientation(seg[6:])
+            pos += 2 + seglen
+        return 1
+    except (IndexError, struct.error):
+        return 1
 
 
 def _tiff_orientation(t: bytes) -> int:

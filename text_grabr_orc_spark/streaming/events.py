@@ -941,7 +941,6 @@ def streaming_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would chain two stateful operators); the batch path keeps its
     codegen'd aggregate shape. Candidate emission is append-mode
     ``applyInPandasWithState`` keyed by (band_idx, band_hash)."""
-    import numpy as np  # noqa: F401
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from text_grabr_orc_spark.operators.dedup import (
@@ -951,8 +950,6 @@ def streaming_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PERM,
         hashed_shingle_table,
     )
-    from text_grabr_orc_spark.functions.text import tokens as _tokens  # noqa: F401
-
     path = table_path(sf_dir, "documents")
     schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
