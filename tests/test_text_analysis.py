@@ -261,3 +261,36 @@ def test_zipf_fit_is_a_falling_line(spark, sf_dir):
     assert r["n_terms"] > 10
     assert r["slope"] < 0
     assert 0.0 < r["r2"] <= 1.0
+
+
+def test_pmi_ranks_planted_collocation_first(spark, tmp_path):
+    """A pair that ALWAYS co-occurs ("zzqa zzqb", each token appearing
+    nowhere else) must out-rank every background pair drawn from
+    independently shuffled fillers."""
+    import os
+    import random
+
+    from text_grabr_orc_spark.operators.text_analysis import (
+        collocations_pmi_topk,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        filler = [f"w{rng.randrange(12)}" for _ in range(30)]
+        pos = rng.randrange(len(filler) + 1)
+        doc = filler[:pos] + ["zzqa", "zzqb"] + filler[pos:]
+        text = " ".join(doc)
+        rows.append((i, text, "en", "s", len(text)))
+    d = str(tmp_path / "sf_pmi")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = collocations_pmi_topk(spark, d).collect()
+    assert out[0]["a"] == "zzqa" and out[0]["b"] == "zzqb"
+    assert out[0]["rank"] == 1
+    assert out[0]["pmi"] > max(r["pmi"] for r in out[1:])

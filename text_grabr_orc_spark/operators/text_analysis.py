@@ -1202,3 +1202,130 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 vocab_zipf_fit.__doc__ = vocab_zipf_fit.__doc__.format(top=_ZIPF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: adjacent-pair PMI
+# ---------------------------------------------------------------------------
+
+#: minimum pair occurrences before PMI is trusted (rare-pair PMI is
+#: all noise), and the ranked head size.
+_PMI_MIN_N = 5
+_PMI_TOP = 50
+
+
+@register(
+    "collocations_pmi_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                   '{ORACLE_WS_RUN}'), t -> t <> '') AS toks
+        FROM documents
+    ), uni AS (
+        SELECT unnest(toks) AS t FROM tok
+    ), ucnt AS (
+        SELECT t, count(*) AS n FROM uni GROUP BY t
+    ), tot AS (SELECT sum(n) AS n_uni FROM ucnt),
+    big AS (
+        SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS n
+        FROM tok CROSS JOIN (
+            SELECT unnest(range(1, (SELECT max(len(toks)) FROM tok)))::INT AS i
+        )
+        WHERE i <= len(toks) - 1
+        GROUP BY 1, 2
+    ), btot AS (SELECT sum(n) AS n_big FROM big),
+    scored AS (
+        SELECT big.a, big.b, big.n,
+               round(CAST(
+                   CAST(round(ln(big.n::DOUBLE / btot.n_big), 9)
+                        AS DECIMAL(18,9))
+                   - CAST(round(ln(ua.n::DOUBLE / tot.n_uni), 9)
+                          AS DECIMAL(18,9))
+                   - CAST(round(ln(ub.n::DOUBLE / tot.n_uni), 9)
+                          AS DECIMAL(18,9))
+               AS DOUBLE), 6) AS pmi
+        FROM big
+        JOIN ucnt ua ON ua.t = big.a
+        JOIN ucnt ub ON ub.t = big.b
+        CROSS JOIN tot CROSS JOIN btot
+        WHERE big.n >= {_PMI_MIN_N}
+    )
+    SELECT a, b, CAST(n AS BIGINT) AS n, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, a, b) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= {_PMI_TOP}
+    """,
+)
+def collocations_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs, PMI = ln p(a,b) - ln p(a) - ln p(b), ranked — the
+    classic detector of multiword units ("new york", "machine
+    learning") that tokenizer vocab induction and phrase-aware
+    dedup both consume; a min-count floor keeps rare-pair noise out.
+
+    Cross-engine float discipline: each of the three ln terms is
+    quantized to DECIMAL(18,9) BEFORE the subtraction (the bigram-LM
+    device), so the PMI is exact decimal arithmetic cast to double
+    once; inputs to every ln are exact integer ratios.
+
+    Scale: unigram and bigram counts are token/pair-keyed
+    partial-combined aggregates; the scoring joins are keyed on the
+    pair's member tokens (vocabulary-sized); the top-k is
+    orderBy+limit. Nothing touches the corpus twice."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(tokens(F.lower(F.col("text"))).alias("toks"))
+    uni = tok.select(F.explode("toks").alias("t"))
+    ucnt = uni.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    i_seq = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    big = (
+        tok.select("toks", F.explode(i_seq).alias("i"))
+        .select(
+            F.element_at("toks", F.col("i")).alias("a"),
+            F.element_at("toks", F.col("i") + 1).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _PMI_MIN_N)
+    )
+    tot = ucnt.agg(F.sum("n").alias("n_uni"))
+    btot_df = (
+        tok.select((F.greatest(F.size("toks") - 1, F.lit(0))).alias("m"))
+        .agg(F.sum("m").alias("n_big"))
+    )
+    qln = lambda c: F.round(F.log(c), 9).cast("decimal(18,9)")  # noqa: E731
+    scored = (
+        big.join(
+            ucnt.select(F.col("t").alias("a"), F.col("n").alias("na")), "a"
+        )
+        .join(ucnt.select(F.col("t").alias("b"), F.col("n").alias("nb")), "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot_df))
+        .select(
+            "a",
+            "b",
+            "n",
+            F.round(
+                (
+                    qln(F.col("n").cast("double") / F.col("n_big"))
+                    - qln(F.col("na").cast("double") / F.col("n_uni"))
+                    - qln(F.col("nb").cast("double") / F.col("n_uni"))
+                ).cast("double"),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.col("pmi").desc(), "a", "b").limit(_PMI_TOP)
+    w = Window.orderBy(F.col("pmi").desc(), "a", "b")
+    return top.select(
+        "a",
+        "b",
+        F.col("n").cast("bigint"),
+        "pmi",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
