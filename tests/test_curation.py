@@ -548,3 +548,22 @@ def test_chunk_dedup_profile_conserves_chunks(spark, sf_dir):
     for r in rows:
         assert r["n_chunks"] == r["n_copies"] * r["n_chunk_groups"]
         assert 0 <= r["n_cross_doc_groups"] <= r["n_chunk_groups"]
+
+
+def test_negative_sampling_table_is_a_cdf(spark, sf_dir):
+    """p_neg sums to ~1 over the head, cum_p is nondecreasing ending
+    at ~1, and the 3/4 power compresses: head share under p_neg is
+    strictly below its natural-frequency share."""
+    from text_grabr_orc_spark.operators.curation import (
+        unigram_sampling_table,
+    )
+
+    rows = unigram_sampling_table(spark, sf_dir).collect()
+    rows.sort(key=lambda r: (-r["n"], r["token"]))
+    assert abs(sum(r["p_neg"] for r in rows) - 1.0) < 1e-3
+    cums = [r["cum_p"] for r in rows]
+    assert cums == sorted(cums)
+    assert abs(cums[-1] - 1.0) < 1e-3
+    tot_n = sum(r["n"] for r in rows)
+    head = rows[0]
+    assert head["p_neg"] < head["n"] / tot_n

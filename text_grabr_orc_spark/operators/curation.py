@@ -1965,3 +1965,98 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neardup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative-sampling table (unigram^0.75) for embedding training
+# ---------------------------------------------------------------------------
+
+#: vocabulary head carried in the table.
+_NEG_TOP = 200
+
+
+@register(
+    "unigram_sampling_table",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lower(unnest({_ORACLE_TOKS})) AS t FROM documents
+    ), cnt AS (
+        SELECT t, count(*) AS n FROM tok GROUP BY t
+        ORDER BY n DESC, t LIMIT {_NEG_TOP}
+    ), pw AS (
+        -- n^0.75 = sqrt(n * sqrt(n)): two correctly-rounded IEEE
+        -- sqrts and one multiply — bit-identical on both engines,
+        -- no pow()/exp() in sight — then quantized before the sum
+        SELECT t, n,
+               CAST(round(sqrt(n * sqrt(n::DOUBLE)), 9) AS DECIMAL(18,9))
+                   AS w
+        FROM cnt
+    ), z AS (SELECT sum(w) AS zsum FROM pw)
+    SELECT pw.t AS token, CAST(pw.n AS BIGINT) AS n,
+           round(CAST(pw.w / z.zsum AS DOUBLE), 6) AS p_neg,
+           round(CAST(sum(pw.w) OVER (ORDER BY pw.n DESC, pw.t
+                                      ROWS UNBOUNDED PRECEDING)
+                      / z.zsum AS DOUBLE), 6) AS cum_p
+    FROM pw CROSS JOIN z
+    """,
+)
+def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec negative-sampling table (Mikolov et al. 2013,
+    public): sampling probability proportional to count^0.75 over the
+    vocabulary head, with the cumulative column a trainer's binary
+    search consumes. The 3/4 power is THE standard smoothing between
+    natural unigram (head-dominated) and uniform (tail-dominated)
+    negative draws.
+
+    Portability trick worth naming: n^0.75 is computed as
+    sqrt(n * sqrt(n)) — two correctly-rounded IEEE sqrts and one
+    multiplication, bit-identical across engines, where a pow() call
+    would be at the mercy of each engine's libm; the result is then
+    quantized to DECIMAL(18,9) before the normalizing sum, so the
+    whole table is exact decimal arithmetic (same device as the
+    temperature-sampling operator's sqrt).
+
+    Scale: one token-keyed partial-combined count, a {top}-row
+    TakeOrdered head, and window arithmetic on that head only."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens("text")).alias("t0"))
+        .select(F.lower("t0").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t")
+        .limit(_NEG_TOP)
+    )
+    pw = cnt.select(
+        "t",
+        "n",
+        F.round(
+            F.sqrt(F.col("n") * F.sqrt(F.col("n").cast("double"))), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("w"),
+    )
+    wz = Window.partitionBy()
+    wc = Window.orderBy(F.col("n").desc(), "t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        pw.withColumn("zsum", F.sum("w").over(wz))
+        .select(
+            F.col("t").alias("token"),
+            F.col("n").cast("bigint"),
+            F.round((F.col("w") / F.col("zsum")).cast("double"), 6).alias(
+                "p_neg"
+            ),
+            F.round(
+                (F.sum("w").over(wc) / F.col("zsum")).cast("double"), 6
+            ).alias("cum_p"),
+        )
+    )
+
+
+unigram_sampling_table.__doc__ = unigram_sampling_table.__doc__.format(
+    top=_NEG_TOP
+)
