@@ -191,3 +191,32 @@ def test_weighted_ares_matches_python_reference(spark, sf_dir):
         (i + 1, d, w, k) for i, (k, d, w) in enumerate(keyed[:_ARES_K])
     ]
     assert sorted(got) == want
+
+
+def test_split_leakage_report_consistent_with_components(spark, sf_dir):
+    """The audit's pair total equals the MinHash operator's, split
+    tags are re-derived identically to the registered split, and
+    cross-split leakage detected here matches a direct recomputation."""
+    from text_grabr_orc_spark.operators.dedup import dedup_minhash_lsh
+    from text_grabr_orc_spark.operators.sampling import split_leakage_report
+
+    rows = split_leakage_report(spark, sf_dir).collect()
+    pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == len(pairs)
+
+    def tag(d):
+        return (
+            "train"
+            if ((d * 2654435761) % 4294967296) % 100 < 80
+            else "val"
+            if ((d * 2654435761) % 4294967296) % 100 < 90
+            else "test"
+        )
+
+    from collections import Counter
+
+    want = Counter(
+        tuple(sorted((tag(p["doc_a"]), tag(p["doc_b"])))) for p in pairs
+    )
+    got = {(r["split_lo"], r["split_hi"]): r["n_pairs"] for r in rows}
+    assert got == dict(want)

@@ -345,3 +345,73 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("sort_key"),
         F.row_number().over(rw).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: near-dups crossing train/val/test boundaries
+# ---------------------------------------------------------------------------
+
+#: same Knuth multiplicative-hash split as split_train_val_test —
+#: shared SQL fragment so the audit provably uses the REAL membership.
+_SPLIT_CASE = """CASE
+        WHEN (({d} * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+        WHEN (({d} * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        ELSE 'test' END"""
+
+
+def _split_leakage_oracle() -> str:
+    from text_grabr_orc_spark.operators import dedup  # noqa: F401
+    from text_grabr_orc_spark.registry import ORACLES
+
+    return f"""
+    WITH mh AS ({ORACLES["dedup_minhash_lsh"]})
+    SELECT least({_SPLIT_CASE.format(d="doc_a")},
+                 {_SPLIT_CASE.format(d="doc_b")}) AS split_lo,
+           greatest({_SPLIT_CASE.format(d="doc_a")},
+                    {_SPLIT_CASE.format(d="doc_b")}) AS split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(max(jaccard), 6) AS worst_jaccard
+    FROM mh
+    GROUP BY 1, 2
+    """
+
+
+@register("split_leakage_report", oracle=_split_leakage_oracle())
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-LEAKAGE AUDIT for the registered train/val/test split:
+    count near-duplicate pairs (the registered MinHash operator's
+    output) by the split pair they straddle — a train/test or
+    train/val row with n_pairs > 0 IS leakage (the eval doc's
+    near-twin was trained on), the failure mode random per-run
+    splits can't even audit. Because the split is a pure function of
+    doc_id (Knuth hash, shared SQL fragment), membership is
+    RE-DERIVED inside the audit rather than joined from a side table
+    — the audit can run on any engine that sees only the pair list.
+
+    Scale: the near-dup pair set is duplicate-mass-bounded; the audit
+    is a map-side split tag + a 6-group aggregate on it."""
+    from text_grabr_orc_spark.operators.dedup import dedup_minhash_lsh
+
+    mh = dedup_minhash_lsh(spark, sf_dir)
+
+    def tag(c):
+        b = hash_bucket(c, 100)
+        return (
+            F.when(b < 80, F.lit("train"))
+            .when(b < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    ta, tb = tag("doc_a"), tag("doc_b")
+    return (
+        mh.select(
+            F.least(ta, tb).alias("split_lo"),
+            F.greatest(ta, tb).alias("split_hi"),
+            "jaccard",
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.max("jaccard"), 6).alias("worst_jaccard"),
+        )
+    )
