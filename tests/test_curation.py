@@ -567,3 +567,48 @@ def test_negative_sampling_table_is_a_cdf(spark, sf_dir):
     tot_n = sum(r["n"] for r in rows)
     head = rows[0]
     assert head["p_neg"] < head["n"] / tot_n
+
+
+def test_shard_manifest_detects_a_dropped_doc(spark, sf_dir, tmp_path):
+    """Conservation + sensitivity: shard totals cover the corpus and
+    agree with global_shuffle_order's assignment; removing ONE doc
+    changes exactly its shard's row (count down 1, checksum moved) —
+    the integrity property counts alone don't give."""
+    import os
+
+    from text_grabr_orc_spark.operators.curation import (
+        global_shuffle_order,
+        shard_export_manifest,
+    )
+    from text_grabr_orc_spark.tables import load_table
+
+    base = {r["shard_id"]: r for r in shard_export_manifest(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in base.values()) == docs.count()
+    shards = {
+        r["doc_id"]: r["shard_id"]
+        for r in global_shuffle_order(spark, sf_dir).collect()
+    }
+    from collections import Counter
+
+    per = Counter(shards.values())
+    assert {k: v["n_docs"] for k, v in base.items()} == dict(per)
+
+    victim = docs.select("doc_id").orderBy("doc_id").limit(1).collect()[0][0]
+    d = str(tmp_path / "sf_drop")
+    os.makedirs(d, exist_ok=True)
+    docs.filter(F.col("doc_id") != victim).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    after = {r["shard_id"]: r for r in shard_export_manifest(spark, d).collect()}
+    hit = shards[victim]
+    for sid, b in base.items():
+        a = after[sid]
+        if sid == hit:
+            assert a["n_docs"] == b["n_docs"] - 1
+            assert a["id_checksum"] != b["id_checksum"]
+        else:
+            assert (a["n_docs"], a["id_checksum"]) == (
+                b["n_docs"],
+                b["id_checksum"],
+            )

@@ -2060,3 +2060,91 @@ def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 unigram_sampling_table.__doc__ = unigram_sampling_table.__doc__.format(
     top=_NEG_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest with order-independent integrity checksums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shard_export_manifest",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   % {_N_SHARDS} AS shard_id,
+               ('0x' || substr(md5('ck:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   AS ck,
+               len({_ORACLE_TOKS}) AS n_tok,
+               n_chars
+        FROM documents
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars,
+           CAST(sum(ck) % 4294967296 AS BIGINT) AS id_checksum
+    FROM t GROUP BY shard_id
+    """,
+)
+def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export MANIFEST for the training shards: per shard (the same
+    deterministic hash assignment as ``global_shuffle_order``), doc
+    and token totals plus an ORDER-INDEPENDENT id checksum (sum of
+    per-id md5 slices mod 2^32) — the artifact a downstream trainer
+    verifies before reading a single shard byte, and the one that
+    catches a partial re-export or a dropped partition (counts alone
+    miss a swap; the checksum doesn't). Order independence matters
+    because shard writers emit rows in partition order, which is not
+    reproducible — a running hash would be; a commutative sum is.
+
+    Scale: map-only tag + checksum projection, one
+    {n}-group partial-combined aggregate — the cheapest possible
+    full-corpus pass, and the same shape however many output shards
+    the real export uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _N_SHARDS
+        ).alias("shard_id"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ck:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("ck"),
+        F.size(tokens("text")).alias("n_tok"),
+        "n_chars",
+    )
+    return t.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("n_chars"),
+        (F.sum("ck") % F.lit(4294967296)).cast("bigint").alias("id_checksum"),
+    ).select(
+        F.col("shard_id").cast("bigint"),
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "id_checksum",
+    )
+
+
+shard_export_manifest.__doc__ = shard_export_manifest.__doc__.format(
+    n=_N_SHARDS
+)
