@@ -612,3 +612,30 @@ def test_shard_manifest_detects_a_dropped_doc(spark, sf_dir, tmp_path):
                 b["n_docs"],
                 b["id_checksum"],
             )
+
+
+def test_interleave_order_is_a_round_robin_permutation(spark, sf_dir):
+    """global_pos is a permutation of 0..n-1; the first #sources
+    positions hold one doc from EACH source (round 1 of the round
+    robin); within any source, positions increase with within_rank."""
+    from collections import defaultdict
+
+    from text_grabr_orc_spark.operators.curation import (
+        interleave_sources_order,
+    )
+
+    rows = interleave_sources_order(spark, sf_dir).collect()
+    n = len(rows)
+    pos = sorted(r["global_pos"] for r in rows)
+    assert pos == list(range(n))
+    srcs = {r["source"] for r in rows}
+    first_round = sorted(rows, key=lambda r: r["global_pos"])[: len(srcs)]
+    assert {r["source"] for r in first_round} == srcs
+    assert all(r["within_rank"] == 1 for r in first_round)
+    per = defaultdict(list)
+    for r in rows:
+        per[r["source"]].append((r["within_rank"], r["global_pos"]))
+    for s, lst in per.items():
+        lst.sort()
+        gp = [g for _, g in lst]
+        assert gp == sorted(gp)

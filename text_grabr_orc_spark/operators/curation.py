@@ -2148,3 +2148,78 @@ def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 shard_export_manifest.__doc__ = shard_export_manifest.__doc__.format(
     n=_N_SHARDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved source order (curriculum without a global sort)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interleave_sources_order",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('il:' || doc_id::VARCHAR), doc_id
+               ) AS rk
+        FROM documents
+    ), c AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    )
+    SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS within_rank,
+           CAST(sum(least(r.rk - 1, c.n)
+                    + CASE WHEN c.source < r.source AND c.n >= r.rk
+                           THEN 1 ELSE 0 END) AS BIGINT) AS global_pos
+    FROM r CROSS JOIN c
+    GROUP BY r.doc_id, r.source, r.rk
+    """,
+)
+def interleave_sources_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAINING ORDER with round-robin source
+    interleaving — one doc from each source, then the next from each,
+    hash-shuffled within source — the curriculum layout that stops a
+    data loader from feeding an hour of one domain (the known
+    loss-spike recipe), while staying reproducible across runs.
+
+    The point is the PHYSICAL shape: the global position has a CLOSED
+    FORM — pos(d) = sum over sources s' of min(rank(d)-1, n_s') plus
+    the earlier-ordered sources still alive at rank(d) — so the total
+    order needs NO global sort and NO prefix sum: a source-partitioned
+    rank window plus a join against the broadcast source-counts table
+    (sources are bounded; the join fan-out is #sources per doc).
+    Compare ``global_shuffle_order`` (shard-local positions) and
+    ``pack_training_sequences`` (two-pass prefix sum): this is the
+    third ordering device, and the only one that yields a TOTAL
+    cross-corpus order map-side.
+
+    Pure integer arithmetic end to end — the whole permutation is
+    hash-checked."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("il:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    r = docs.select("doc_id", "source").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("source").alias("src2"), "n"
+    )
+    contrib = F.least(F.col("rk") - 1, F.col("n")) + F.when(
+        (F.col("src2") < F.col("source")) & (F.col("n") >= F.col("rk")), 1
+    ).otherwise(0)
+    return (
+        r.crossJoin(F.broadcast(c))
+        .groupBy("doc_id", "source", "rk")
+        .agg(F.sum(contrib).cast("bigint").alias("global_pos"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("rk").cast("bigint").alias("within_rank"),
+            "global_pos",
+        )
+    )
