@@ -220,3 +220,47 @@ def test_split_leakage_report_consistent_with_components(spark, sf_dir):
     )
     got = {(r["split_lo"], r["split_hi"]): r["n_pairs"] for r in rows}
     assert got == dict(want)
+
+
+def test_boilerplate_scrub_removes_planted_template(spark, tmp_path):
+    """A planted per-source header appearing in every doc must be
+    mined and REMOVED: scrubbed docs shrink by at least the header
+    length, and a Python replay of the ordered replace fold yields
+    the same md5."""
+    import hashlib
+    import os
+
+    from text_grabr_orc_spark.operators.corpus_filters import (
+        boilerplate_scrub,
+        boilerplate_spans_by_source,
+    )
+
+    header = " ".join(f"hdr{i}" for i in range(8))  # one full 8-token tile
+    rows = []
+    for i in range(6):
+        body = " ".join(f"u{i}w{j}" for j in range(24))
+        text = f"{header} {body}"
+        rows.append((i, text, "en", "srcX", len(text)))
+    d = str(tmp_path / "sf_bp")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    spans = {
+        r["rank"]: r["span"]
+        for r in boilerplate_spans_by_source(spark, d).collect()
+    }
+    assert header in spans.values()
+    got = {r["doc_id"]: r for r in boilerplate_scrub(spark, d).collect()}
+    ordered = [spans[k] for k in sorted(spans)]
+    for doc_id, text in [(r[0], r[1]) for r in rows]:
+        acc = text
+        for s in ordered:
+            acc = acc.replace(s, " ")
+        g = got[doc_id]
+        assert g["chars_after"] == len(acc)
+        assert g["chars_after"] <= g["chars_before"] - len(header) + 1
+        assert g["scrubbed_md5"] == hashlib.md5(acc.encode()).hexdigest()

@@ -738,3 +738,82 @@ def shard_rendezvous_hrw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.max("doc_id").cast("bigint").alias("max_doc"),
     ).select(F.col("shard").cast("bigint"), "n_docs", "min_doc", "max_doc")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal (the action to the detector's signal)
+# ---------------------------------------------------------------------------
+
+
+def _bp_scrub_oracle() -> str:
+    from text_grabr_orc_spark.registry import ORACLES
+
+    return f"""
+    WITH bp AS ({ORACLES["boilerplate_spans_by_source"]}
+    ), spans AS (
+        SELECT source, list(span ORDER BY rank) AS sl FROM bp GROUP BY source
+    ), scrub AS (
+        SELECT d.doc_id, d.source,
+               length(d.text) AS chars_before,
+               coalesce(len(spans.sl), 0) AS n_spans,
+               CASE WHEN spans.sl IS NULL THEN d.text
+                    ELSE list_reduce(list_prepend(d.text, spans.sl),
+                                     (acc, s) -> replace(acc, s, ' '))
+               END AS scrubbed
+        FROM documents d LEFT JOIN spans USING (source)
+    )
+    SELECT doc_id, source,
+           CAST(chars_before AS BIGINT) AS chars_before,
+           CAST(length(scrubbed) AS BIGINT) AS chars_after,
+           CAST(n_spans AS BIGINT) AS n_source_spans,
+           md5(scrubbed) AS scrubbed_md5
+    FROM scrub
+    """
+
+
+@register("boilerplate_scrub", oracle=_bp_scrub_oracle())
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL — the action to
+    ``boilerplate_spans_by_source``'s signal (the same
+    detection->action symmetry as PII detect/scrub): each document
+    has its source's mined top spans replaced, and the scrubbed text
+    is BIT-CHECKED via its md5 next to before/after char counts.
+    Span application order is pinned (rank order) and the removal is
+    an ordered fold (``aggregate`` / ``list_reduce``) of
+    leftmost-non-overlapping replaces — identical semantics on both
+    engines, same device as the BPE merge application.
+
+    Scale: the span table is (sources x 3) rows broadcast; the scrub
+    itself is map-only over the corpus — the cheapest possible
+    full-pass rewrite, and exactly how a production pass applies a
+    per-domain scrub list."""
+    from text_grabr_orc_spark.operators.corpus_filters import (
+        boilerplate_spans_by_source,
+    )
+
+    bp = boilerplate_spans_by_source(spark, sf_dir)
+    spans = bp.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "span"))),
+            lambda x: x["span"],
+        ).alias("sl")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    joined = docs.join(F.broadcast(spans), "source", "left")
+    scrubbed = F.when(F.col("sl").isNull(), F.col("text")).otherwise(
+        F.aggregate(
+            F.col("sl"),
+            F.col("text"),
+            lambda acc, s: F.replace(acc, s, F.lit(" ")),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("chars_before"),
+        F.length(scrubbed).cast("bigint").alias("chars_after"),
+        F.coalesce(F.size("sl"), F.lit(0))
+        .cast("bigint")
+        .alias("n_source_spans"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
