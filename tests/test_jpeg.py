@@ -233,6 +233,26 @@ def test_jpeg_ycck_adobe_roundtrip_close():
     assert np.abs(back.astype(int) - want.astype(int)).mean() < 20
 
 
+def test_jpeg_cmyk_unmarked_is_direct_ink():
+    """A 4-component frame WITHOUT an Adobe APP14 marker stores direct
+    ink densities (libjpeg/Go convention) — the inverted-ink reading
+    applies only when the marker is present. Fixture: strip APP14 from
+    an Adobe-encoded stream; its stored channels are 255 - true ink,
+    so the unmarked decode must equal the reference conversion of the
+    STORED values as ink."""
+    from text_grabr_orc_spark.imaging.jpeg import encode_jpeg_cmyk
+
+    cmyk = _cmyk_fixture()
+    data = encode_jpeg_cmyk(cmyk, ycck=False)
+    i = data.find(b"\xff\xee")
+    assert i >= 0
+    seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+    stripped = data[:i] + data[i + 2 + seglen :]
+    back = decode_jpeg(stripped)
+    want = _cmyk_reference_rgb(255 - cmyk)  # stored = 255 - true ink
+    assert np.abs(back.astype(int) - want.astype(int)).mean() < 12
+
+
 def test_jpeg_cmyk_flat_is_near_exact():
     from text_grabr_orc_spark.imaging.jpeg import encode_jpeg_cmyk
 

@@ -217,25 +217,39 @@ def test_streaming_histogram_p90_brackets_exact_quantile(spark, sf_dir):
         assert x - 1e-6 <= r.est_p90 <= x + width + 1e-6, (r, x, width)
 
 
-def test_update_mode_watermark_keeps_state_bounded(spark, tmp_path):
+def test_update_mode_watermark_keeps_state_bounded(spark, sf_dir, tmp_path):
     """The live-trigger deployment shape streaming_histogram_p90's
     docstring promises: under UPDATE output mode the watermark evicts
     closed hour windows from the state store, so per-batch state stays
     at the open-window bound instead of accumulating every hour ever
     seen (which is what COMPLETE mode — the bounded-replay shape —
-    retains by design). 16 time-ordered files, maxFilesPerTrigger=1,
-    state rows read from each micro-batch's progress event."""
+    retains by design). Time-ordered files, maxFilesPerTrigger=1,
+    state rows read from each micro-batch's progress event. The file
+    count is derived from the fixture (span / group density) so the
+    eviction margin holds at any sf the suite runs against."""
+    import math
     import os
 
-    import pytest
-
-    sf = "/root/testdata/sf0.1"
-    if not os.path.isdir(sf):
-        pytest.skip("sf0.1 fixtures absent")
     from text_grabr_orc_spark.sources.events import EPOCH_US_EXPR
 
-    ev = spark.read.parquet(f"{sf}/events.parquet")
-    n_files = 16
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ground truth up front: it sizes the split. Total (hour, type)
+    # groups, type count, and the time span in hours.
+    g_total = (
+        ev.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .distinct()
+        .count()
+    )
+    n_types = ev.select("event_type").distinct().count()
+    lo, hi = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    span_hours = (hi - lo).total_seconds() / 3600
+    # choose n_files so 3 * per_batch_bound fits under g_total with
+    # ~17% slack: per_batch_bound = (2*span/n + 3) * n_types
+    denom = g_total / (3.5 * n_types) - 3
+    assert denom > 0, "fixture too small to demonstrate eviction"
+    n_files = max(16, math.ceil(2 * span_hours / denom))
     split = str(tmp_path / "ev_split")
     (
         ev.repartitionByRange(n_files, "ts")
@@ -293,19 +307,7 @@ def test_update_mode_watermark_keeps_state_bounded(spark, tmp_path):
     assert len(progress) >= n_files
     state_rows = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
 
-    # ground truth: total (hour, type) groups over the whole table,
-    # and the per-batch open-window bound
-    g_total = (
-        ev.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
-        .distinct()
-        .count()
-    )
-    n_types = ev.select("event_type").distinct().count()
-    lo, hi = ev.agg(
-        F.min("ts").alias("lo"), F.max("ts").alias("hi")
-    ).collect()[0]
-    span_hours = (hi - lo).total_seconds() / 3600
-    # a batch spans ~1/16 of the time range; at its end the state
+    # a batch spans ~1/n_files of the time range; at its end the state
     # holds that slice's windows plus the watermark lag (eviction
     # uses the PREVIOUS batch's watermark, hence +1 slice slack)
     per_batch_bound = (2 * (span_hours / n_files) + 3) * n_types
@@ -319,6 +321,66 @@ def test_update_mode_watermark_keeps_state_bounded(spark, tmp_path):
     # and state growth is flat, not monotone: the last batch holds no
     # more than ~the per-slice working set, far below the total
     assert state_rows[-1] <= per_batch_bound
+
+
+def test_histogram_p90_update_state_bounded_and_equals_complete(
+    spark, sf_dir
+):
+    """The REGISTERED update-mode histogram query's own code path:
+    (a) per-batch state stays at the open-window working set — far
+    below the total sketch size the complete-mode sibling would hold
+    — proving the watermark evicts; (b) the assembled result equals
+    the complete-mode registered query row for row."""
+    from text_grabr_orc_spark.streaming.events import (
+        _histogram_p90_update_run,
+        streaming_histogram_p90,
+    )
+
+    upd, state_rows = _histogram_p90_update_run(spark, sf_dir)
+    upd_rows = sorted(map(tuple, upd.collect()))
+    # eviction bound: without it the final batches would hold every
+    # (window, type, bin) cell ever created; the total sketch cell
+    # count (what COMPLETE mode retains) must dwarf per-batch state
+    total_cells = (
+        upd.sparkSession.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .distinct()
+        .count()
+    )  # >= one bin per (hour, type) group; real cell count is larger
+    assert max(state_rows) * 3 <= total_cells, (max(state_rows), total_cells)
+    assert state_rows[-1] <= max(state_rows)
+    comp_rows = sorted(
+        map(tuple, streaming_histogram_p90(spark, sf_dir).collect())
+    )
+    assert upd_rows == comp_rows
+
+
+def test_cms_update_state_bounded_and_equals_complete(spark, sf_dir):
+    """Same two contracts for the registered update-mode CMS query:
+    watermark-evicted per-batch state far below the all-windows cell
+    count, and result identity with the complete-mode sibling."""
+    from text_grabr_orc_spark.streaming.events import (
+        _cms_update_run,
+        streaming_cms_heavy_hitters,
+    )
+
+    upd, state_rows = _cms_update_run(spark, sf_dir)
+    upd_rows = sorted(map(tuple, upd.collect()))
+    comp = streaming_cms_heavy_hitters(spark, sf_dir)
+    comp_rows = sorted(map(tuple, comp.collect()))
+    assert upd_rows == comp_rows
+    # total cells ever created (hours x d x occupied buckets) is what
+    # complete mode holds; update-mode state must stay well below it
+    n_hours = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.date_trunc("hour", "ts"))
+        .distinct()
+        .count()
+    )
+    from text_grabr_orc_spark.operators.sketches import _CMS_D
+
+    total_cells = n_hours * _CMS_D  # >= 1 occupied bucket per (hour, j)
+    assert max(state_rows) * 3 <= total_cells, (max(state_rows), total_cells)
 
 
 def test_streaming_cms_overcounts_only_and_covers_all_keys(spark, sf_dir):

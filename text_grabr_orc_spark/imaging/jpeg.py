@@ -416,17 +416,21 @@ def _assemble_planes(planes, comps, hmax, vmax, h, w, adobe=None) -> np.ndarray:
     if len(comps) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     if len(comps) == 4:
-        # Adobe CMYK (transform 0/absent) or YCCK (transform 2); ink
-        # channels are stored INVERTED (libjpeg/Adobe convention), so
-        # with stored values s: R = s_c * s_k / 255 — equivalently
-        # (255-C)(255-K)/255 on the true ink densities.
+        # 4-component color handling follows libjpeg/Go: the
+        # inverted-ink convention (stored s = 255 - true ink, so
+        # R = s_c * s_k / 255) applies ONLY when an Adobe APP14
+        # marker was present (transform 0 = CMYK, 2 = YCCK). A plain
+        # unmarked 4-component frame stores direct ink densities —
+        # R = (255 - C)(255 - K)/255 on the stored values.
         if adobe == 2:  # YCCK: first three channels ride YCbCr
             sc, sm, sy = _ycc_to_rgb(
                 full[0], full[1] - 128.0, full[2] - 128.0
             )
-        else:
+        elif adobe is not None:  # Adobe CMYK (transform 0)
             sc, sm, sy = full[0], full[1], full[2]
-        sk = full[3]
+        else:  # no APP14: direct ink densities, invert to Adobe form
+            sc, sm, sy = 255.0 - full[0], 255.0 - full[1], 255.0 - full[2]
+        sk = full[3] if adobe is not None else 255.0 - full[3]
         rgb = np.stack([sc, sm, sy], axis=-1) * (sk[..., None] / 255.0)
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     if len(comps) != 3:

@@ -26,6 +26,8 @@ never changes the *answer*, only the work.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -811,11 +813,14 @@ def _dense_tile_ids(emb: DataFrame, block: int) -> DataFrame:
         F.count("vec_id").alias("n"),
     ).collect()[0]
     if probe["n"] and probe["hi"] - probe["lo"] + 1 == probe["n"]:
+        # Integer DIV, not float: a double divide loses exactness for
+        # id offsets beyond 2^53, silently breaking the exact-block-
+        # width invariant the GEMM tiling relies on.
         return emb.select(
             "vec_id",
-            F.floor((F.col("vec_id") - F.lit(probe["lo"])) / block)
-            .cast("int")
-            .alias("blk"),
+            F.expr(
+                f"CAST((vec_id - {int(probe['lo'])}) DIV {int(block)} AS INT)"
+            ).alias("blk"),
         )
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ids = (
@@ -981,6 +986,10 @@ def gemm_cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
 #: FIFO. See _gemm_pairs_cached.
 _GEMM_PAIR_CACHE: dict = {}
 _GEMM_PAIR_CACHE_MAX = 8
+#: get/insert/evict run under this lock — registry sweeps may touch
+#: the graph family from concurrent test workers, and dict mutation
+#: plus RDD unpersist must stay atomic per entry.
+_GEMM_PAIR_CACHE_LOCK = threading.Lock()
 
 
 def _gemm_pairs_cached(
@@ -1014,16 +1023,25 @@ def _gemm_pairs_cached(
         cache_tag(sf_dir),
         float(threshold),
     )
-    df = _GEMM_PAIR_CACHE.get(key)
+    with _GEMM_PAIR_CACHE_LOCK:
+        df = _GEMM_PAIR_CACHE.get(key)
     if df is None:
         df = (
             dedup_embedding_gemm(spark, sf_dir, threshold=threshold)
             .select("vec_a", "vec_b")
             .localCheckpoint()
         )
-        while len(_GEMM_PAIR_CACHE) >= _GEMM_PAIR_CACHE_MAX:
-            _GEMM_PAIR_CACHE.pop(next(iter(_GEMM_PAIR_CACHE)))
-        _GEMM_PAIR_CACHE[key] = df
+        with _GEMM_PAIR_CACHE_LOCK:
+            while len(_GEMM_PAIR_CACHE) >= _GEMM_PAIR_CACHE_MAX:
+                evicted = _GEMM_PAIR_CACHE.pop(next(iter(_GEMM_PAIR_CACHE)))
+                try:
+                    # Release the evicted frame's localCheckpoint blocks;
+                    # dropping only the Python reference leaks executor
+                    # storage for the rest of the session.
+                    evicted.rdd.unpersist()
+                except Exception:
+                    pass  # session already stopped / blocks already gone
+            _GEMM_PAIR_CACHE[key] = df
     return df
 
 

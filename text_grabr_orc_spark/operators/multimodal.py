@@ -439,15 +439,23 @@ def synthesize_scan_dir(spark: SparkSession, sf_dir: str) -> str:
     table: per vector one JPEG cycling through the shapes a real OCR
     corpus contains — grayscale JFIF, RGB, Adobe CMYK (APP14
     transform 0) and YCCK (transform 2) — each tagged with an EXIF
-    orientation 1..8 so the normalization stage has work to do."""
+    orientation 1..8 so the normalization stage has work to do.
+
+    Cached per fixture CONTENT tag (``tables.cache_tag``: path +
+    per-table mtime/size fingerprint) — the repo-wide staleness
+    convention — so a regenerated fixture can never be served stale
+    scan JPEGs; the cached dir is re-verified to still exist."""
     from text_grabr_orc_spark.imaging.jpeg import (
         encode_jpeg,
         encode_jpeg_cmyk,
         insert_exif,
     )
+    from text_grabr_orc_spark.tables import cache_tag
 
-    if sf_dir in _SCAN_CACHE:
-        return _SCAN_CACHE[sf_dir]
+    tag = cache_tag(sf_dir)
+    cached = _SCAN_CACHE.get(tag)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     rows = (
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         .filter(F.col("vec_id") < 8)
@@ -474,7 +482,7 @@ def synthesize_scan_dir(spark: SparkSession, sf_dir: str) -> str:
         data = insert_exif(data, (vid % 8) + 1)
         with open(os.path.join(out, f"scan_{vid:03d}.jpg"), "wb") as f:
             f.write(data)
-    _SCAN_CACHE[sf_dir] = out
+    _SCAN_CACHE[tag] = out
     return out
 
 

@@ -303,7 +303,9 @@ _HQ_QS = (0.5, 0.9, 0.99)
     ), hits AS (
         SELECT q.q, cum.event_type, cum.total,
                min(cum.bin) AS qbin
-        FROM cum CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS q(q)
+        FROM cum CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)),
+                                    (CAST(0.9 AS DOUBLE)),
+                                    (CAST(0.99 AS DOUBLE))) AS q(q)
         WHERE cum.c >= ceil(q.q * cum.total)
         GROUP BY 1, 2, 3
     )

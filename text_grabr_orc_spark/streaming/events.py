@@ -50,6 +50,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    return _normalize_events(raw)
+
+
+def _normalize_events(raw: DataFrame) -> DataFrame:
     return raw.select(
         "event_id",
         F.expr(f"({EPOCH_US_EXPR}) * 1000").alias("ts_ns"),
@@ -62,6 +66,61 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+#: (fixture content tag, n_files) -> split directory. Same staleness
+#: convention as multimodal.synthesize_scan_dir.
+_EVENTS_SPLIT_CACHE: dict = {}
+
+
+def time_split_events_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 16
+) -> str:
+    """The events table rewritten as ``n_files`` time-ordered parquet
+    files with staggered mtimes, so FileStreamSource with
+    ``maxFilesPerTrigger=1`` replays them as an in-order micro-batch
+    sequence — the bounded stand-in for a live trigger, used by the
+    UPDATE-mode queries whose whole point is cross-batch watermark
+    eviction (a single-file source is one batch: nothing ever
+    evicts). Range partitioning on ts gives file k strictly earlier
+    data than file k+1, so event time is monotone across batches and
+    the watermark can never drop a window that still has rows
+    in flight."""
+    from text_grabr_orc_spark.tables import cache_tag
+
+    key = (cache_tag(sf_dir), int(n_files))
+    cached = _EVENTS_SPLIT_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    ev = spark.read.parquet(table_path(sf_dir, "events"))
+    out = tempfile.mkdtemp(prefix="tgos_evsplit_")
+    (
+        ev.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    base = os.path.getmtime(os.path.join(out, parts[0]))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out, f), (base + i, base + i))
+    _EVENTS_SPLIT_CACHE[key] = out
+    return out
+
+
+def events_stream_split(
+    spark: SparkSession, sf_dir: str, n_files: int = 16
+) -> DataFrame:
+    """events_stream over the time-split multi-batch fixture."""
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    split = time_split_events_dir(spark, sf_dir, n_files)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split)
+    )
+    return _normalize_events(raw)
 
 
 def _fmt_instant(col: str, fmt: str):
@@ -98,6 +157,58 @@ def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return df.sparkSession.table(name)
+
+
+def run_update_to_parquet(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """Execute a streaming aggregate in UPDATE output mode with
+    AvailableNow: each micro-batch's update rows land in a parquet
+    sink partitioned by batch id with dynamic partition overwrite
+    (the idempotent foreachBatch recipe — a retried batch overwrites
+    its own partition). Returns the raw update-row table (with a
+    ``batch_id`` column) plus the per-batch state-store row counts
+    from the progress events, so callers — and the state-bound test —
+    can see the watermark actually evicting.
+
+    This is the live-trigger deployment shape: state holds only open
+    windows (the watermark evicts closed ones), and the final table
+    is ASSEMBLED from update rows — for each key, the last batch to
+    touch it emitted its final cumulative value, so max_by(batch_id)
+    reconstructs the complete result without ever holding it in
+    state."""
+    spark = df.sparkSession
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    prev_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out_dir = tempfile.mkdtemp(prefix="tgos_updsink_")
+    data_dir = os.path.join(out_dir, "data")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(data_dir)
+        )
+
+    try:
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(out_dir, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in (q.recentProgress or [])
+            if p.get("stateOperators")
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_pom)
+    return spark.read.parquet(data_dir), state_rows
 
 
 @register(
@@ -642,9 +753,7 @@ def streaming_stream_stream_left_join(
     )
 
 
-@register(
-    "streaming_histogram_p90",
-    oracle="""
+_HIST_P90_ORACLE = """
     WITH bounds AS (
         SELECT event_type, min(value) AS vmin, max(value) AS vmax
         FROM events GROUP BY 1
@@ -678,42 +787,22 @@ def streaming_stream_stream_left_join(
                AS est_p90,
            CAST(h.total AS BIGINT) AS n
     FROM hit h JOIN bounds b USING (event_type)
-    """,
-)
-def streaming_histogram_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mergeable histogram quantile sketch
-    (``quantile_sketch_histogram``) as a STREAM: per tumbling hour and
-    event type, maintain 256 equi-width bin counters in streaming
-    state and read the p90 estimate off the final counts. Bin bounds
-    come from a batch calibration pass (per-type min/max — the
-    standard fixed-calibration trick, since a stream cannot two-pass),
-    broadcast into the stream as a stream-static join; the streaming
-    aggregate state is exactly the sketch (#windows x #types x <=256
-    counters per window), which is what makes the sketch the RIGHT
-    quantile shape for unbounded data — counts merge associatively
-    across micro-batches by construction.
+    """
 
-    State-bound caveat: this query runs in COMPLETE output mode
-    (AvailableNow + one in-memory table), where the watermark never
-    evicts state — fine for a bounded replay, unbounded on a live
-    trigger. The live-deployment shape is UPDATE/APPEND mode with the
-    same watermark (closed hour windows then age out of the state
-    store, capping state at the open-window count x #types x 256)
-    and the quantile extraction in a foreachBatch over the update
-    stream. The per-batch state-growth bound is pinned in
-    tests/test_streaming.py. Result equals the batch computation; the
-    oracle replicates calibration, binning, hourly windows and
-    extraction."""
-    from pyspark.sql import Window as W
 
+def _hist_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type (vmin, vmax) calibration for the equi-width sketch —
+    a batch pass, broadcast into the stream as a stream-static join."""
     batch = spark.read.parquet(table_path(sf_dir, "events"))
-    bounds = F.broadcast(
+    return F.broadcast(
         batch.groupBy("event_type").agg(
             F.min("value").alias("vmin"), F.max("value").alias("vmax")
         )
     )
-    ev = events_stream(spark, sf_dir)
-    bin_col = F.when(
+
+
+def _hist_bin_col() -> "F.Column":
+    return F.when(
         F.col("vmax") == F.col("vmin"), F.lit(0).cast("bigint")
     ).otherwise(
         F.least(
@@ -725,21 +814,15 @@ def streaming_histogram_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    hist = (
-        ev.withWatermark("ts_utc", "10 minutes")
-        .join(bounds, "event_type")
-        .select("ts_utc", "event_type", bin_col.alias("bin"))
-        .groupBy(
-            F.window("ts_utc", "1 hour").alias("w"), "event_type", "bin"
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    sketch = run_to_memory(hist, "complete").select(
-        _fmt_instant("w.start", "yyyy-MM-dd HH:00:00").alias("hour_start"),
-        "event_type",
-        "bin",
-        "n",
-    )
+
+
+def _p90_from_sketch(sketch: DataFrame, bounds: DataFrame) -> DataFrame:
+    """p90 extraction off a materialized (hour_start, event_type,
+    bin, n) histogram sketch — shared by the complete-mode and
+    update-mode streaming variants (same sketch, different state
+    lifecycle)."""
+    from pyspark.sql import Window as W
+
     wcum = (
         W.partitionBy("hour_start", "event_type")
         .orderBy("bin")
@@ -763,11 +846,114 @@ def streaming_histogram_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("qbin").cast("bigint"),
         F.round(
-            F.col("vmin") + (F.col("qbin") + 1) * ((F.col("vmax") - F.col("vmin")) / 256),
+            F.col("vmin")
+            + (F.col("qbin") + 1) * ((F.col("vmax") - F.col("vmin")) / 256),
             6,
         ).alias("est_p90"),
         F.col("n").cast("bigint"),
     )
+
+
+@register("streaming_histogram_p90", oracle=_HIST_P90_ORACLE)
+def streaming_histogram_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable histogram quantile sketch
+    (``quantile_sketch_histogram``) as a STREAM: per tumbling hour and
+    event type, maintain 256 equi-width bin counters in streaming
+    state and read the p90 estimate off the final counts. Bin bounds
+    come from a batch calibration pass (per-type min/max — the
+    standard fixed-calibration trick, since a stream cannot two-pass),
+    broadcast into the stream as a stream-static join; the streaming
+    aggregate state is exactly the sketch (#windows x #types x <=256
+    counters per window), which is what makes the sketch the RIGHT
+    quantile shape for unbounded data — counts merge associatively
+    across micro-batches by construction.
+
+    This registered shape runs COMPLETE output mode (AvailableNow +
+    one in-memory table) — the bounded-replay convenience where the
+    watermark never evicts. The live-trigger deployment shape, with
+    UPDATE mode and real watermark eviction capping state at the
+    open-window count x #types x 256, is the REGISTERED sibling
+    ``streaming_histogram_p90_update`` (same oracle; its per-batch
+    state bound is asserted in tests/test_streaming.py). Result
+    equals the batch computation; the oracle replicates calibration,
+    binning, hourly windows and extraction."""
+    bounds = _hist_bounds(spark, sf_dir)
+    ev = events_stream(spark, sf_dir)
+    hist = (
+        ev.withWatermark("ts_utc", "10 minutes")
+        .join(bounds, "event_type")
+        .select("ts_utc", "event_type", _hist_bin_col().alias("bin"))
+        .groupBy(
+            F.window("ts_utc", "1 hour").alias("w"), "event_type", "bin"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sketch = run_to_memory(hist, "complete").select(
+        _fmt_instant("w.start", "yyyy-MM-dd HH:00:00").alias("hour_start"),
+        "event_type",
+        "bin",
+        "n",
+    )
+    return _p90_from_sketch(sketch, bounds)
+
+
+def _histogram_p90_update_run(
+    spark: SparkSession, sf_dir: str, n_files: int = 16
+) -> tuple[DataFrame, list[int]]:
+    """Core of streaming_histogram_p90_update, returning the result
+    plus the per-batch state-store row counts so the state-bound test
+    asserts against the registered query's own code path."""
+    bounds = _hist_bounds(spark, sf_dir)
+    ev = events_stream_split(spark, sf_dir, n_files)
+    hist = (
+        ev.withWatermark("ts_utc", "10 minutes")
+        .join(bounds, "event_type")
+        .select("ts_utc", "event_type", _hist_bin_col().alias("bin"))
+        .groupBy(
+            F.window("ts_utc", "1 hour").alias("w"), "event_type", "bin"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        # post-aggregation projection keeps the update rows flat for
+        # the parquet sink; formatting is tz-free (_fmt_instant)
+        .select(
+            _fmt_instant("w.start", "yyyy-MM-dd HH:00:00").alias(
+                "hour_start"
+            ),
+            "event_type",
+            "bin",
+            "n",
+        )
+    )
+    updates, state_rows = run_update_to_parquet(hist)
+    # last-writer-wins per sketch cell: update rows carry the CURRENT
+    # cumulative count, so the latest batch to touch a cell holds its
+    # final value. The shuffle is sketch-sized (windows x types x
+    # <=256), never event-sized.
+    sketch = updates.groupBy("hour_start", "event_type", "bin").agg(
+        F.max_by("n", "batch_id").alias("n")
+    )
+    return _p90_from_sketch(sketch, bounds), state_rows
+
+
+@register("streaming_histogram_p90_update", oracle=_HIST_P90_ORACLE)
+def streaming_histogram_p90_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LIVE-TRIGGER deployment shape of the streamed histogram
+    quantile sketch: UPDATE output mode over a 16-file time-ordered
+    replay (maxFilesPerTrigger=1), where the 10-minute watermark
+    EVICTS closed hour windows from the state store — per-batch state
+    is capped at open_windows x #types x 256 counters regardless of
+    how many hours the stream has ever seen (the bound is asserted in
+    tests/test_streaming.py against this code path). Each micro-batch
+    emits the updated cells to an idempotent batch-partitioned
+    parquet sink (dynamic partition overwrite); the final sketch is
+    assembled with max_by(batch_id) — valid because time-ordered
+    arrival means the last update to a cell carries its final
+    cumulative count — and the p90 extraction is the same batch
+    computation the complete-mode sibling uses. Same oracle: the
+    result provably equals the unbounded-replay shape."""
+    return _histogram_p90_update_run(spark, sf_dir)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -818,27 +1004,12 @@ def _cms_stream_oracle() -> str:
     """
 
 
-@register("streaming_cms_heavy_hitters", oracle=_cms_stream_oracle())
-def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The count-min sketch as a STREAM: per tumbling hour, maintain
-    the d x w counter cells in streaming state (each event increments
-    d cells — an explode before the windowed aggregate) and probe the
-    materialized sketch for every (hour, event_type) key. The
-    streaming state per window is EXACTLY the sketch (d*w counters),
-    independent of the key cardinality — the whole point of CMS when
-    the hot-key space is unbounded; counts merge associatively across
-    micro-batches because cell increments are sums.
+def _cms_cells_stream(ev: DataFrame) -> DataFrame:
+    """Streaming d x w counter-cell aggregate per tumbling hour —
+    each event increments d cells (explode before the windowed
+    aggregate); cell counts merge associatively across batches."""
+    from text_grabr_orc_spark.operators.sketches import _CMS_D, _bucket
 
-    Same honesty stance as streaming_histogram_p90: the run is
-    AvailableNow + complete mode into a memory sink (bounded replay);
-    a live deployment runs update mode with watermark eviction of
-    closed hour windows, capping state at open_windows x d x w. The
-    probe (min over d cells) runs on the materialized sketch.
-    Overcount >= 0 by construction; the oracle replicates cells,
-    probe and exact counts per hour."""
-    from text_grabr_orc_spark.operators.sketches import _CMS_D, _CMS_W, _bucket
-
-    ev = events_stream(spark, sf_dir)
     rows = F.explode(
         F.array(
             *[
@@ -850,19 +1021,23 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     ).alias("r")
-    cells_stream = (
+    return (
         ev.withWatermark("ts_utc", "10 minutes")
         .select("ts_utc", rows)
         .select("ts_utc", "r.j", "r.bucket")
         .groupBy(F.window("ts_utc", "1 hour").alias("w"), "j", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    cells = run_to_memory(cells_stream, "complete").select(
-        _fmt_instant("w.start", "yyyy-MM-dd HH:00:00").alias("hour_start"),
-        "j",
-        "bucket",
-        "n",
-    )
+
+
+def _cms_probe_result(
+    spark: SparkSession, sf_dir: str, cells: DataFrame
+) -> DataFrame:
+    """Probe the materialized (hour_start, j, bucket, n) sketch for
+    every (hour, event_type) key and join the exact counts — the
+    batch tail shared by the complete- and update-mode variants."""
+    from text_grabr_orc_spark.operators.sketches import _CMS_D, _bucket
+
     batch = spark.read.parquet(table_path(sf_dir, "events")).select(
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
             "hour_start"
@@ -900,6 +1075,75 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_n",
         (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
     )
+
+
+@register("streaming_cms_heavy_hitters", oracle=_cms_stream_oracle())
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch as a STREAM: per tumbling hour, maintain
+    the d x w counter cells in streaming state (each event increments
+    d cells — an explode before the windowed aggregate) and probe the
+    materialized sketch for every (hour, event_type) key. The
+    streaming state per window is EXACTLY the sketch (d*w counters),
+    independent of the key cardinality — the whole point of CMS when
+    the hot-key space is unbounded; counts merge associatively across
+    micro-batches because cell increments are sums.
+
+    This registered shape is AvailableNow + complete mode into a
+    memory sink (bounded replay, nothing evicts); the live-trigger
+    shape with UPDATE mode and watermark eviction capping state at
+    open_windows x d x w is the REGISTERED sibling
+    ``streaming_cms_heavy_hitters_update`` (same oracle). The probe
+    (min over d cells) runs on the materialized sketch. Overcount
+    >= 0 by construction; the oracle replicates cells, probe and
+    exact counts per hour."""
+    ev = events_stream(spark, sf_dir)
+    cells = run_to_memory(_cms_cells_stream(ev), "complete").select(
+        _fmt_instant("w.start", "yyyy-MM-dd HH:00:00").alias("hour_start"),
+        "j",
+        "bucket",
+        "n",
+    )
+    return _cms_probe_result(spark, sf_dir, cells)
+
+
+def _cms_update_run(
+    spark: SparkSession, sf_dir: str, n_files: int = 16
+) -> tuple[DataFrame, list[int]]:
+    """Core of streaming_cms_heavy_hitters_update; returns (result,
+    per-batch state rows) so the state-bound test runs against the
+    registered code path."""
+    ev = events_stream_split(spark, sf_dir, n_files)
+    cells_stream = _cms_cells_stream(ev).select(
+        _fmt_instant("w.start", "yyyy-MM-dd HH:00:00").alias("hour_start"),
+        "j",
+        "bucket",
+        "n",
+    )
+    updates, state_rows = run_update_to_parquet(cells_stream)
+    # last write wins per cell: the final cumulative count of a cell
+    # is whatever the last batch touching it emitted
+    cells = updates.groupBy("hour_start", "j", "bucket").agg(
+        F.max_by("n", "batch_id").alias("n")
+    )
+    return _cms_probe_result(spark, sf_dir, cells), state_rows
+
+
+@register("streaming_cms_heavy_hitters_update", oracle=_cms_stream_oracle())
+def streaming_cms_heavy_hitters_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LIVE-TRIGGER deployment shape of the streamed count-min
+    sketch: UPDATE output mode over a 16-file time-ordered replay
+    where the 10-minute watermark EVICTS closed hour windows — state
+    is capped at open_windows x d x w cells no matter how long the
+    stream runs (bound asserted in tests/test_streaming.py against
+    this code path). Updated cells land in an idempotent
+    batch-partitioned parquet sink; max_by(batch_id) reassembles the
+    final sketch (time-ordered arrival makes the last update to a
+    cell its final cumulative count) and the probe is the shared
+    batch tail. Same oracle as the complete-mode sibling — the two
+    state lifecycles provably produce the same sketch."""
+    return _cms_update_run(spark, sf_dir)[0]
 
 
 # ---------------------------------------------------------------------------
