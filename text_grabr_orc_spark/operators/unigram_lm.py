@@ -1,0 +1,403 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training — Kudo 2018
+("Subword Regularization", public), the second tokenizer-training
+family next to the BPE merge loop in ``curation.py``.
+
+The reference (``/root/reference/main.go``) tokenizes with
+``strings.Fields`` only; this module is north-star surface: a 100 TB
+training pipeline trains its tokenizer in-engine, and unigram-LM is
+the SentencePiece default. The algorithm:
+
+1. SEED a piece vocabulary from frequent substrings of the word-
+   frequency table (all single characters are kept unconditionally —
+   SentencePiece's required-character set — plus the top-K multi-char
+   substrings by corpus-weighted count); initial piece probabilities
+   proportional to substring counts.
+2. EM rounds: the E-step computes each piece's EXPECTED COUNT over
+   every word's segmentation lattice with the forward-backward
+   algorithm (alpha/beta over word positions, marginalizing over all
+   segmentations, weighted by word frequency); the M-step
+   renormalizes expected counts into the next round's probabilities.
+3. PRUNE to the final vocabulary: all single characters (coverage
+   guarantee) plus the top multi-char pieces by final probability.
+
+The driver hash-checks the LEARNED PIECE TABLE — like
+``bpe_train_merges`` and ``train_logreg_quality``, the artifact
+under test is the model itself, and the oracle unrolls every EM round
+as CTE layers with the per-word lattice DP as a recursive CTE over
+word positions (alphas/betas accumulate in a LIST column; the flat
+(position x piece-length) probability array rides along each row).
+
+Cross-engine float discipline (the repo's standard devices):
+
+- the forward/backward folds run in IEEE doubles with a FIXED
+  evaluation order (positions ascending, piece lengths k = 1..3 in
+  order) — identical operation sequences produce identical bits on
+  both engines;
+- every per-occurrence expected-count contribution is quantized to
+  DECIMAL(18,9) BEFORE the corpus-wide sum, so the only cross-row
+  aggregation is exact decimal arithmetic (order-independent);
+- M-step probabilities are re-quantized to DECIMAL(18,9), making each
+  round's input state exactly representable on both engines.
+
+Scale: every round's state is the WORD-FREQUENCY table (vocabulary-
+bounded — the initial token count is the only corpus-sized shuffle,
+exactly like the BPE trainer); the lattice DP is a per-row
+higher-order fold (no shuffle, no UDF — whole-stage codegen); the
+piece table (~hundreds of rows) broadcasts into the grid join; the
+E-step aggregate exchanges at most |grid| = |words| * Lmax * K rows
+partially combined to |pieces|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from text_grabr_orc_spark.functions.text import tokens
+from text_grabr_orc_spark.operators.curation import _ORACLE_TOKS
+from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.tables import load_table
+
+#: max word length the trainer considers (longer words are excluded
+#: deterministically on both engines — the pre-tokenizer cap).
+_UNI_LMAX = 12
+#: max piece length.
+_UNI_K = 3
+#: multi-char seed pieces kept next to the (unconditional) char set.
+_UNI_SEED_MULTI = 120
+#: EM rounds.
+_UNI_ROUNDS = 2
+#: multi-char pieces surviving the final prune.
+_UNI_V_MULTI = 64
+
+_WORDS_FILTER = "^[a-z0-9]+$"
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, n, L): lowercase [a-z0-9]+ word frequencies, length-capped
+    — the same normalization as the BPE trainer plus the Lmax cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .select(F.lower("tok").alias("w"))
+        .filter(F.col("w").rlike(_WORDS_FILTER))
+        .filter(F.length("w") <= _UNI_LMAX)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w", "n", F.length("w").alias("L"))
+    )
+
+
+def _grid(words: DataFrame) -> DataFrame:
+    """Full (w, i, k) lattice grid, i = 1..L (piece END position),
+    k = 1..K (piece length); slots with k > i carry a NULL piece so
+    the per-word flattened probability array has exactly L*K entries
+    at fixed offsets (i-1)*K + k."""
+    return (
+        words.select(
+            "w",
+            "n",
+            "L",
+            F.explode(F.sequence(F.lit(1), F.col("L"))).alias("i"),
+        )
+        .select(
+            "w",
+            "n",
+            "L",
+            "i",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_UNI_K))
+            ).alias("k"),
+        )
+        .select(
+            "w",
+            "n",
+            "L",
+            "i",
+            "k",
+            F.when(
+                F.col("k") <= F.col("i"),
+                F.expr(f"substring(w, i - k + 1, k)"),
+            ).alias("piece"),
+        )
+    )
+
+
+def _seed_probs(grid: DataFrame) -> DataFrame:
+    """(piece, p DECIMAL(18,9)): chars unconditionally + top multi
+    substrings by weighted count, probabilities proportional to
+    counts, quantized."""
+    cnt = (
+        grid.filter(F.col("piece").isNotNull())
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    chars = cnt.filter(F.length("piece") == 1)
+    multi = (
+        cnt.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(_UNI_SEED_MULTI)
+    )
+    seed = chars.unionAll(multi)
+    tot = seed.agg(F.sum("cnt").alias("tot"))
+    return seed.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.round(
+            F.col("cnt").cast("double") / F.col("tot").cast("double"), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("p"),
+    )
+
+
+def _em_round(grid: DataFrame, probs: DataFrame) -> DataFrame:
+    """One EM round: E-step forward-backward expected counts over
+    every word lattice, M-step renormalization. Returns the next
+    (piece, p DECIMAL(18,9)) table."""
+    K = _UNI_K
+    gp = grid.join(F.broadcast(probs), "piece", "left").select(
+        "w",
+        "n",
+        "L",
+        "i",
+        "k",
+        "piece",
+        F.coalesce(F.col("p").cast("double"), F.lit(0.0)).alias("pv"),
+    )
+    arr = gp.groupBy("w").agg(
+        F.any_value("n").alias("n"),
+        F.any_value("L").alias("L"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("i", "k", "pv"))
+            ),
+            lambda s: s["pv"],
+        ).alias("parr"),
+    )
+    # forward: al[m] = alpha_{m-1}; al[1] = 1; alpha_i sums k = 1..K
+    # in fixed order (identical operation sequence to the oracle)
+    def _fwd_step(acc, i):
+        terms = None
+        for k in range(1, K + 1):
+            t = F.when(
+                i >= F.lit(k),
+                F.element_at(acc, (i - F.lit(k) + 1).cast("int"))
+                * F.element_at(
+                    F.col("parr"), ((i - 1) * K + k).cast("int")
+                ),
+            ).otherwise(F.lit(0.0))
+            terms = t if terms is None else terms + t
+        return F.concat(acc, F.array(terms))
+
+    # backward: bt[m] = beta at boundary L-m+1; bt[1] = beta_L = 1.
+    # Computing entry m+1 = beta_{L-m}: the piece spanning boundary
+    # j = L-m to j+k ENDS at position i = L-m+k, so its probability
+    # sits at parr[(L-m+k-1)*K + k] (1-based flat index)
+    def _bwd_step(acc, mm):
+        terms = None
+        for k in range(1, K + 1):
+            t = F.when(
+                mm >= F.lit(k),
+                F.element_at(acc, (mm - F.lit(k) + 1).cast("int"))
+                * F.element_at(
+                    F.col("parr"),
+                    ((F.col("L") - mm + k - 1) * K + k).cast("int"),
+                ),
+            ).otherwise(F.lit(0.0))
+            terms = t if terms is None else terms + t
+        return F.concat(acc, F.array(terms))
+
+    ab = arr.select(
+        "w",
+        "n",
+        "L",
+        "parr",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("L")),
+            F.array(F.lit(1.0)),
+            _fwd_step,
+        ).alias("al"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("L")),
+            F.array(F.lit(1.0)),
+            _bwd_step,
+        ).alias("bt"),
+    )
+    occ = gp.filter(F.col("piece").isNotNull()).join(
+        ab.select("w", "al", "bt"), "w"
+    )
+    # expected count of the occurrence (end i, length k):
+    #   alpha_{i-k} * p * beta_i / alpha_L * n
+    # with al[m] = alpha_{m-1} and bt[m] = beta_{L-m+1}; quantized to
+    # DECIMAL(18,9) per occurrence, summed exactly
+    contrib = (
+        F.element_at("al", (F.col("i") - F.col("k") + 1).cast("int"))
+        * F.col("pv")
+        * F.element_at("bt", (F.col("L") - F.col("i") + 1).cast("int"))
+        / F.element_at("al", (F.col("L") + 1).cast("int"))
+        * F.col("n")
+    )
+    e = (
+        occ.select(
+            "piece",
+            F.round(contrib, 9).cast("decimal(18,9)").alias("c"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").alias("e"))
+    )
+    t = e.agg(F.sum("e").alias("t"))
+    return e.crossJoin(F.broadcast(t)).select(
+        "piece",
+        F.round(F.col("e").cast("double") / F.col("t").cast("double"), 9)
+        .cast("decimal(18,9)")
+        .alias("p"),
+    )
+
+
+def _unigram_oracle() -> str:
+    """The whole trainer unrolled as one DuckDB statement: seed CTEs,
+    per-round recursive forward/backward CTEs over word positions
+    (alphas/betas accumulate in LIST columns), decimal-quantized
+    expected-count aggregation, and the final prune — the same
+    layer-unrolling device as the BPE/logreg oracles, extended with
+    WITH RECURSIVE for the lattice DP."""
+    K, LMAX = _UNI_K, _UNI_LMAX
+    head = f"""
+    WITH RECURSIVE words AS (
+        SELECT lower(tok) AS w, count(*) AS n,
+               CAST(length(lower(tok)) AS INT) AS L
+        FROM (SELECT unnest({_ORACLE_TOKS}) AS tok FROM documents)
+        WHERE regexp_full_match(lower(tok), '[a-z0-9]+')
+          AND length(lower(tok)) <= {LMAX}
+        GROUP BY 1, 3
+    ), grid AS (
+        SELECT w, n, L, i, k,
+               CASE WHEN k <= i THEN substr(w, i - k + 1, k) END AS piece
+        FROM words
+        CROSS JOIN (SELECT unnest(range(1, {LMAX + 1}))::INT AS i) gi
+        CROSS JOIN (SELECT unnest(range(1, {K + 1}))::INT AS k) gk
+        WHERE i <= L
+    ), cnt AS (
+        SELECT piece, sum(n) AS cnt FROM grid
+        WHERE piece IS NOT NULL GROUP BY 1
+    ), seed AS (
+        SELECT piece, cnt FROM cnt WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM cnt WHERE length(piece) > 1
+            ORDER BY cnt DESC, piece LIMIT {_UNI_SEED_MULTI})
+    ), probs0 AS (
+        SELECT piece,
+               CAST(round(CAST(cnt AS DOUBLE)
+                          / CAST((SELECT sum(cnt) FROM seed) AS DOUBLE),
+                          9) AS DECIMAL(18,9)) AS p
+        FROM seed
+    )"""
+    layers = []
+    for r in range(_UNI_ROUNDS):
+        fk = " + ".join(
+            f"""CASE WHEN m >= {k} THEN
+                 al[m - {k} + 1] * parr[(m - 1) * {K} + {k}]
+                 ELSE 0 END"""
+            for k in range(1, K + 1)
+        )
+        bk = " + ".join(
+            f"""CASE WHEN m >= {k} THEN
+                 bt[m - {k} + 1] * parr[(L - m + {k} - 1) * {K} + {k}]
+                 ELSE 0 END"""
+            for k in range(1, K + 1)
+        )
+        layers.append(f"""
+    , gp{r} AS (
+        SELECT g.w, g.n, g.L, g.i, g.k, g.piece,
+               coalesce(CAST(p.p AS DOUBLE), 0.0) AS pv
+        FROM grid g LEFT JOIN probs{r} p USING (piece)
+    ), arr{r} AS (
+        SELECT w, any_value(n) AS n, any_value(L) AS L,
+               list(pv ORDER BY i, k) AS parr
+        FROM gp{r} GROUP BY w
+    ), fwd{r} AS (
+        SELECT w, L, parr, 1 AS m, [CAST(1 AS DOUBLE)] AS al
+        FROM arr{r}
+        UNION ALL
+        SELECT w, L, parr, m + 1, list_append(al, {fk})
+        FROM fwd{r} WHERE m <= L
+    ), bwd{r} AS (
+        SELECT w, L, parr, 1 AS m, [CAST(1 AS DOUBLE)] AS bt
+        FROM arr{r}
+        UNION ALL
+        SELECT w, L, parr, m + 1, list_append(bt, {bk})
+        FROM bwd{r} WHERE m <= L
+    ), ab{r} AS (
+        SELECT f.w, f.al, b.bt
+        FROM (SELECT w, al FROM fwd{r} WHERE m = L + 1) f
+        JOIN (SELECT w, bt FROM bwd{r} WHERE m = L + 1) b USING (w)
+    ), e{r} AS (
+        SELECT g.piece,
+               sum(CAST(round(
+                   ab.al[g.i - g.k + 1] * g.pv * ab.bt[g.L - g.i + 1]
+                   / ab.al[g.L + 1] * g.n, 9) AS DECIMAL(18,9))) AS e
+        FROM gp{r} g JOIN ab{r} ab USING (w)
+        WHERE g.piece IS NOT NULL
+        GROUP BY 1
+    ), probs{r + 1} AS (
+        SELECT piece,
+               CAST(round(CAST(e AS DOUBLE)
+                          / CAST((SELECT sum(e) FROM e{r}) AS DOUBLE),
+                          9) AS DECIMAL(18,9)) AS p
+        FROM e{r}
+    )""")
+    last = f"probs{_UNI_ROUNDS}"
+    tail = f"""
+    , pruned AS (
+        SELECT piece, p FROM {last} WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, p FROM (
+            SELECT piece, p FROM {last} WHERE length(piece) > 1
+            ORDER BY p DESC, piece LIMIT {_UNI_V_MULTI})
+    )
+    SELECT CAST(row_number() OVER (ORDER BY p DESC, piece) AS BIGINT)
+               AS rank,
+           piece,
+           CAST(p AS DOUBLE) AS p
+    FROM pruned
+    """
+    return head + "".join(layers) + tail
+
+
+@register("unigram_lm_train", oracle=_unigram_oracle())
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine unigram-LM tokenizer TRAINING (see module
+    docstring): seed substring vocabulary, {rounds} EM rounds of
+    forward-backward expected counts over every word's segmentation
+    lattice, prune to chars + top-{v} pieces. Returns the learned
+    piece table (rank, piece, p) — hash-checked against the oracle's
+    unrolled recursive-CTE replica of the identical computation."""
+    # one corpus pass total: the word-frequency table is vocabulary-
+    # bounded, so localCheckpoint pins it with flat lineage and every
+    # EM-round branch (seed, 2 x forward-backward, 2 x E-step) reads
+    # the checkpointed rows instead of re-exploding the corpus
+    words = _words(spark, sf_dir).localCheckpoint()
+    grid = _grid(words)
+    probs = _seed_probs(grid)
+    for _ in range(_UNI_ROUNDS):
+        probs = _em_round(grid, probs)
+    chars = probs.filter(F.length("piece") == 1)
+    multi = (
+        probs.filter(F.length("piece") > 1)
+        .orderBy(F.col("p").desc(), "piece")
+        .limit(_UNI_V_MULTI)
+    )
+    pruned = chars.unionAll(multi)
+    # rank over the pruned table: bounded (<= chars + V_MULTI rows)
+    w = Window.orderBy(F.col("p").desc(), "piece")
+    return pruned.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "piece",
+        F.col("p").cast("double").alias("p"),
+    )
+
+
+unigram_lm_train.__doc__ = unigram_lm_train.__doc__.format(
+    rounds=_UNI_ROUNDS, v=_UNI_V_MULTI
+)

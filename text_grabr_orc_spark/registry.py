@@ -66,6 +66,7 @@ def load_all() -> None:
         text_stats,
         timeseries,
         tpch_more,
+        unigram_lm,
     )
     from text_grabr_orc_spark.sources import orc_io  # noqa: F401
     from text_grabr_orc_spark.streaming import events  # noqa: F401
