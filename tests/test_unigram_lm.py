@@ -129,6 +129,37 @@ def test_unigram_matches_pure_python_reference(spark, sf_dir, word_freqs):
         assert abs(gv - wv) < 1e-9, (gp, gv, wv)
 
 
+def test_viterbi_encode_reconstructs_words_and_maximizes(spark, sf_dir):
+    """Every segmentation concatenates back to its word; the path
+    probability equals the product of the learned piece probs along
+    the path and matches an independent pure-Python Viterbi."""
+    from text_grabr_orc_spark.operators.unigram_lm import (
+        unigram_encode_viterbi,
+    )
+
+    piece_p = {
+        r["piece"]: r["p"]
+        for r in unigram_lm_train(spark, sf_dir).collect()
+    }
+    rows = unigram_encode_viterbi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        segs = r["seg"].split("|")
+        assert "".join(segs) == r["w"]
+        assert len(segs) == r["n_pieces"]
+        # independent Viterbi over the learned pieces
+        w = r["w"]
+        L = len(w)
+        v = [1.0] + [0.0] * L
+        for i in range(1, L + 1):
+            best = -1.0
+            for k in range(1, min(_UNI_K, i) + 1):
+                p = piece_p.get(w[i - k : i], 0.0)
+                best = max(best, v[i - k] * p)
+            v[i] = best
+        assert abs(r["vprob"] - v[L]) < 1e-9, (w, r["vprob"], v[L])
+
+
 def test_unigram_probs_form_distribution(spark, sf_dir):
     rows = unigram_lm_train(spark, sf_dir).collect()
     assert all(r["p"] >= 0 for r in rows)

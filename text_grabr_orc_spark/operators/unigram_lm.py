@@ -254,11 +254,13 @@ def _em_round(grid: DataFrame, probs: DataFrame) -> DataFrame:
     )
 
 
-def _unigram_oracle() -> str:
-    """The whole trainer unrolled as one DuckDB statement: seed CTEs,
-    per-round recursive forward/backward CTEs over word positions
-    (alphas/betas accumulate in LIST columns), decimal-quantized
-    expected-count aggregation, and the final prune — the same
+def _unigram_oracle_chain() -> str:
+    """Seed + EM rounds + prune as one CTE chain ending in
+    ``pruned(piece, p)`` — shared by the trainer oracle (ranks the
+    pruned table) and the Viterbi encoder oracle (segments the word
+    table with it): seed CTEs, per-round recursive forward/backward
+    CTEs over word positions (alphas/betas accumulate in LIST
+    columns), decimal-quantized expected-count aggregation — the same
     layer-unrolling device as the BPE/logreg oracles, extended with
     WITH RECURSIVE for the lattice DP."""
     K, LMAX = _UNI_K, _UNI_LMAX
@@ -348,21 +350,81 @@ def _unigram_oracle() -> str:
         FROM e{r}
     )""")
     last = f"probs{_UNI_ROUNDS}"
-    tail = f"""
+    prune = f"""
     , pruned AS (
         SELECT piece, p FROM {last} WHERE length(piece) = 1
         UNION ALL
         SELECT piece, p FROM (
             SELECT piece, p FROM {last} WHERE length(piece) > 1
             ORDER BY p DESC, piece LIMIT {_UNI_V_MULTI})
-    )
+    )"""
+    return head + "".join(layers) + prune
+
+
+def _unigram_oracle() -> str:
+    return (
+        _unigram_oracle_chain()
+        + """
     SELECT CAST(row_number() OVER (ORDER BY p DESC, piece) AS BIGINT)
                AS rank,
            piece,
            CAST(p AS DOUBLE) AS p
     FROM pruned
     """
-    return head + "".join(layers) + tail
+    )
+
+
+def _unigram_encode_oracle() -> str:
+    """Trainer chain + Viterbi segmentation of the word table with
+    the pruned pieces: a recursive CTE computes per word the max-prob
+    path value list and the argmax piece-length backpointer list
+    (fixed tie-break: smallest k), and a second recursive CTE walks
+    the backpointers into the piece sequence."""
+    K = _UNI_K
+    tks = [
+        f"""CASE WHEN m >= {k} THEN
+             v[m - {k} + 1] * parr[(m - 1) * {K} + {k}]
+             ELSE -1 END AS t{k}"""
+        for k in range(1, K + 1)
+    ]
+    return (
+        _unigram_oracle_chain()
+        + f"""
+    , gpv AS (
+        SELECT g.w, g.n, g.L, g.i, g.k,
+               coalesce(CAST(p.p AS DOUBLE), 0.0) AS pv
+        FROM grid g LEFT JOIN pruned p USING (piece)
+    ), arrv AS (
+        SELECT w, any_value(n) AS n, any_value(L) AS L,
+               list(pv ORDER BY i, k) AS parr
+        FROM gpv GROUP BY w
+    ), vit AS (
+        SELECT w, n, L, parr, 1 AS m,
+               [CAST(1 AS DOUBLE)] AS v, []::INT[] AS bp
+        FROM arrv
+        UNION ALL
+        SELECT w, n, L, parr, m + 1,
+               list_append(v, greatest(t1, t2, t3)),
+               list_append(bp, CASE WHEN t1 >= t2 AND t1 >= t3 THEN 1
+                                    WHEN t2 >= t3 THEN 2
+                                    ELSE 3 END)
+        FROM (SELECT *, {', '.join(tks)} FROM vit) WHERE m <= L
+    ), walk AS (
+        SELECT w, n, L, bp, v[L + 1] AS vbest, L AS pos,
+               []::VARCHAR[] AS segs
+        FROM vit WHERE m = L + 1
+        UNION ALL
+        SELECT w, n, L, bp, vbest, pos - bp[pos],
+               list_prepend(substr(w, pos - bp[pos] + 1, bp[pos]), segs)
+        FROM walk WHERE pos > 0
+    )
+    SELECT w, CAST(n AS BIGINT) AS n,
+           array_to_string(segs, '|') AS seg,
+           CAST(len(segs) AS BIGINT) AS n_pieces,
+           round(vbest, 9) AS vprob
+    FROM walk WHERE pos = 0
+    """
+    )
 
 
 @register("unigram_lm_train", oracle=_unigram_oracle())
@@ -379,16 +441,7 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the checkpointed rows instead of re-exploding the corpus
     words = _words(spark, sf_dir).localCheckpoint()
     grid = _grid(words)
-    probs = _seed_probs(grid)
-    for _ in range(_UNI_ROUNDS):
-        probs = _em_round(grid, probs)
-    chars = probs.filter(F.length("piece") == 1)
-    multi = (
-        probs.filter(F.length("piece") > 1)
-        .orderBy(F.col("p").desc(), "piece")
-        .limit(_UNI_V_MULTI)
-    )
-    pruned = chars.unionAll(multi)
+    pruned = _pruned_probs(spark, sf_dir, grid)
     # rank over the pruned table: bounded (<= chars + V_MULTI rows)
     w = Window.orderBy(F.col("p").desc(), "piece")
     return pruned.select(
@@ -401,3 +454,128 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 unigram_lm_train.__doc__ = unigram_lm_train.__doc__.format(
     rounds=_UNI_ROUNDS, v=_UNI_V_MULTI
 )
+
+
+def _pruned_probs(spark: SparkSession, sf_dir: str, grid: DataFrame):
+    """The trained-and-pruned piece table (piece, p DECIMAL)."""
+    probs = _seed_probs(grid)
+    for _ in range(_UNI_ROUNDS):
+        probs = _em_round(grid, probs)
+    chars = probs.filter(F.length("piece") == 1)
+    multi = (
+        probs.filter(F.length("piece") > 1)
+        .orderBy(F.col("p").desc(), "piece")
+        .limit(_UNI_V_MULTI)
+    )
+    return chars.unionAll(multi)
+
+
+@register("unigram_encode_viterbi", oracle=_unigram_encode_oracle())
+def unigram_encode_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi ENCODING with the trained unigram-LM vocabulary: the
+    max-probability segmentation of every corpus word under the
+    learned piece probabilities — the inference half of the
+    SentencePiece pair, companion to ``bpe_encode_corpus``. The DP is
+    the same per-row higher-order fold as training (values + argmax
+    backpointers, fixed smallest-k tie-break), followed by a bounded
+    backpointer walk (<= Lmax steps, also a fold) — no UDF, no
+    shuffle beyond the vocabulary-sized join. Output is the word
+    segmentation table (w, n, seg, n_pieces, vprob), hash-checked
+    against the oracle's recursive-CTE replica; encoding the corpus
+    is then a broadcast join of this table onto the token stream."""
+    K = _UNI_K
+    words = _words(spark, sf_dir).localCheckpoint()
+    grid = _grid(words)
+    pruned = _pruned_probs(spark, sf_dir, grid)
+    gpv = grid.join(F.broadcast(pruned), "piece", "left").select(
+        "w",
+        "n",
+        "L",
+        "i",
+        "k",
+        F.coalesce(F.col("p").cast("double"), F.lit(0.0)).alias("pv"),
+    )
+    arrv = gpv.groupBy("w").agg(
+        F.any_value("n").alias("n"),
+        F.any_value("L").alias("L"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "k", "pv"))),
+            lambda s: s["pv"],
+        ).alias("parr"),
+    )
+
+    # Viterbi fold: acc = struct(v array<double>, bp array<int>);
+    # impossible k carries -1 so a feasible k (chars have p > 0)
+    # always wins; ties break to the SMALLEST k on both engines
+    def _vit_step(acc, m):
+        ts = []
+        for k in range(1, K + 1):
+            ts.append(
+                F.when(
+                    m >= F.lit(k),
+                    F.element_at(acc["v"], (m - F.lit(k) + 1).cast("int"))
+                    * F.element_at(
+                        F.col("parr"), ((m - 1) * K + k).cast("int")
+                    ),
+                ).otherwise(F.lit(-1.0))
+            )
+        t1, t2, t3 = ts
+        best_k = (
+            F.when((t1 >= t2) & (t1 >= t3), F.lit(1))
+            .when(t2 >= t3, F.lit(2))
+            .otherwise(F.lit(3))
+        )
+        return F.struct(
+            F.concat(acc["v"], F.array(F.greatest(t1, t2, t3))).alias("v"),
+            F.concat(acc["bp"], F.array(best_k)).alias("bp"),
+        )
+
+    vit = arrv.select(
+        "w",
+        "n",
+        "L",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("L")),
+            F.struct(
+                F.array(F.lit(1.0)).alias("v"),
+                F.array().cast("array<int>").alias("bp"),
+            ),
+            _vit_step,
+        ).alias("d"),
+    )
+
+    # backpointer walk: at most L steps, folded; acc = (pos, segs)
+    def _walk_step(acc, _):
+        k = F.element_at(F.col("d.bp"), acc["pos"].cast("int"))
+        piece = F.col("w").substr(acc["pos"] - k + 1, k)
+        return F.when(
+            acc["pos"] > 0,
+            F.struct(
+                (acc["pos"] - k).alias("pos"),
+                F.concat(F.array(piece), acc["segs"]).alias("segs"),
+            ),
+        ).otherwise(acc)
+
+    out = vit.select(
+        "w",
+        "n",
+        "L",
+        "d",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("L")),
+            F.struct(
+                F.col("L").cast("int").alias("pos"),
+                F.array().cast("array<string>").alias("segs"),
+            ),
+            _walk_step,
+        ).alias("wk"),
+    )
+    return out.select(
+        "w",
+        F.col("n").cast("bigint"),
+        F.array_join("wk.segs", "|").alias("seg"),
+        F.size("wk.segs").cast("bigint").alias("n_pieces"),
+        F.round(
+            F.element_at("d.v", (F.col("L") + 1).cast("int")), 9
+        ).alias("vprob"),
+    )
