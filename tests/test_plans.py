@@ -323,6 +323,30 @@ def test_dynamic_partition_pruning_expression_in_scan(spark, sf_dir):
     assert len(rows) == 2 and all(n > 0 for n in rows.values())
 
 
+def test_incremental_state_scan_is_partition_pruned(spark, sf_dir):
+    """Cross-run dedup must read the persisted band table through a
+    partition-pruned scan: the batch's band indices arrive as
+    PartitionFilters on band_idx (directory-level pruning of the
+    history state), and the probe is an equi-join, never a cartesian."""
+    from text_grabr_orc_spark.operators.dedup import (
+        dedup_incremental_minhash_state,
+    )
+
+    df = dedup_incremental_minhash_state(spark, sf_dir)
+    plan = formatted_plan(df)
+    part_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any("band_idx" in ln and " IN " in ln for ln in part_lines), plan
+    assert "CartesianProduct" not in plan
+    # cross-run reuse: a second invocation matches against the SAME
+    # persisted state (no rebuild) and returns identical pairs
+    again = dedup_incremental_minhash_state(spark, sf_dir)
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
 def test_fuzzy_join_is_keyed_no_cartesian(spark, sf_dir):
     """FastSS blocking must plan as an equi-join on the variant hash
     — never a cartesian/nested-loop over the corpus — and the exact
