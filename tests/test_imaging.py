@@ -120,6 +120,52 @@ def _render_text(text: str, scale: int = 16, margin: int = 32) -> np.ndarray:
     return np.pad(big, margin, constant_values=255)
 
 
+def test_glyph_font_unambiguous_and_roundtrips():
+    """Every 3x5 bitmap is distinct with a full bounding box (so
+    segmentation can never merge or misalign glyphs), and render ->
+    binarize-shaped input -> recognize is the identity at several
+    scales — the recognizer genuinely reads pixels, not metadata."""
+    from text_grabr_orc_spark.imaging.glyph_ocr import (
+        GLYPHS,
+        _bitmap,
+        recognize,
+        render_text,
+    )
+
+    seen = {}
+    for ch in GLYPHS:
+        b = _bitmap(ch)
+        key = b.tobytes()
+        assert key not in seen, (ch, seen.get(key))
+        seen[key] = ch
+        assert b[0].any() and b[-1].any() and b[:, 0].any() and b[:, -1].any()
+    for s in (1, 3, 4, 7):
+        msg = "PACK MY BOX WITH 5 DOZEN LIQUOR JUGS 0123456789"
+        assert recognize(render_text(msg, scale=s)) == msg
+
+
+def test_glyph_pipeline_reads_real_text(spark, tmp_path):
+    """The FULL reference chain with the glyph engine: PNG on disk ->
+    binaryFile -> decode -> grayscale -> binarize(128) -> template
+    OCR -> text equals what was rendered, textCount the JVM
+    strings.Fields recount."""
+    from text_grabr_orc_spark.imaging.glyph_ocr import render_text
+
+    (tmp_path / "hello.png").write_bytes(
+        encode_png(render_text("HELLO WORLD 42"))
+    )
+    rows = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in ocr.ocr_pipeline(
+            spark, str(tmp_path), engine="glyph"
+        ).collect()
+    }
+    row = rows["hello.png"]
+    assert row["ocr_engine"] == "glyph" and row["ocr_error"] is None
+    assert row["text"] == "HELLO WORLD 42"
+    assert row["textCount"] == 3
+
+
 @pytest.mark.skipif(
     ocr._load_tesseract() is None,
     reason="tesseract binary not installed in this environment",

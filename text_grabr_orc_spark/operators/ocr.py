@@ -101,8 +101,16 @@ def _stub_ocr(binarized: np.ndarray) -> str:
     return f"OCRSTUB {binarized.shape[1]}x{binarized.shape[0]} {digest}"
 
 
-def ocr_extract(files: DataFrame) -> DataFrame:
+def ocr_extract(files: DataFrame, engine: str = "auto") -> DataFrame:
     """(path, content, ...) -> OCR_RESULT_SCHEMA via mapInPandas.
+
+    ``engine``: "auto" = Tesseract when importable, else the
+    deterministic hash stub; "glyph" = the pure-Python 3x5
+    glyph-template matcher (``imaging.glyph_ocr``) — REAL in-sandbox
+    recognition for block-letter renders, used by
+    ``ocr_pipeline_glyph`` and as the demonstration that the full
+    reference chain (decode -> grayscale -> binarize(128) -> OCR)
+    executes end-to-end without any external binary.
 
     Scale: Arrow-batched; one decode+preprocess per row, vectorized
     numpy inside; per-worker engine reuse; errors stay rows. Partition
@@ -110,8 +118,13 @@ def ocr_extract(files: DataFrame) -> DataFrame:
     sizes image batches per task)."""
 
     def run(batches):
-        tess = _load_tesseract()
-        engine = "tesseract" if tess else "stub"
+        if engine == "glyph":
+            from text_grabr_orc_spark.imaging.glyph_ocr import recognize
+
+            tess, eng_name, recog = None, "glyph", recognize
+        else:
+            tess = _load_tesseract()
+            eng_name, recog = ("tesseract" if tess else "stub"), None
         for pdf in batches:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
@@ -127,14 +140,18 @@ def ocr_extract(files: DataFrame) -> DataFrame:
                             lang="eng",
                             config="--psm 1",
                         )
+                    elif recog is not None:
+                        text = recog(pre)
                     else:
                         text = _stub_ocr(pre)
                     # Go strings.Fields parity (main.go:195) — NOT
                     # str.split(), whose whitespace set includes the
                     # C0 separators \x1c-\x1f that Go's does not
-                    out.append((path, text, py_field_count(text), engine, None))
+                    out.append((path, text, py_field_count(text), eng_name, None))
                 except (PngError, ValueError, OSError) as e:
-                    out.append((path, None, None, engine, f"{type(e).__name__}: {e}"))
+                    out.append(
+                        (path, None, None, eng_name, f"{type(e).__name__}: {e}")
+                    )
             yield pd.DataFrame(
                 out, columns=["path", "text", "textCount", "ocr_engine", "ocr_error"]
             )
@@ -142,7 +159,9 @@ def ocr_extract(files: DataFrame) -> DataFrame:
     return files.select("path", "content").mapInPandas(run, OCR_RESULT_SCHEMA)
 
 
-def ocr_pipeline(spark: SparkSession, image_dir: str) -> DataFrame:
+def ocr_pipeline(
+    spark: SparkSession, image_dir: str, engine: str = "auto"
+) -> DataFrame:
     """Full reference-parity pipeline over a directory of images.
 
     ``textCount`` is recomputed JVM-side with the strings.Fields
@@ -150,7 +169,7 @@ def ocr_pipeline(spark: SparkSession, image_dir: str) -> DataFrame:
     matches it for ASCII, and the JVM recount is the authoritative
     column (exact Unicode parity)."""
     files = accepted_images(read_image_dir(spark, image_dir))
-    result = ocr_extract(files)
+    result = ocr_extract(files, engine=engine)
     return result.withColumn(
         "textCount",
         F.when(
@@ -235,6 +254,112 @@ def synthesize_image_dir(spark: SparkSession, sf_dir: str, n: int = 24) -> str:
             f.write(b"not an image")
     _IMG_CACHE[sf_dir] = out
     return out
+
+
+#: docs rendered by the glyph-OCR fixture.
+_GLYPH_N_DOCS = 24
+#: eligible word shape for the block-letter font.
+_GLYPH_WORD_RE = "[A-Za-z0-9]+"
+_GLYPH_MAX_WORD = 8
+
+_GLYPH_RENDER_CACHE: dict[str, str] = {}
+
+
+def _glyph_oracle_toks() -> str:
+    from text_grabr_orc_spark.functions.text import ORACLE_WS_RUN
+
+    return (
+        "list_filter(regexp_split_to_array(text, "
+        f"'{ORACLE_WS_RUN}'), t -> t <> '')"
+    )
+
+
+def _glyph_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text): the first two font-eligible words of each
+    document, uppercased — EXACTLY the normalization the oracle
+    replays in SQL, so recognized text can be hash-compared."""
+    from text_grabr_orc_spark.functions.text import tokens
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ws = F.slice(
+        F.filter(
+            tokens("text"),
+            lambda t: t.rlike(f"^{_GLYPH_WORD_RE}$")
+            & (F.length(t) <= _GLYPH_MAX_WORD),
+        ),
+        1,
+        2,
+    )
+    return docs.filter(F.col("doc_id") < _GLYPH_N_DOCS).select(
+        "doc_id",
+        F.array_join(F.transform(ws, F.upper), " ").alias("text"),
+    )
+
+
+def synthesize_glyph_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Block-letter PNG renders of the expected texts — content-tag
+    cached like every derived fixture."""
+    import tempfile
+
+    from text_grabr_orc_spark.imaging.glyph_ocr import render_text
+    from text_grabr_orc_spark.tables import cache_tag
+
+    tag = cache_tag(sf_dir)
+    cached = _GLYPH_RENDER_CACHE.get(tag)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    rows = _glyph_expected(spark, sf_dir).collect()  # bounded: <=24
+    out = tempfile.mkdtemp(prefix="tgos_glyph_")
+    for r in rows:
+        img = render_text(r["text"], scale=4, margin=8)
+        with open(
+            os.path.join(out, f"doc_{int(r['doc_id']):05d}.png"), "wb"
+        ) as f:
+            f.write(encode_png(img))
+    _GLYPH_RENDER_CACHE[tag] = out
+    return out
+
+
+@register(
+    "ocr_pipeline_glyph",
+    oracle=f"""
+    WITH e AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter({_glyph_oracle_toks()},
+                       t -> regexp_full_match(t, '{_GLYPH_WORD_RE}')
+                            AND length(t) <= {_GLYPH_MAX_WORD})[1:2],
+                   t -> upper(t)) AS ws
+        FROM documents WHERE doc_id < {_GLYPH_N_DOCS}
+    )
+    SELECT doc_id, array_to_string(ws, ' ') AS "text",
+           CAST(len(ws) AS BIGINT) AS "textCount"
+    FROM e
+    """,
+)
+def ocr_pipeline_glyph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL in-sandbox OCR, exactly oracled: the reference's full
+    computation chain (main.go:41-122 — binaryFile ingest, extension
+    filter, PNG decode, grayscale, binarize(128), OCR, {{text,
+    textCount}}) executes end-to-end with the pure-Python 3x5
+    glyph-template engine (``imaging.glyph_ocr``) actually READING
+    the pixels back into text. Fixtures are block-letter renders of
+    each document's first two font-eligible words; the oracle replays
+    only the NORMALIZATION in SQL — the recognized text must equal it
+    byte-for-byte, which holds only if decode, preprocessing,
+    segmentation and template matching are all correct. Closes §2a
+    operator 7 within environment limits (no tesseract binary); when
+    Tesseract exists, the identical pipeline runs it instead
+    (``tests/test_imaging.py`` skipif test)."""
+    img_dir = synthesize_glyph_dir(spark, sf_dir)
+    out = ocr_pipeline(spark, img_dir, engine="glyph")
+    return out.select(
+        F.regexp_extract("path", r"doc_(\d+)\.png$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "text",
+        F.col("textCount").cast("bigint"),
+    )
 
 
 @register("ocr_pipeline_stub")  # no SQL oracle: binaryFile + Python stage
