@@ -113,6 +113,28 @@ BENCH_QUERIES = [
 STREAMING_QUERIES = {"streaming_hourly_counts"}
 
 
+def _warmup(spark, names, warm_dir: str) -> list[str]:
+    """Run every query once at the warm-up sf; a failure is retried
+    once (transient state-store/tempdir races) and, if it persists,
+    the query name is RETURNED so main() can surface it in the JSON —
+    a warm-up breakage must never hide inside a cold number
+    (round-5 verdict item 7)."""
+    failed: list[str] = []
+    for name in names:
+        for attempt in (0, 1):
+            try:
+                registry.QUERIES[name](spark, warm_dir).count()
+                break
+            except Exception as exc:  # noqa: BLE001
+                print(
+                    f"# warm-up {name} attempt {attempt} failed: {exc}",
+                    file=sys.stderr,
+                )
+                if attempt == 1:
+                    failed.append(name)
+    return failed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -133,14 +155,11 @@ def main() -> None:
     # query). Data caches are NOT shared: the timed pass reads a
     # different sf_dir.
     warm_dir = "/root/testdata/sf0.001"
+    warmup_failed: list[str] = []
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(
         sf_dir
     ):
-        for name in BENCH_QUERIES:
-            try:
-                registry.QUERIES[name](spark, warm_dir).count()
-            except Exception as exc:  # noqa: BLE001 - warm-up is best-effort
-                print(f"# warm-up {name} failed: {exc}", file=sys.stderr)
+        warmup_failed = _warmup(spark, BENCH_QUERIES, warm_dir)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -177,6 +196,7 @@ def main() -> None:
         )
 
     breakdown = _streaming_breakdown(spark, sf_dir)
+    curve = {} if "--no-scale-curve" in sys.argv else _scale_curve(spark)
 
     batch_wall = sum(t for n, t in timings.items() if n not in STREAMING_QUERIES)
     stream_wall = sum(t for n, t in timings.items() if n in STREAMING_QUERIES)
@@ -196,10 +216,80 @@ def main() -> None:
                 ),
                 "streaming_sec": round(stream_wall, 3),
                 "streaming_breakdown": breakdown,
+                "scale_curve": curve,
+                "warmup_failed": warmup_failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+#: scale-curve families: query -> the table whose cardinality drives
+#: it (documents and embeddings are identical at sf0.001/sf0.01, so
+#: each family is fitted against its driving table's ROW COUNT, never
+#: against the sf label).
+SCALE_FAMILIES = {
+    "dedup_minhash_lsh": "documents",
+    "dedup_embedding_gemm": "embeddings",
+    "dedup_clusters_twophase": "embeddings",
+    "knn_graph_ivf": "embeddings",
+    "events_hourly_rollup": "events",
+}
+
+_SCALE_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+def _scale_curve(spark) -> dict:
+    """Measured scaling evidence for the dedup/graph family (round-5
+    verdict item 5): steady-state seconds at every fixture size with
+    a DISTINCT driving-table cardinality, plus the least-squares
+    exponent of log(sec) on log(rows). Quasi-linear operators fit
+    exponents ~<= 1; fixed per-query overhead (~0.3 s scheduler floor
+    at these sizes) biases the fit DOWN, so an exponent near or below
+    1 is the pass condition and a super-linear fit is the alarm."""
+    out: dict[str, dict] = {}
+    for name, table in SCALE_FAMILIES.items():
+        fn = registry.QUERIES[name]
+        pts: list[tuple[int, float]] = []
+        seen_rows = set()
+        for d in _SCALE_DIRS:
+            if not os.path.isdir(d):
+                continue
+            rows = spark.read.parquet(f"{d}/{table}.parquet").count()
+            if rows in seen_rows:
+                continue
+            seen_rows.add(rows)
+            fn(spark, d).count()  # warm (codegen + content-tag caches)
+            best = min(
+                _timed(lambda: fn(spark, d).count()) for _ in range(2)
+            )
+            pts.append((rows, best))
+        if len(pts) < 2:
+            continue
+        import math
+
+        xs = [math.log(r) for r, _ in pts]
+        ys = [math.log(max(t, 1e-3)) for _, t in pts]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        denom = sum((x - mx) ** 2 for x in xs)
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+        out[name] = {
+            "rows": [r for r, _ in pts],
+            "sec": [round(t, 3) for _, t in pts],
+            "exponent": round(slope, 3),
+        }
+        print(f"# scale-curve {name}: {out[name]}", file=sys.stderr)
+    return out
+
+
+def _timed(thunk) -> float:
+    t0 = time.time()
+    thunk()
+    return time.time() - t0
 
 
 def _streaming_breakdown(

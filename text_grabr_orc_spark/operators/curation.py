@@ -37,6 +37,7 @@ from text_grabr_orc_spark.functions.text import (
     shingles_from_tokens,
     tokens,
 )
+from text_grabr_orc_spark.functions.windows import bounded_window
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.tables import load_table
 
@@ -375,7 +376,7 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(_VOCAB_K)
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    w = bounded_window("token", F.col("n").desc(), F.col("token"))
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
@@ -661,7 +662,7 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_pair"))
     )
     top = pairs.orderBy(F.col("n_pair").desc(), F.col("pair")).limit(_BPE_TOP)
-    w = Window.orderBy(F.col("n_pair").desc(), F.col("pair"))
+    w = bounded_window("pair", F.col("n_pair").desc(), F.col("pair"))
     return top.select(
         "pair",
         F.col("n_pair").cast("bigint").alias("n_pair"),
@@ -1400,7 +1401,7 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top = doc.orderBy(F.col("s").desc(), "doc_id").limit(_DSIR_TOPN)
-    w = Window.orderBy(F.col("s").desc(), "doc_id")
+    w = bounded_window("doc_id", F.col("s").desc(), "doc_id")
     return top.select(
         "doc_id",
         "lang",
@@ -1644,7 +1645,7 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(_WF_BUDGET_FRAC) * F.col("t")).cast("bigint"),
         )
     )
-    ow = Window.orderBy("n_tokens", "source")
+    ow = bounded_window("source", "n_tokens", "source")
     ranked = per.withColumn("rk", F.row_number().over(ow)).withColumn(
         "pref",
         F.sum("n_tokens").over(ow.rowsBetween(Window.unboundedPreceding, 0)),
@@ -2039,7 +2040,7 @@ def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w"),
     )
     wz = Window.partitionBy()
-    wc = Window.orderBy(F.col("n").desc(), "t").rowsBetween(
+    wc = bounded_window("t", F.col("n").desc(), "t").rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (

@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from text_grabr_orc_spark.functions.windows import bounded_window
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.sources.events import load_events
 
@@ -201,7 +202,7 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     top = counts.orderBy(F.col("n").desc(), "user_id").limit(10)
     tot = ev.agg(F.count(F.lit(1)).alias("total"))
-    w = Window.orderBy(F.col("n").desc(), "user_id")
+    w = bounded_window("user_id", F.col("n").desc(), "user_id")
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     return (
         top.crossJoin(F.broadcast(tot))

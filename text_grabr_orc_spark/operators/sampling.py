@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from text_grabr_orc_spark.functions.text import ORACLE_WS_RUN, tokens
+from text_grabr_orc_spark.functions.windows import bounded_window
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.tables import cache_tag, load_table
 
@@ -238,7 +239,7 @@ def dynamic_partition_pruning_join(
         # DPP's pattern requires the dim side to be a SOURCE relation
         # carrying a literal Filter (aggregates/limits don't count as
         # the selective predicate)
-        w = Window.orderBy(F.col("n").desc(), "lang")
+        w = bounded_window("lang", F.col("n").desc(), "lang")
         (
             docs.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -337,7 +338,7 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     top = keyed.orderBy("k", "doc_id").limit(_ARES_K)
-    rw = Window.orderBy("k", "doc_id")
+    rw = bounded_window("doc_id", "k", "doc_id")
     return top.select(
         "doc_id",
         "source",

@@ -18,6 +18,7 @@ from text_grabr_orc_spark.functions.text import (
     token_count,
     tokens,
 )
+from text_grabr_orc_spark.functions.windows import bounded_window
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.tables import load_table
 
@@ -982,7 +983,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("p").alias("bm25"))
     )
-    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    w = bounded_window("doc_id", F.col("bm25").desc(), "doc_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _BM25_TOPN)
@@ -1081,7 +1082,7 @@ def quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
     )
     cells = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
-    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wb = bounded_window("bin", "bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = cells.select(
         "bin", "c", (F.sum("c").over(wb) - F.col("c")).alias("below")
     )
@@ -1163,7 +1164,7 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("n").desc(), "t")
+    w = bounded_window("t", F.col("n").desc(), "t")
     ranked = freq.select(
         F.round(F.log(F.row_number().over(w).cast("double")), 9)
         .cast("decimal(18,9)")
@@ -1321,7 +1322,7 @@ def collocations_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top = scored.orderBy(F.col("pmi").desc(), "a", "b").limit(_PMI_TOP)
-    w = Window.orderBy(F.col("pmi").desc(), "a", "b")
+    w = bounded_window("a", F.col("pmi").desc(), "a", "b")
     return top.select(
         "a",
         "b",

@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 
 from text_grabr_orc_spark.functions.text import tokens
 from text_grabr_orc_spark.operators.curation import _ORACLE_TOKS
+from text_grabr_orc_spark.functions.windows import bounded_window
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.tables import load_table
 
@@ -443,7 +444,7 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = _grid(words)
     pruned = _pruned_probs(spark, sf_dir, grid)
     # rank over the pruned table: bounded (<= chars + V_MULTI rows)
-    w = Window.orderBy(F.col("p").desc(), "piece")
+    w = bounded_window("piece", F.col("p").desc(), "piece")
     return pruned.select(
         F.row_number().over(w).cast("bigint").alias("rank"),
         "piece",
