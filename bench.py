@@ -101,6 +101,12 @@ BENCH_QUERIES = [
     "knn_graph_ivf",
     "streaming_hourly_counts",
     "ocr_pipeline_stub",
+    # round-6 additions: one per new operator family
+    "unigram_lm_train",
+    "unigram_encode_viterbi",
+    "dedup_incremental_minhash_state",
+    "ocr_pipeline_glyph",
+    "streaming_histogram_p90_update",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation
@@ -110,7 +116,10 @@ BENCH_QUERIES = [
 #: headline `value` so data-dependent regressions stay visible
 #: instead of drowning in a constant; their sum is reported
 #: separately as `streaming_sec`.
-STREAMING_QUERIES = {"streaming_hourly_counts"}
+STREAMING_QUERIES = {
+    "streaming_hourly_counts",
+    "streaming_histogram_p90_update",
+}
 
 
 def _warmup(spark, names, warm_dir: str) -> list[str]:

@@ -79,6 +79,41 @@ def test_corpus_clean_pipeline_single_shuffle(spark, sf_dir):
     assert "sha2" in plan  # shuffle key is the digest, not the text
 
 
+def test_chunk_semantic_partitions_each_document(spark, sf_dir):
+    """Semantic chunks tile every document exactly: contiguous chunk
+    ids from 0, contiguous window ranges with no gap or overlap, and
+    corpus token mass conserved. Boundary decisions must produce real
+    SEGMENTATION (some multi-window chunks AND some breaks) on this
+    fixture, not a degenerate all-break or no-break result."""
+    from text_grabr_orc_spark.functions.text import token_count
+    from text_grabr_orc_spark.operators.pipeline import chunk_semantic
+    from text_grabr_orc_spark.tables import load_table
+
+    df = chunk_semantic(spark, sf_dir)
+    rows = df.collect()
+    total = sum(r.n_tokens for r in rows)
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.sum(token_count("text")))
+        .collect()[0][0]
+    )
+    assert total == corpus
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, ch in by_doc.items():
+        ch.sort(key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in ch] == list(range(len(ch))), doc
+        assert ch[0].first_win == 0
+        for prev, cur in zip(ch, ch[1:]):
+            assert cur.first_win == prev.last_win + 1, doc
+        for r in ch:
+            assert r.n_windows == r.last_win - r.first_win + 1
+    n_windows = sum(r.n_windows for r in rows)
+    assert len(rows) < n_windows  # some adjacent windows merged
+    assert len(rows) > len(by_doc)  # and some topic breaks happened
+
+
 def test_chunk_documents_conserves_tokens(spark, sf_dir):
     from text_grabr_orc_spark.functions.text import token_count
     from text_grabr_orc_spark.operators.pipeline import chunk_documents

@@ -518,3 +518,169 @@ def chunk_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunks",
         "n_cross_doc_groups",
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic chunking (TextTiling-style topic-boundary segmentation)
+# ---------------------------------------------------------------------------
+
+#: pseudo-sentence window size (tokens) for boundary scoring.
+_SEM_W = 10
+#: feature-hash buckets for the window bag-of-words vectors.
+_SEM_B = 64
+
+_SEM_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{ORACLE_WS_RUN}'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        FROM tok, UNNEST(range(1, len(toks) + 1)) AS u(i)
+        WHERE len(toks) > 0
+    ), v AS (
+        SELECT doc_id, CAST(floor(pos / {_SEM_W}) AS BIGINT) AS win,
+               ('0x' || substr(md5('sc:' || tok), 1, 8))::BIGINT % {_SEM_B}
+                   AS bucket,
+               count(*) AS c
+        FROM pos GROUP BY 1, 2, 3
+    ), nr AS (
+        SELECT doc_id, win, sum(c * c) AS nrm, sum(c) AS ntok
+        FROM v GROUP BY 1, 2
+    ), dt AS (
+        SELECT a.doc_id, b.win AS win, sum(a.c * b.c) AS dot
+        FROM v a JOIN v b
+          ON a.doc_id = b.doc_id AND a.win + 1 = b.win
+         AND a.bucket = b.bucket
+        GROUP BY 1, 2
+    ), brk AS (
+        SELECT n2.doc_id, n2.win,
+               CASE WHEN 16 * coalesce(d.dot, 0) * coalesce(d.dot, 0)
+                         < n1.nrm * n2.nrm
+                    THEN 1 ELSE 0 END AS is_break
+        FROM nr n2
+        JOIN nr n1 ON n1.doc_id = n2.doc_id AND n1.win = n2.win - 1
+        LEFT JOIN dt d ON d.doc_id = n2.doc_id AND d.win = n2.win
+    ), cid AS (
+        SELECT nr.doc_id, nr.win, nr.ntok,
+               CAST(sum(coalesce(b.is_break, 0)) OVER (
+                   PARTITION BY nr.doc_id ORDER BY nr.win
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_id
+        FROM nr LEFT JOIN brk b USING (doc_id, win)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(min(win) AS BIGINT) AS first_win,
+           CAST(max(win) AS BIGINT) AS last_win,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens
+    FROM cid GROUP BY 1, 2
+"""
+
+
+@register("chunk_semantic", oracle=_SEM_ORACLE)
+def chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC chunking — split documents at topic boundaries, not
+    at fixed offsets (TextTiling, Hearst 1997, public): consecutive
+    {w}-token pseudo-sentence windows get hashed bag-of-words vectors
+    ({b} md5-slice buckets — the repo's engine-portable feature-hash
+    device), adjacent windows are compared by cosine, and a chunk
+    boundary falls wherever cosine < 0.5. The decision is EXACT
+    integer arithmetic on both engines: cos < tau with tau = 1/2 is
+    4*dot^2 < |a|^2 * |b|^2 — no float crosses the comparator, so the
+    chunking is bit-reproducible.
+
+    The RAG/context shape fixed-offset ``chunk_documents`` cannot
+    express: a retrieval chunk should not straddle a topic shift.
+
+    Scale: one corpus-sized token explode feeding a (doc, win,
+    bucket)-keyed aggregate (map-side combined), an adjacent-window
+    self-equi-join on (doc, win+1, bucket) — candidate mass bounded
+    by windows x occupied buckets, never quadratic — and a
+    PARTITIONED cumulative window per document. Output rows are all
+    integers (offsets, counts), so the oracle match is exact by
+    construction."""
+    from text_grabr_orc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.filter(F.col("text").rlike(r"(?U)\S"))
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sc:"), F.col("tok"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _SEM_B
+    )
+    v = (
+        pos.select(
+            "doc_id",
+            F.floor(F.col("pos") / _SEM_W).cast("bigint").alias("win"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("doc_id", "win", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nr = v.groupBy("doc_id", "win").agg(
+        F.sum(F.col("c") * F.col("c")).alias("nrm"),
+        F.sum("c").alias("ntok"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dt = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.win") + 1 == F.col("b.win"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("b.win").alias("win"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    n1 = nr.select(
+        "doc_id", (F.col("win") + 1).alias("win"), F.col("nrm").alias("nrm_prev")
+    )
+    brk = (
+        nr.join(n1, ["doc_id", "win"])
+        .join(dt, ["doc_id", "win"], "left")
+        .select(
+            "doc_id",
+            "win",
+            (
+                16
+                * F.coalesce(F.col("dot"), F.lit(0))
+                * F.coalesce(F.col("dot"), F.lit(0))
+                < F.col("nrm_prev") * F.col("nrm")
+            )
+            .cast("int")
+            .alias("is_break"),
+        )
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("win")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cid = (
+        nr.join(brk, ["doc_id", "win"], "left")
+        .select(
+            "doc_id",
+            "win",
+            "ntok",
+            F.sum(F.coalesce(F.col("is_break"), F.lit(0)))
+            .over(wc)
+            .cast("bigint")
+            .alias("chunk_id"),
+        )
+    )
+    return cid.groupBy("doc_id", "chunk_id").agg(
+        F.min("win").cast("bigint").alias("first_win"),
+        F.max("win").cast("bigint").alias("last_win"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+    )
+
+
+chunk_semantic.__doc__ = chunk_semantic.__doc__.format(w=_SEM_W, b=_SEM_B)
