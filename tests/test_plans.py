@@ -347,6 +347,30 @@ def test_incremental_state_scan_is_partition_pruned(spark, sf_dir):
     )
 
 
+def test_persisted_ivf_index_scan_is_partition_pruned(spark, sf_dir):
+    """The stored IVF index must be read through a centroid_id
+    partition-pruned scan (only the probed cells' directories open),
+    and the probe side must broadcast."""
+    from text_grabr_orc_spark.operators.similarity import (
+        similarity_index_persisted,
+        similarity_topk_ivf,
+    )
+
+    df = similarity_index_persisted(spark, sf_dir)
+    plan = formatted_plan(df)
+    part_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any(
+        "centroid_id" in ln and " IN " in ln for ln in part_lines
+    ), plan
+    assert "BroadcastHashJoin" in plan
+    # persistence changes I/O, never answers: identical to in-session IVF
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, similarity_topk_ivf(spark, sf_dir).collect())
+    )
+
+
 def test_fuzzy_join_is_keyed_no_cartesian(spark, sf_dir):
     """FastSS blocking must plan as an equi-join on the variant hash
     — never a cartesian/nested-loop over the corpus — and the exact

@@ -1776,3 +1776,123 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-run persisted IVF index (build once, query many)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_persisted_oracle() -> str:
+    """Identical result contract to similarity_topk_ivf — persisting
+    the index changes I/O, never the answer."""
+    from text_grabr_orc_spark.registry import ORACLES
+
+    return ORACLES["similarity_topk_ivf"]
+
+
+@register("similarity_index_persisted", oracle=_ivf_persisted_oracle())
+def similarity_index_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """CROSS-RUN vector search: the IVF index (vector + norm +
+    nearest-centroid assignment) is BUILT ONCE and written to parquet
+    PARTITIONED BY centroid_id (content-tag cached across calls, the
+    repo's staleness convention); every later query batch probes the
+    stored index without re-embedding, re-assigning, or re-scanning
+    the corpus — the "build the 100 TB ANN index nightly, serve query
+    batches all day" shape, the vector-search sibling of
+    ``dedup_incremental_minhash_state``.
+
+    Partition pruning: the query batch's probed centroid ids
+    (<= n_queries x nprobe values — probe-geometry-bounded, never
+    corpus-bounded) push down as a static IN filter, so the scan
+    opens only the centroid_id= directories the batch actually
+    probes: with sqrt(n) centroids and nprobe probes per query the
+    served I/O is ~nprobe/sqrt(n) of the index per query batch.
+    Plan-asserted in tests/test_plans.py. Same oracle as
+    ``similarity_topk_ivf``: persistence changes I/O, not answers."""
+    import os
+    import tempfile
+
+    from text_grabr_orc_spark.tables import cache_tag
+
+    emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") % centroid_stride == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("e").alias("ce"),
+            F.col("n").alias("cn"),
+        )
+    )
+    # RUN 1: build + persist the assignment index, partitioned by cell
+    index_dir = os.path.join(
+        tempfile.gettempdir(), "tgos_ivf_index", cache_tag(sf_dir)
+    )
+    if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        (
+            _nearest_centroid_assign(emb, cent)
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(index_dir)
+        )
+
+    # RUN 2: probe — nprobe nearest centroids per query, then a
+    # partition-pruned scan of exactly those cells
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        queries.crossJoin(cent)
+        .select(
+            "query_id",
+            "qe",
+            "qn",
+            "centroid_id",
+            cosine_from_parts(
+                dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn")
+            ).alias("pcos"),
+        )
+        .withColumn("prk", F.row_number().over(pw))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "qe", "qn", "centroid_id")
+    )
+    touched = sorted(
+        int(r["centroid_id"])
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    index = spark.read.parquet(index_dir).filter(
+        F.col("centroid_id").isin(touched)
+    )
+    cos = cosine_from_parts(
+        dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n")
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(index, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        )
+        .withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rk").cast("bigint"),
+        )
+    )
