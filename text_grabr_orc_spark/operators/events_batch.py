@@ -604,3 +604,116 @@ def events_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_anomalies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered multi-step conversion
+# ---------------------------------------------------------------------------
+
+#: funnel step sequence over the fixture's event types.
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), t2 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+        WHERE e.event_type = 'click' GROUP BY 1
+    ), t3 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    ), n AS (
+        SELECT (SELECT count(*) FROM t1) AS n1,
+               (SELECT count(*) FROM t2) AS n2,
+               (SELECT count(*) FROM t3) AS n3
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+               CAST(n1 AS BIGINT) AS n_users,
+               CAST(1.0 AS DOUBLE) AS conv_from_start,
+               CAST(1.0 AS DOUBLE) AS conv_from_prev
+        FROM n
+        UNION ALL
+        SELECT 2, 'click', CAST(n2 AS BIGINT),
+               round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6),
+               round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+        FROM n
+        UNION ALL
+        SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+               round(CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE), 6),
+               round(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+        FROM n
+    )
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel conversion (view -> click -> purchase): a user
+    reaches step k only with an event STRICTLY AFTER their step-(k-1)
+    time — the product-analytics primitive that plain per-type counts
+    cannot express (a purchase before any view must not count).
+    Earliest-qualifying-sequence semantics: step times are the
+    minimal ts satisfying the ordering, computed stepwise.
+
+    Scale: each step is one groupBy(user_id) min-aggregate (map-side
+    combined) joined to the previous step's per-user time — k steps =
+    k user-keyed shuffles of strictly shrinking cardinality, never a
+    self-join of the event log against itself; the step-count rollup
+    is three scalar aggregates broadcast into a constant-size result.
+    Comparisons ride the int64 epoch column (ts_ns), so ordering is
+    engine-neutral integer arithmetic."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ns")
+
+    def step_times(etype: str, prev: DataFrame | None) -> DataFrame:
+        cur = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(
+                F.col("ts_ns") > F.col("prev_t")
+            )
+        return cur.groupBy("user_id").agg(
+            F.min("ts_ns").alias("prev_t")
+        )
+
+    t1 = step_times(_FUNNEL_STEPS[0], None)
+    t2 = step_times(_FUNNEL_STEPS[1], t1)
+    t3 = step_times(_FUNNEL_STEPS[2], t2)
+    n1 = t1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = t2.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = t3.agg(F.count(F.lit(1)).alias("n3"))
+    n = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+    d = lambda a, b: F.round(  # noqa: E731 - local ratio shorthand
+        F.col(a).cast("double") / F.col(b).cast("double"), 6
+    )
+    one = F.lit(1.0).cast("double")
+    rows = [
+        n.select(
+            F.lit(1).cast("bigint").alias("step"),
+            F.lit(_FUNNEL_STEPS[0]).alias("event_type"),
+            F.col("n1").cast("bigint").alias("n_users"),
+            one.alias("conv_from_start"),
+            one.alias("conv_from_prev"),
+        ),
+        n.select(
+            F.lit(2).cast("bigint"),
+            F.lit(_FUNNEL_STEPS[1]),
+            F.col("n2").cast("bigint"),
+            d("n2", "n1"),
+            d("n2", "n1"),
+        ),
+        n.select(
+            F.lit(3).cast("bigint"),
+            F.lit(_FUNNEL_STEPS[2]),
+            F.col("n3").cast("bigint"),
+            d("n3", "n1"),
+            d("n3", "n2"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
