@@ -607,26 +607,32 @@ def events_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Funnel analysis: ordered multi-step conversion
+# Windowed funnel: ordered multi-step conversion with a step deadline
 # ---------------------------------------------------------------------------
 
 #: funnel step sequence over the fixture's event types.
 _FUNNEL_STEPS = ("view", "click", "purchase")
+#: max gap between consecutive steps (nanoseconds): 24 hours.
+_FUNNEL_WINDOW_NS = 24 * 3600 * 10**9
 
 
 @register(
-    "events_funnel_conversion",
-    oracle="""
+    "events_funnel_windowed",
+    oracle=f"""
     WITH t1 AS (
-        SELECT user_id, min(ts) AS t FROM events
+        SELECT user_id, min(epoch_ns(ts)) AS t FROM events
         WHERE event_type = 'view' GROUP BY 1
     ), t2 AS (
-        SELECT e.user_id, min(e.ts) AS t
-        FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+        SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+         AND epoch_ns(e.ts) > t1.t
+         AND epoch_ns(e.ts) <= t1.t + {_FUNNEL_WINDOW_NS}
         WHERE e.event_type = 'click' GROUP BY 1
     ), t3 AS (
-        SELECT e.user_id, min(e.ts) AS t
-        FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+        SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+         AND epoch_ns(e.ts) > t2.t
+         AND epoch_ns(e.ts) <= t2.t + {_FUNNEL_WINDOW_NS}
         WHERE e.event_type = 'purchase' GROUP BY 1
     ), n AS (
         SELECT (SELECT count(*) FROM t1) AS n1,
@@ -652,28 +658,32 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
     )
     """,
 )
-def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDERED funnel conversion (view -> click -> purchase): a user
-    reaches step k only with an event STRICTLY AFTER their step-(k-1)
-    time — the product-analytics primitive that plain per-type counts
-    cannot express (a purchase before any view must not count).
-    Earliest-qualifying-sequence semantics: step times are the
-    minimal ts satisfying the ordering, computed stepwise.
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED funnel conversion (view -> click -> purchase, each
+    step within 24 h of the previous): the deadline-constrained
+    variant of ``funnel_signup_click_purchase`` — a click three weeks
+    after the view is NOT a conversion. This is the form product
+    funnels actually ship (attribution windows), and it changes the
+    answer: the unconstrained funnel overcounts whenever activity is
+    sparse relative to the window.
 
-    Scale: each step is one groupBy(user_id) min-aggregate (map-side
-    combined) joined to the previous step's per-user time — k steps =
-    k user-keyed shuffles of strictly shrinking cardinality, never a
-    self-join of the event log against itself; the step-count rollup
-    is three scalar aggregates broadcast into a constant-size result.
-    Comparisons ride the int64 epoch column (ts_ns), so ordering is
-    engine-neutral integer arithmetic."""
+    Earliest-qualifying-sequence semantics per user, stepwise minimal
+    times; per-step output adds conversion rates from the funnel
+    start and from the previous step (exact integer ratios).
+
+    Scale: identical plan family to the unconstrained funnel — k
+    user-keyed min-aggregates of strictly shrinking cardinality, the
+    deadline an extra band predicate on the step join (still
+    equi-keyed on user_id, so the band never degrades the join into
+    a cartesian); comparisons ride the int64 epoch column."""
     ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ns")
 
     def step_times(etype: str, prev: DataFrame | None) -> DataFrame:
         cur = ev.filter(F.col("event_type") == etype)
         if prev is not None:
             cur = cur.join(prev, "user_id").filter(
-                F.col("ts_ns") > F.col("prev_t")
+                (F.col("ts_ns") > F.col("prev_t"))
+                & (F.col("ts_ns") <= F.col("prev_t") + _FUNNEL_WINDOW_NS)
             )
         return cur.groupBy("user_id").agg(
             F.min("ts_ns").alias("prev_t")
