@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "dedup_incremental_minhash_state",
     "ocr_pipeline_glyph",
     "streaming_histogram_p90_update",
+    "chunk_semantic",
+    "events_funnel_windowed",
+    "similarity_index_persisted",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation

@@ -266,30 +266,30 @@ def _unigram_oracle_chain() -> str:
     WITH RECURSIVE for the lattice DP."""
     K, LMAX = _UNI_K, _UNI_LMAX
     head = f"""
-    WITH RECURSIVE words AS (
+    WITH RECURSIVE words AS MATERIALIZED (
         SELECT lower(tok) AS w, count(*) AS n,
                CAST(length(lower(tok)) AS INT) AS L
         FROM (SELECT unnest({_ORACLE_TOKS}) AS tok FROM documents)
         WHERE regexp_full_match(lower(tok), '[a-z0-9]+')
           AND length(lower(tok)) <= {LMAX}
         GROUP BY 1, 3
-    ), grid AS (
+    ), grid AS MATERIALIZED (
         SELECT w, n, L, i, k,
                CASE WHEN k <= i THEN substr(w, i - k + 1, k) END AS piece
         FROM words
         CROSS JOIN (SELECT unnest(range(1, {LMAX + 1}))::INT AS i) gi
         CROSS JOIN (SELECT unnest(range(1, {K + 1}))::INT AS k) gk
         WHERE i <= L
-    ), cnt AS (
+    ), cnt AS MATERIALIZED (
         SELECT piece, sum(n) AS cnt FROM grid
         WHERE piece IS NOT NULL GROUP BY 1
-    ), seed AS (
+    ), seed AS MATERIALIZED (
         SELECT piece, cnt FROM cnt WHERE length(piece) = 1
         UNION ALL
         SELECT piece, cnt FROM (
             SELECT piece, cnt FROM cnt WHERE length(piece) > 1
             ORDER BY cnt DESC, piece LIMIT {_UNI_SEED_MULTI})
-    ), probs0 AS (
+    ), probs0 AS MATERIALIZED (
         SELECT piece,
                CAST(round(CAST(cnt AS DOUBLE)
                           / CAST((SELECT sum(cnt) FROM seed) AS DOUBLE),
@@ -311,11 +311,11 @@ def _unigram_oracle_chain() -> str:
             for k in range(1, K + 1)
         )
         layers.append(f"""
-    , gp{r} AS (
+    , gp{r} AS MATERIALIZED (
         SELECT g.w, g.n, g.L, g.i, g.k, g.piece,
                coalesce(CAST(p.p AS DOUBLE), 0.0) AS pv
         FROM grid g LEFT JOIN probs{r} p USING (piece)
-    ), arr{r} AS (
+    ), arr{r} AS MATERIALIZED (
         SELECT w, any_value(n) AS n, any_value(L) AS L,
                list(pv ORDER BY i, k) AS parr
         FROM gp{r} GROUP BY w
@@ -331,11 +331,11 @@ def _unigram_oracle_chain() -> str:
         UNION ALL
         SELECT w, L, parr, m + 1, list_append(bt, {bk})
         FROM bwd{r} WHERE m <= L
-    ), ab{r} AS (
+    ), ab{r} AS MATERIALIZED (
         SELECT f.w, f.al, b.bt
         FROM (SELECT w, al FROM fwd{r} WHERE m = L + 1) f
         JOIN (SELECT w, bt FROM bwd{r} WHERE m = L + 1) b USING (w)
-    ), e{r} AS (
+    ), e{r} AS MATERIALIZED (
         SELECT g.piece,
                sum(CAST(round(
                    ab.al[g.i - g.k + 1] * g.pv * ab.bt[g.L - g.i + 1]
@@ -343,7 +343,7 @@ def _unigram_oracle_chain() -> str:
         FROM gp{r} g JOIN ab{r} ab USING (w)
         WHERE g.piece IS NOT NULL
         GROUP BY 1
-    ), probs{r + 1} AS (
+    ), probs{r + 1} AS MATERIALIZED (
         SELECT piece,
                CAST(round(CAST(e AS DOUBLE)
                           / CAST((SELECT sum(e) FROM e{r}) AS DOUBLE),
@@ -352,7 +352,7 @@ def _unigram_oracle_chain() -> str:
     )""")
     last = f"probs{_UNI_ROUNDS}"
     prune = f"""
-    , pruned AS (
+    , pruned AS MATERIALIZED (
         SELECT piece, p FROM {last} WHERE length(piece) = 1
         UNION ALL
         SELECT piece, p FROM (
@@ -375,12 +375,12 @@ def _unigram_oracle() -> str:
     )
 
 
-def _unigram_encode_oracle() -> str:
-    """Trainer chain + Viterbi segmentation of the word table with
-    the pruned pieces: a recursive CTE computes per word the max-prob
-    path value list and the argmax piece-length backpointer list
-    (fixed tie-break: smallest k), and a second recursive CTE walks
-    the backpointers into the piece sequence."""
+def _viterbi_ctes() -> str:
+    """Viterbi CTE text appended to the trainer chain — the per-word
+    max-prob path (value list + argmax backpointer list, fixed
+    smallest-k tie-break) and the backpointer walk, ending in
+    ``walk`` whose ``pos = 0`` rows carry (w, n, segs, vbest). Shared
+    by the encoder oracle and the tokenizer compression report."""
     K = _UNI_K
     tks = [
         f"""CASE WHEN m >= {k} THEN
@@ -388,14 +388,12 @@ def _unigram_encode_oracle() -> str:
              ELSE -1 END AS t{k}"""
         for k in range(1, K + 1)
     ]
-    return (
-        _unigram_oracle_chain()
-        + f"""
-    , gpv AS (
+    return f"""
+    , gpv AS MATERIALIZED (
         SELECT g.w, g.n, g.L, g.i, g.k,
                coalesce(CAST(p.p AS DOUBLE), 0.0) AS pv
         FROM grid g LEFT JOIN pruned p USING (piece)
-    ), arrv AS (
+    ), arrv AS MATERIALIZED (
         SELECT w, any_value(n) AS n, any_value(L) AS L,
                list(pv ORDER BY i, k) AS parr
         FROM gpv GROUP BY w
@@ -418,7 +416,16 @@ def _unigram_encode_oracle() -> str:
         SELECT w, n, L, bp, vbest, pos - bp[pos],
                list_prepend(substr(w, pos - bp[pos] + 1, bp[pos]), segs)
         FROM walk WHERE pos > 0
-    )
+    )"""
+
+
+def _unigram_encode_oracle() -> str:
+    """Trainer chain + Viterbi segmentation of the word table with
+    the pruned pieces (see _viterbi_ctes)."""
+    return (
+        _unigram_oracle_chain()
+        + _viterbi_ctes()
+        + """
     SELECT w, CAST(n AS BIGINT) AS n,
            array_to_string(segs, '|') AS seg,
            CAST(len(segs) AS BIGINT) AS n_pieces,
@@ -471,19 +478,10 @@ def _pruned_probs(spark: SparkSession, sf_dir: str, grid: DataFrame):
     return chars.unionAll(multi)
 
 
-@register("unigram_encode_viterbi", oracle=_unigram_encode_oracle())
-def unigram_encode_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Viterbi ENCODING with the trained unigram-LM vocabulary: the
-    max-probability segmentation of every corpus word under the
-    learned piece probabilities — the inference half of the
-    SentencePiece pair, companion to ``bpe_encode_corpus``. The DP is
-    the same per-row higher-order fold as training (values + argmax
-    backpointers, fixed smallest-k tie-break), followed by a bounded
-    backpointer walk (<= Lmax steps, also a fold) — no UDF, no
-    shuffle beyond the vocabulary-sized join. Output is the word
-    segmentation table (w, n, seg, n_pieces, vprob), hash-checked
-    against the oracle's recursive-CTE replica; encoding the corpus
-    is then a broadcast join of this table onto the token stream."""
+def _viterbi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, n, L, d(v, bp), wk(pos, segs)): the trained-vocabulary
+    Viterbi segmentation of every eligible word — shared by the
+    encoder query and the tokenizer compression report."""
     K = _UNI_K
     words = _words(spark, sf_dir).localCheckpoint()
     grid = _grid(words)
@@ -571,6 +569,23 @@ def unigram_encode_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             _walk_step,
         ).alias("wk"),
     )
+    return out
+
+
+@register("unigram_encode_viterbi", oracle=_unigram_encode_oracle())
+def unigram_encode_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi ENCODING with the trained unigram-LM vocabulary: the
+    max-probability segmentation of every corpus word under the
+    learned piece probabilities — the inference half of the
+    SentencePiece pair, companion to ``bpe_encode_corpus``. The DP is
+    the same per-row higher-order fold as training (values + argmax
+    backpointers, fixed smallest-k tie-break), followed by a bounded
+    backpointer walk (<= Lmax steps, also a fold) — no UDF, no
+    shuffle beyond the vocabulary-sized join. Output is the word
+    segmentation table (w, n, seg, n_pieces, vprob), hash-checked
+    against the oracle's recursive-CTE replica; encoding the corpus
+    is then a broadcast join of this table onto the token stream."""
+    out = _viterbi_table(spark, sf_dir)
     return out.select(
         "w",
         F.col("n").cast("bigint"),
@@ -580,3 +595,131 @@ def unigram_encode_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("d.v", (F.col("L") + 1).cast("int")), 9
         ).alias("vprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer compression report: trained BPE vs trained unigram-LM
+# ---------------------------------------------------------------------------
+
+
+def _compression_oracle() -> str:
+    """Both trained tokenizers replayed in ONE statement: the BPE
+    merge chain (words{{N}} final symbol table) and the unigram
+    EM + Viterbi chain share a WITH RECURSIVE list (disjoint CTE
+    names), each reduced to corpus-weighted piece statistics."""
+    from text_grabr_orc_spark.operators.curation import (
+        _BPE_N_MERGES,
+        _bpe_oracle_chain,
+    )
+
+    bpe_chain, _ = _bpe_oracle_chain()
+    bpe_body = bpe_chain.strip()
+    assert bpe_body.startswith("WITH ")
+    bpe_body = bpe_body[len("WITH ") :]
+    uni_chain = _unigram_oracle_chain().strip()
+    assert uni_chain.startswith("WITH RECURSIVE ")
+    uni_body = uni_chain[len("WITH RECURSIVE ") :]
+    return f"""
+    WITH RECURSIVE {uni_body}{_viterbi_ctes()}
+    , uni AS (
+        SELECT count(*) AS n_words, sum(n) AS n_occ,
+               sum(len(segs) * n) AS pieces,
+               sum(length(w) * n) AS chars
+        FROM walk WHERE pos = 0
+    ), {bpe_body}
+    , bpe AS (
+        SELECT count(*) AS n_words, sum(n) AS n_occ,
+               sum(len(str_split(substr(s, 2, length(s) - 2), '][')) * n)
+                   AS pieces,
+               sum(length(w) * n) AS chars
+        FROM words{_BPE_N_MERGES}
+    )
+    SELECT * FROM (
+        SELECT 'bpe' AS tokenizer,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_occ AS BIGINT) AS n_occurrences,
+               CAST(pieces AS BIGINT) AS total_pieces,
+               round(CAST(pieces AS DOUBLE) / CAST(n_occ AS DOUBLE), 6)
+                   AS pieces_per_word,
+               round(CAST(chars AS DOUBLE) / CAST(pieces AS DOUBLE), 6)
+                   AS chars_per_piece
+        FROM bpe
+        UNION ALL
+        SELECT 'unigram',
+               CAST(n_words AS BIGINT), CAST(n_occ AS BIGINT),
+               CAST(pieces AS BIGINT),
+               round(CAST(pieces AS DOUBLE) / CAST(n_occ AS DOUBLE), 6),
+               round(CAST(chars AS DOUBLE) / CAST(pieces AS DOUBLE), 6)
+        FROM uni
+    )
+    """
+
+
+@register("tokenizer_compression_report", oracle=_compression_oracle())
+def tokenizer_compression_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HEAD-TO-HEAD tokenizer evaluation: the two in-engine-trained
+    tokenizers (BPE merge table, unigram-LM piece table) applied to
+    their word-frequency tables and reduced to the numbers a
+    tokenizer-selection decision actually uses — corpus-weighted
+    pieces per word (sequence-length cost) and characters per piece
+    (vocabulary efficiency). Composes BOTH training chains in one
+    contract: the oracle nests the unrolled BPE merge CTEs and the
+    recursive unigram EM + Viterbi CTEs in a single statement, so the
+    report is hash-checked end-to-end through both trainers.
+
+    The two eligible word sets differ by design (BPE trains on all
+    [a-z0-9]+ words, unigram caps length at {lmax}), so each row
+    reports its own denominator — the comparison is per-tokenizer
+    efficiency, not a same-set ratio.
+
+    Scale: both inputs are vocabulary-bounded tables (the trainers'
+    state), so the report adds two tiny aggregates on top of shared
+    training chains."""
+    from text_grabr_orc_spark.operators.curation import _bpe_chain
+
+    # unigram side: Viterbi segmentation statistics
+    vt = _viterbi_table(spark, sf_dir).select(
+        "w", "n", F.size("wk.segs").alias("np")
+    )
+    uni = vt.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n").alias("n_occ"),
+        F.sum(F.col("np") * F.col("n")).alias("pieces"),
+        F.sum(F.length("w") * F.col("n")).alias("chars"),
+    )
+    # BPE side: final merged symbol table
+    _, cur = _bpe_chain(spark, sf_dir)
+    n_sym = F.size(
+        F.split(F.expr("substr(s, 2, length(s) - 2)"), r"\]\[")
+    )
+    bpe = cur.select("w", "n", n_sym.alias("np")).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n").alias("n_occ"),
+        F.sum(F.col("np") * F.col("n")).alias("pieces"),
+        F.sum(F.length("w") * F.col("n")).alias("chars"),
+    )
+
+    def row(tag: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(tag).alias("tokenizer"),
+            F.col("n_words").cast("bigint"),
+            F.col("n_occ").cast("bigint").alias("n_occurrences"),
+            F.col("pieces").cast("bigint").alias("total_pieces"),
+            F.round(
+                F.col("pieces").cast("double") / F.col("n_occ").cast("double"),
+                6,
+            ).alias("pieces_per_word"),
+            F.round(
+                F.col("chars").cast("double") / F.col("pieces").cast("double"),
+                6,
+            ).alias("chars_per_piece"),
+        )
+
+    return row("bpe", bpe).unionAll(row("unigram", uni))
+
+
+tokenizer_compression_report.__doc__ = (
+    tokenizer_compression_report.__doc__.format(lmax=_UNI_LMAX)
+)
