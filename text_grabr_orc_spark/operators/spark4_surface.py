@@ -531,3 +531,129 @@ def sql_variables_param_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "O"},
     )
+
+
+# ---------------------------------------------------------------------------
+# Python STREAMING DataSource (SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+#: rows emitted per micro-batch by the streaming sequence source.
+_SEQ_STREAM_STEP = 128
+
+
+def _make_sequence_stream_source():
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _SeqStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked finite arithmetic stream: each micro-batch
+        advances the offset by STEP until n rows have been emitted,
+        after which read() reports no progress (same offset back) —
+        which is what lets processAllAvailable() detect catch-up.
+        readBetweenOffsets replays any committed range exactly, the
+        contract that makes recovery exactly-once."""
+
+        def __init__(self, options):
+            self.n = int(options.get("n", _SEQ_ROWS))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def _rows(self, lo, hi):
+            return iter(
+                [(x, x % 7, (x * 3) % 1000 / 8.0) for x in range(lo, hi)]
+            )
+
+        def read(self, start):
+            lo = int(start["pos"])
+            hi = min(lo + _SEQ_STREAM_STEP, self.n)
+            return (self._rows(lo, hi), {"pos": hi})
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(int(start["pos"]), int(end["pos"]))
+
+    class SequenceStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "tgos_sequence_stream"
+
+        def schema(self):
+            return "id bigint, bucket int, val double"
+
+        def simpleStreamReader(self, schema):
+            return _SeqStreamReader(self.options)
+
+    return SequenceStreamSource
+
+
+@register(
+    "python_datasource_stream",
+    oracle=f"""
+    SELECT CAST(x % 7 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(sum(x), -1) AS BIGINT) AS sum_id,
+           round(sum((x * 3) % 1000 / 8.0), 6) AS sum_val
+    FROM (SELECT unnest(range({_SEQ_ROWS}))::BIGINT AS x)
+    GROUP BY bucket
+    """,
+)
+def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python STREAMING DataSource surface (Spark 4's
+    SimpleDataSourceStreamReader): the custom-connector extension
+    point for streams — driver-side offset management (initialOffset
+    / read / readBetweenOffsets), micro-batch chunking, exactly-once
+    replay of committed ranges. The source streams the same
+    deterministic arithmetic table as the batch connector next door,
+    in {step}-row micro-batches into an append-mode memory sink; the
+    oracle replicates the full table from range(), so a hash match
+    proves no batch was lost, duplicated, or re-chunked wrongly
+    across the offset log.
+
+    Scale note: the simple reader API reads on the DRIVER (prototype
+    connectors, control planes); the partitioned streamReader API
+    hands splits to executors for data-plane volumes — the batch
+    sibling demonstrates that planning half."""
+    import os
+    import tempfile
+    import time
+
+    src = _make_sequence_stream_source()
+    try:
+        spark.dataSource.register(src)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.readStream.format("tgos_sequence_stream")
+        .option("n", str(_SEQ_ROWS))
+        .load()
+    )
+    name = f"tgos_seqstream_{int(time.time() * 1000) % 10**9}"
+    cp = tempfile.mkdtemp(prefix="tgos_seqstream_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(cp, "cp"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table(name).count() >= _SEQ_ROWS:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("id"), F.lit(-1)).cast("bigint").alias("sum_id"),
+        F.round(F.sum("val"), 6).alias("sum_val"),
+    )
+
+
+python_datasource_stream.__doc__ = python_datasource_stream.__doc__.format(
+    step=_SEQ_STREAM_STEP
+)
