@@ -898,7 +898,7 @@ def streaming_histogram_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _histogram_p90_update_run(
-    spark: SparkSession, sf_dir: str, n_files: int = 16
+    spark: SparkSession, sf_dir: str, n_files: int = 8
 ) -> tuple[DataFrame, list[int]]:
     """Core of streaming_histogram_p90_update, returning the result
     plus the per-batch state-store row counts so the state-bound test
@@ -940,7 +940,7 @@ def streaming_histogram_p90_update(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The LIVE-TRIGGER deployment shape of the streamed histogram
-    quantile sketch: UPDATE output mode over a 16-file time-ordered
+    quantile sketch: UPDATE output mode over an 8-file time-ordered
     replay (maxFilesPerTrigger=1), where the 10-minute watermark
     EVICTS closed hour windows from the state store — per-batch state
     is capped at open_windows x #types x 256 counters regardless of
@@ -1107,7 +1107,7 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_update_run(
-    spark: SparkSession, sf_dir: str, n_files: int = 16
+    spark: SparkSession, sf_dir: str, n_files: int = 8
 ) -> tuple[DataFrame, list[int]]:
     """Core of streaming_cms_heavy_hitters_update; returns (result,
     per-batch state rows) so the state-bound test runs against the
@@ -1133,7 +1133,7 @@ def streaming_cms_heavy_hitters_update(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The LIVE-TRIGGER deployment shape of the streamed count-min
-    sketch: UPDATE output mode over a 16-file time-ordered replay
+    sketch: UPDATE output mode over an 8-file time-ordered replay
     where the 10-minute watermark EVICTS closed hour windows — state
     is capped at open_windows x d x w cells no matter how long the
     stream runs (bound asserted in tests/test_streaming.py against
