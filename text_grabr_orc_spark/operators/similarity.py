@@ -1896,3 +1896,201 @@ def similarity_index_persisted(
             F.col("rk").cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine PCA: distributed covariance + unrolled power iteration
+# ---------------------------------------------------------------------------
+
+#: embedding dimensionality of the fixture corpus.
+_PCA_D = 64
+#: power-iteration rounds (top-eigenvector estimate).
+_PCA_ITERS = 2
+
+
+def _pca_oracle() -> str:
+    """Covariance + power iteration unrolled as CTE layers, locked to
+    the Spark loop with the PageRank quantization device: every
+    cross-row float sum quantizes its addends to DECIMAL first
+    (order-free exact aggregation), every normalized vector re-rounds
+    to DECIMAL(18,9) so each layer's input state is identical bits on
+    both engines."""
+    n_expr = "(SELECT count(*) FROM embeddings)"
+    layers = [f"""
+    , v0 AS MATERIALIZED (
+        SELECT i, CAST(round(1.0 / sqrt({_PCA_D}), 9) AS DECIMAL(18,9)) AS v
+        FROM dims
+    )"""]
+    for t in range(1, _PCA_ITERS + 1):
+        layers.append(f"""
+    , u{t} AS MATERIALIZED (
+        SELECT cov.i,
+               CAST(sum(CAST(round(cov.v * CAST(p.v AS DOUBLE), 12)
+                             AS DECIMAL(26,12))) AS DOUBLE) AS u
+        FROM cov JOIN v{t - 1} p ON p.i = cov.j
+        GROUP BY 1
+    ), n{t} AS MATERIALIZED (
+        SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(26,12)))
+                    AS DOUBLE)) AS nm
+        FROM u{t}
+    ), v{t} AS MATERIALIZED (
+        SELECT i, CAST(round(u / (SELECT nm FROM n{t}), 9)
+                       AS DECIMAL(18,9)) AS v
+        FROM u{t}
+    )""")
+    return f"""
+    WITH dims AS MATERIALIZED (
+        SELECT unnest(range(1, {_PCA_D + 1}))::INT AS i
+    ), x AS MATERIALIZED (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi
+        FROM embeddings, dims
+    ), m AS MATERIALIZED (
+        SELECT i,
+               CAST(sum(CAST(round(xi, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                   / {n_expr} AS mi
+        FROM x GROUP BY i
+    ), c AS MATERIALIZED (
+        SELECT x.vec_id, x.i, x.xi - m.mi AS ci
+        FROM x JOIN m USING (i)
+    ), cov AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               CAST(sum(CAST(round(a.ci * b.ci, 12) AS DECIMAL(26,12)))
+                    AS DOUBLE) / ({n_expr} - 1) AS v
+        FROM c a JOIN c b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2
+    ){"".join(layers)}
+    , tr AS MATERIALIZED (
+        SELECT CAST(sum(CAST(round(v, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                   AS tr
+        FROM cov WHERE i = j
+    )
+    SELECT CAST(i AS BIGINT) AS dim,
+           CAST(v AS DOUBLE) AS loading,
+           round((SELECT nm FROM n{_PCA_ITERS}), 6) AS eigenvalue,
+           round((SELECT nm FROM n{_PCA_ITERS}) / (SELECT tr FROM tr), 6)
+               AS explained
+    FROM v{_PCA_ITERS}
+    """
+
+
+@register("embedding_pca_power", oracle=_pca_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine PCA: the top principal direction of the embedding
+    corpus by distributed covariance + {iters} power-iteration rounds
+    — the linear-algebra primitive behind embedding whitening, drift
+    monitoring, and dead-dimension detection in a training pipeline.
+
+    The distributed part is the covariance: a D^2-bounded aggregate
+    (every (vec, i, j) product partial-combines map-side into 64x64 =
+    4096 cells — the ONE corpus-sized pass; at 100 TB this is the
+    textbook scalable-PCA shape, with the iteration itself running on
+    the dimension-bounded 4096-row table, broadcast-joined per round,
+    no driver linear algebra at all).
+
+    Cross-engine float discipline is the PageRank device: per-row
+    products quantize to DECIMAL before every cross-row sum (exact,
+    order-free), normalized vectors re-quantize to DECIMAL(18,9) per
+    round, norms/divisions are single IEEE ops on identical inputs —
+    the oracle unrolls the same iteration as CTE layers and the
+    learned direction is hash-checked bit-for-bit. Output: per
+    dimension the eigenvector loading, plus the eigenvalue (final
+    iterate norm) and the explained-variance ratio against the
+    covariance trace."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # scalar agg: corpus row count (drives divisors)
+    dims = spark.range(1, _PCA_D + 1).select(F.col("id").cast("int").alias("i"))
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "xi"
+        ),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "xi")
+    m = x.groupBy("i").agg(
+        (
+            F.sum(F.round("xi", 9).cast("decimal(18,9)")).cast("double")
+            / F.lit(n)
+        ).alias("mi")
+    )
+    c = x.join(F.broadcast(m), "i").select(
+        "vec_id", "i", (F.col("xi") - F.col("mi")).alias("ci")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    cov = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("a.ci") * F.col("b.ci"), 12).cast(
+                        "decimal(26,12)"
+                    )
+                ).cast("double")
+                / F.lit(float(n - 1))
+            ).alias("v")
+        )
+    ).localCheckpoint()  # 4096 rows; every iteration reads it
+    v = dims.select(
+        "i",
+        F.round(F.lit(1.0) / F.sqrt(F.lit(float(_PCA_D))), 9)
+        .cast("decimal(18,9)")
+        .alias("v"),
+    )
+    nm_col = None
+    for _ in range(_PCA_ITERS):
+        u = (
+            cov.join(
+                F.broadcast(
+                    v.select(
+                        F.col("i").alias("j"), F.col("v").alias("pv")
+                    )
+                ),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("v") * F.col("pv").cast("double"), 12
+                    ).cast("decimal(26,12)")
+                )
+                .cast("double")
+                .alias("u")
+            )
+        )
+        nm = u.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("u") * F.col("u"), 12).cast(
+                        "decimal(26,12)"
+                    )
+                ).cast("double")
+            ).alias("nm")
+        )
+        v = (
+            u.crossJoin(F.broadcast(nm))
+            .select(
+                "i",
+                F.round(F.col("u") / F.col("nm"), 9)
+                .cast("decimal(18,9)")
+                .alias("v"),
+            )
+        )
+        nm_col = nm
+    tr = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum(F.round("v", 9).cast("decimal(18,9)")).cast("double").alias("tr")
+    )
+    return (
+        v.crossJoin(F.broadcast(nm_col))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("i").cast("bigint").alias("dim"),
+            F.col("v").cast("double").alias("loading"),
+            F.round("nm", 6).alias("eigenvalue"),
+            F.round(F.col("nm") / F.col("tr"), 6).alias("explained"),
+        )
+    )
+
+
+embedding_pca_power.__doc__ = embedding_pca_power.__doc__.format(
+    iters=_PCA_ITERS
+)
