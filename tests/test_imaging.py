@@ -144,6 +144,38 @@ def test_glyph_font_unambiguous_and_roundtrips():
         assert recognize(render_text(msg, scale=s)) == msg
 
 
+def test_glyph_roundtrip_property():
+    """Property: ANY text over the font alphabet round-trips through
+    render -> recognize at any scale — recognition is total and exact
+    on clean renders, not fitted to specific fixtures."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from text_grabr_orc_spark.imaging.glyph_ocr import (
+        GLYPHS,
+        recognize,
+        render_text,
+    )
+
+    alphabet = sorted(GLYPHS)
+    words = st.text(alphabet=alphabet, min_size=1, max_size=6)
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        ws=st.lists(words, min_size=1, max_size=4),
+        scale=st.integers(min_value=1, max_value=6),
+    )
+    def check(ws, scale):
+        msg = " ".join(ws)
+        assert recognize(render_text(msg, scale=scale)) == msg
+
+    check()
+
+
 def test_glyph_pipeline_reads_real_text(spark, tmp_path):
     """The FULL reference chain with the glyph engine: PNG on disk ->
     binaryFile -> decode -> grayscale -> binarize(128) -> template

@@ -2241,3 +2241,102 @@ def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_span_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+#: synchronous label-propagation rounds.
+_LP_ROUNDS = 2
+
+
+def _label_prop_oracle() -> str:
+    """Unrolled synchronous label propagation: each round every node
+    adopts the most frequent label among its neighbors (ties -> the
+    SMALLEST label), isolated-by-round nodes keep their label. All
+    state is integer (labels are node ids, votes are counts), so the
+    layers match Spark bit-for-bit with no quantization device."""
+    layers = ["""
+    l0 AS MATERIALIZED (SELECT s AS node_id, s AS lbl FROM e GROUP BY s)
+    """]
+    for t in range(_LP_ROUNDS):
+        layers.append(f"""
+    l{t + 1} AS MATERIALIZED (
+        SELECT v.node_id, v.lbl FROM (
+            SELECT e.s AS node_id, p.lbl,
+                   row_number() OVER (
+                       PARTITION BY e.s
+                       ORDER BY count(*) DESC, p.lbl
+                   ) AS rk
+            FROM e JOIN l{t} p ON p.node_id = e.d
+            GROUP BY e.s, p.lbl
+        ) v WHERE v.rk = 1
+    )""")
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), p AS ({_CC_PAIRS_ORACLE}
+    ), e AS (
+        SELECT vec_a AS s, vec_b AS d FROM p
+        UNION
+        SELECT vec_b, vec_a FROM p
+    ), {",".join(layers)}
+    SELECT node_id, CAST(lbl AS BIGINT) AS community
+    FROM l{_LP_ROUNDS}
+    """
+
+
+@register("graph_label_propagation", oracle=_label_prop_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan 2007,
+    public) over the near-dup pair graph — {rounds} rounds: every
+    node adopts the most frequent label among its neighbors, ties to
+    the smallest label. A DIFFERENT fixpoint from connected
+    components (CC merges everything reachable; label propagation
+    stops at locally-dominant labels, splitting weakly-bridged
+    template families) — which is why curation stacks run both.
+
+    All state is integer (labels are node ids, votes are counts), so
+    Spark and the unrolled oracle agree exactly with no float
+    discipline needed. The per-round argmax is max_by over a
+    (count, -label) struct — a partial-aggregable argmax, NOT a
+    ranking window, so each round is one edge-keyed join + one
+    aggregate, the Pregel-skeleton shape shared with PageRank; state
+    localCheckpoints per round to keep lineage flat. Edge count is
+    bounded by duplicate mass, not corpus size."""
+    pairs = _gemm_pairs_cached(spark, sf_dir)
+    e = pairs.selectExpr("vec_a AS s", "vec_b AS d").unionAll(
+        pairs.selectExpr("vec_b AS s", "vec_a AS d")
+    ).distinct()
+    labels = (
+        e.select(F.col("s").alias("node_id"))
+        .distinct()
+        .select("node_id", F.col("node_id").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            e.join(
+                labels.select(F.col("node_id").alias("d"), "lbl"), "d"
+            )
+            .groupBy(F.col("s").alias("node_id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("node_id")
+            .agg(
+                F.max_by(
+                    "lbl",
+                    F.struct(F.col("c"), (-F.col("lbl")).alias("tb")),
+                ).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node_id", F.col("lbl").cast("bigint").alias("community"))
+
+
+graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
+    rounds=_LP_ROUNDS
+)
