@@ -159,7 +159,9 @@ def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
     return df.sparkSession.table(name)
 
 
-def run_update_to_parquet(df: DataFrame) -> tuple[DataFrame, list[int]]:
+def run_update_to_parquet(
+    df: DataFrame, state_partitions: int = 8
+) -> tuple[DataFrame, list[int]]:
     """Execute a streaming aggregate in UPDATE output mode with
     AvailableNow: each micro-batch's update rows land in a parquet
     sink partitioned by batch id with dynamic partition overwrite
@@ -174,18 +176,32 @@ def run_update_to_parquet(df: DataFrame) -> tuple[DataFrame, list[int]]:
     is ASSEMBLED from update rows — for each key, the last batch to
     touch it emitted its final cumulative value, so max_by(batch_id)
     reconstructs the complete result without ever holding it in
-    state."""
+    state.
+
+    ``state_partitions`` sizes the state store: a stateful query
+    freezes ``spark.sql.shuffle.partitions`` into its checkpoint at
+    the first batch, so this is the one knob a streaming deployment
+    MUST size to its keyspace up front (it cannot be changed on
+    restart without rebuilding state). Sketch-bounded state here is
+    a few thousand cells, so 8 stores beat the batch-tuned 32 — at a
+    larger keyspace a deployment raises it BEFORE first start. The
+    conf is set for the duration of the (blocking) run and restored;
+    each batch's update rows are likewise sketch-sized, so the sink
+    coalesces to one file per batch instead of one per shuffle task."""
     spark = df.sparkSession
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     prev_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     out_dir = tempfile.mkdtemp(prefix="tgos_updsink_")
     data_dir = os.path.join(out_dir, "data")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            batch_df.coalesce(1)
+            .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
             .partitionBy("batch_id")
             .parquet(data_dir)
@@ -208,6 +224,7 @@ def run_update_to_parquet(df: DataFrame) -> tuple[DataFrame, list[int]]:
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_pom)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return spark.read.parquet(data_dir), state_rows
 
 
