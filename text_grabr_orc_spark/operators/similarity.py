@@ -2094,3 +2094,104 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_pca_power.__doc__ = embedding_pca_power.__doc__.format(
     iters=_PCA_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination
+# ---------------------------------------------------------------------------
+
+#: held-out benchmark slice: vec_id % MOD == 0 — the same slicing
+#: convention as the n-gram decontamination family (curation.py
+#: _DECON_MOD), so the two checks audit the same eval set.
+_SEM_DECON_MOD = 23
+_SEM_DECON_THRESH = 0.4
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), bench AS (
+        SELECT vec_id AS bench_id, e AS be FROM v
+        WHERE vec_id % {_SEM_DECON_MOD} = 0
+    ), corp AS (
+        SELECT vec_id, e FROM v WHERE vec_id % {_SEM_DECON_MOD} <> 0
+    ), scored AS (
+        SELECT c.vec_id, b.bench_id,
+               {_DK_COS.format(a="c.e", b="b.be")} AS cos,
+               row_number() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_DK_COS.format(a="c.e", b="b.be")} DESC, b.bench_id
+               ) AS rk
+        FROM corp c CROSS JOIN bench b
+    )
+    SELECT vec_id, bench_id, round(cos, 6) AS cosine
+    FROM scored WHERE rk = 1 AND cos >= {_SEM_DECON_THRESH}
+    """,
+)
+def decontaminate_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = _SEM_DECON_THRESH,
+    mod: int = _SEM_DECON_MOD,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus vectors
+    whose nearest held-out-benchmark vector (vec_id % {mod} == 0, the
+    same slice convention as ``decontaminate_ngram_overlap``) has
+    cosine >= {thr} — the semantic complement of the n-gram check,
+    catching paraphrased eval leakage that shares no 4-gram with the
+    benchmark (the reason modern pretraining decontamination runs BOTH
+    filters).
+
+    Output: one row per contaminated corpus vector with the argmax
+    benchmark id (ties: higher cosine, then smaller bench_id) and the
+    cosine, so the flag is auditable back to the specific eval item.
+
+    Scale: eval benchmarks are tiny next to a 100 TB corpus, so the
+    benchmark side is BROADCAST and the check is one map-side pass
+    over the corpus — no shuffle of corpus vectors at all; the argmax
+    is a max_by partial aggregate (each corpus row's candidates are
+    produced contiguously by the broadcast nested loop and collapse
+    map-side to one row). Norms are precomputed per row, not per pair.
+    Cross-engine determinism is the IVF-assign device: identical
+    double arithmetic on both engines, max_by over
+    struct(cos, -bench_id) == the oracle's ORDER BY cos DESC,
+    bench_id ASC."""
+    emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
+    bench = F.broadcast(
+        emb.filter(F.col("vec_id") % mod == 0).select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("e").alias("be"),
+            F.col("n").alias("bn"),
+        )
+    )
+    corp = emb.filter(F.col("vec_id") % mod != 0)
+    cos = cosine_from_parts(
+        dot(F.col("e"), F.col("be")), F.col("n"), F.col("bn")
+    )
+    best = (
+        corp.crossJoin(bench)
+        .select("vec_id", "bench_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("bench_id", "cos"),
+                F.struct(F.col("cos"), (-F.col("bench_id")).alias("tb")),
+            ).alias("best")
+        )
+    )
+    return (
+        best.filter(F.col("best.cos") >= threshold)
+        .select(
+            "vec_id",
+            F.col("best.bench_id").alias("bench_id"),
+            F.round("best.cos", 6).alias("cosine"),
+        )
+    )
+
+
+decontaminate_semantic.__doc__ = decontaminate_semantic.__doc__.format(
+    mod=_SEM_DECON_MOD, thr=_SEM_DECON_THRESH
+)
