@@ -385,3 +385,34 @@ def test_knn_graph_covers_all_vectors_with_measured_recall(spark, sf_dir):
     recall = hits / tot
     assert recall > 0.2, recall
     assert recall > 10 * (similarity._KNN_K / (n - 1))
+
+
+def test_semantic_decontamination_matches_numpy(spark, sf_dir):
+    """Flagged set and per-vector argmax benchmark id must equal a
+    numpy brute-force max-cosine over the benchmark slice (tie-break
+    lowest bench_id), and the broadcast plan must hold: benchmark side
+    broadcast, no Python stage."""
+    df = similarity.decontaminate_semantic(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_python(df)
+    rows = {r["vec_id"]: r for r in df.collect()}
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.asarray(t["vec_id"])
+    m = np.asarray([np.asarray(v, np.float64) for v in t["embedding"]])
+    norms = np.linalg.norm(m, axis=1)
+    is_bench = ids % similarity._SEM_DECON_MOD == 0
+    bids, bm, bn = ids[is_bench], m[is_bench], norms[is_bench]
+    flagged = 0
+    for i in np.nonzero(~is_bench)[0]:
+        cos = (bm @ m[i]) / (bn * norms[i])
+        order = np.lexsort((bids, -np.round(cos, 12)))
+        best = order[0]
+        if cos[best] >= similarity._SEM_DECON_THRESH:
+            flagged += 1
+            r = rows[int(ids[i])]
+            assert r["bench_id"] == int(bids[best])
+            assert abs(r["cosine"] - round(float(cos[best]), 6)) < 2e-6
+        else:
+            assert int(ids[i]) not in rows
+    assert flagged == len(rows) and flagged > 0
