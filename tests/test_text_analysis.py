@@ -359,3 +359,36 @@ def test_doc_keywords_prefer_rare_terms(spark, sf_dir):
         assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
         scores = [s for _, s in lst]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
+    """RRF invariants: dense ranks, every row's rrf equals
+    1/(60+lex_rk) + 1/(60+dense_rk) with absent legs contributing 0;
+    the BM25 top hit (rank 1 in the lexical leg, dense seed) leads the
+    fused list; at least one fused row came from the dense leg only
+    (lex_rk == 0) — otherwise the fusion added nothing over BM25. The
+    dense top-k must compile to a distributed top-k
+    (TakeOrderedAndProject), never a corpus-wide window sort."""
+    from text_grabr_orc_spark.operators.text_analysis import (
+        _RRF_K,
+        _RRF_TOPN,
+        search_bm25_topk,
+        search_hybrid_rrf,
+    )
+
+    df = search_hybrid_rrf(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = sorted(df.collect(), key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, _RRF_TOPN + 1))
+    for r in rows:
+        exp = (1.0 / (_RRF_K + r.lex_rk) if r.lex_rk else 0.0) + (
+            1.0 / (_RRF_K + r.dense_rk) if r.dense_rk else 0.0
+        )
+        assert abs(r.rrf - round(exp, 6)) < 2e-6
+    assert all(a.rrf >= b.rrf for a, b in zip(rows, rows[1:]))
+    seed = next(
+        r.doc_id for r in search_bm25_topk(spark, sf_dir).collect() if r.rk == 1
+    )
+    assert rows[0].doc_id == seed and rows[0].lex_rk == 1
+    assert any(r.lex_rk == 0 and r.dense_rk > 0 for r in rows)

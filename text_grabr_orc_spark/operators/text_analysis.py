@@ -1416,3 +1416,142 @@ def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 doc_keywords_tfidf.__doc__ = doc_keywords_tfidf.__doc__.format(k=_KW_K)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical + dense fused with Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF smoothing constant (Cormack et al. 2009)
+_RRF_DENSE_N = 20  # dense-leg candidate depth (= the BM25 leg's top-N)
+_RRF_TOPN = 10
+
+
+def _hybrid_rrf_oracle() -> str:
+    from text_grabr_orc_spark.operators.similarity import _DK_COS
+    from text_grabr_orc_spark.registry import ORACLES
+
+    bm = ORACLES["search_bm25_topk"]
+    cos = _DK_COS.format(a="v.e", b="s.se")
+    return f"""
+    WITH bm AS (
+        SELECT * FROM ({bm})
+    ), v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), s AS (
+        SELECT bm.doc_id AS seed_id, v.e AS se
+        FROM bm JOIN v ON v.vec_id = bm.doc_id WHERE bm.rk = 1
+    ), dense AS (
+        SELECT doc_id, drk FROM (
+            SELECT v.vec_id AS doc_id,
+                   row_number() OVER (ORDER BY {cos} DESC, v.vec_id) AS drk
+            FROM v CROSS JOIN s WHERE v.vec_id <> s.seed_id
+        ) WHERE drk <= {_RRF_DENSE_N}
+    ), fused AS (
+        SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               COALESCE(l.rk, 0) AS lex_rk,
+               COALESCE(d.drk, 0) AS dense_rk,
+               COALESCE(1.0 / ({_RRF_K} + l.rk), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + d.drk), 0.0) AS rrf
+        FROM bm l FULL OUTER JOIN dense d ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, CAST(lex_rk AS BIGINT) AS lex_rk,
+           CAST(dense_rk AS BIGINT) AS dense_rk,
+           round(rrf, 6) AS rrf, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
+        FROM fused
+    ) WHERE rk <= {_RRF_TOPN}
+    """
+
+
+@register("search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical ranking and a dense
+    embedding ranking fused with Reciprocal Rank Fusion
+    (score = sum_legs 1/({k} + rank), Cormack et al. 2009 — the
+    standard production fusion because it needs no score calibration
+    between legs). The dense leg is pseudo-relevance feedback: the
+    top BM25 hit seeds a cosine neighbor ranking over the document
+    embeddings (doc_id == vec_id; the seed itself is excluded as
+    degenerate), so the fused list surfaces documents that are
+    semantically close to the best lexical hit even when they share
+    no query term. Absent-leg ranks are emitted as 0, not NULL — a
+    nullable BIGINT round-trips pandas as float64 on both engines,
+    which would weaken the driver's dtype check.
+
+    Composition: the lexical leg IS the registered ``search_bm25_topk``
+    (the oracle nests its SQL verbatim), so retrieval and fusion can
+    never drift. Determinism: 1/(k+rank) on integer ranks is a single
+    IEEE division, the two-term sum is fixed-order, ties break on
+    doc_id.
+
+    Scale: both legs end k-bounded BEFORE fusion — BM25 is a DAAT
+    postings scatter-gather, the dense leg is one broadcast-seed
+    corpus scan ranked by TakeOrderedAndProject (distributed top-k,
+    never a global window); at 100 TB the dense leg would probe an
+    ANN index (``similarity_topk_ivf``) instead, same contract. The
+    fusion itself joins two <= {n}-row sets — noise."""
+    from text_grabr_orc_spark.functions.vectors import (
+        cosine_from_parts,
+        dot,
+        l2_norm,
+        to_double_array,
+    )
+
+    bm = search_bm25_topk(spark, sf_dir)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", to_double_array("embedding").alias("e"))
+        .withColumn("n", l2_norm(F.col("e")))
+    )
+    seed = F.broadcast(
+        bm.filter(F.col("rk") == 1)
+        .select(F.col("doc_id").alias("seed_id"))
+        .join(emb, F.col("vec_id") == F.col("seed_id"))
+        .select("seed_id", F.col("e").alias("se"), F.col("n").alias("sn"))
+    )
+    cos = cosine_from_parts(dot(F.col("e"), F.col("se")), F.col("n"), F.col("sn"))
+    dense = (
+        emb.crossJoin(seed)
+        .filter(F.col("vec_id") != F.col("seed_id"))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(_RRF_DENSE_N)
+    )
+    dw = bounded_window("doc_id", F.col("cos").desc(), "doc_id")
+    dense = dense.withColumn("drk", F.row_number().over(dw)).select(
+        "doc_id", "drk"
+    )
+    lex = bm.select("doc_id", F.col("rk").alias("lrk"))
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lrk", F.lit(0)).alias("lex_rk"),
+            F.coalesce("drk", F.lit(0)).alias("dense_rk"),
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("lrk")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("drk")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    fw = bounded_window("doc_id", F.col("rrf").desc(), "doc_id")
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_TOPN)
+        .withColumn("rk", F.row_number().over(fw))
+        .select(
+            F.col("doc_id"),
+            F.col("lex_rk").cast("bigint"),
+            F.col("dense_rk").cast("bigint"),
+            F.round("rrf", 6).alias("rrf"),
+            F.col("rk").cast("bigint"),
+        )
+    )
+
+
+search_hybrid_rrf.__doc__ = search_hybrid_rrf.__doc__.format(
+    k=_RRF_K, n=_RRF_DENSE_N
+)
