@@ -416,3 +416,44 @@ def test_semantic_decontamination_matches_numpy(spark, sf_dir):
         else:
             assert int(ids[i]) not in rows
     assert flagged == len(rows) and flagged > 0
+
+
+def test_mmr_matches_python_greedy_reference(spark, sf_dir):
+    """The unrolled-DataFrame MMR must equal an independent pure-Python
+    greedy MMR over numpy cosines (pool ranking, per-step scores, and
+    tie-breaks), and pick 1 must be the pool's relevance argmax."""
+    rows = sorted(
+        similarity.mmr_diversified_topk(spark, sf_dir).collect(),
+        key=lambda r: r["pick"],
+    )
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.asarray(t["vec_id"])
+    m = np.asarray([np.asarray(v, np.float64) for v in t["embedding"]])
+    n = np.linalg.norm(m, axis=1)
+    qi = int(np.nonzero(ids == similarity._MMR_QUERY_ID)[0][0])
+    rel = (m @ m[qi]) / (n * n[qi])
+    order = np.lexsort((ids, -np.round(rel, 12)))
+    pool = [i for i in order if int(ids[i]) != similarity._MMR_QUERY_ID][
+        : similarity._MMR_POOL
+    ]
+    lam = similarity._MMR_LAMBDA
+    sel: list[int] = []
+    for step, r in enumerate(rows, start=1):
+        best = None
+        for i in pool:
+            if i in sel:
+                continue
+            ms = max(
+                float((m[i] @ m[j]) / (n[i] * n[j])) for j in sel
+            ) if sel else None
+            score = lam * rel[i] - (1 - lam) * ms if sel else lam * rel[i]
+            key = (-score, int(ids[i]))
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        _, bi, bscore = best
+        assert r["pick"] == step
+        assert r["vec_id"] == int(ids[bi])
+        assert abs(r["mmr"] - round(float(bscore), 6)) < 2e-6
+        assert abs(r["rel"] - round(float(rel[bi]), 6)) < 2e-6
+        sel.append(bi)
+    assert len(set(r["vec_id"] for r in rows)) == similarity._MMR_K

@@ -2195,3 +2195,161 @@ def decontaminate_semantic(
 decontaminate_semantic.__doc__ = decontaminate_semantic.__doc__.format(
     mod=_SEM_DECON_MOD, thr=_SEM_DECON_THRESH
 )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+_MMR_QUERY_ID = 0  # probe vector
+_MMR_POOL = 12  # candidate pool depth (k-bounded before any rerank math)
+_MMR_K = 4  # diversified picks
+_MMR_LAMBDA = 0.5
+
+
+def _mmr_oracle() -> str:
+    cos_q = _DK_COS.format(a="v.e", b="q.e")
+    cos_p = _DK_COS.format(a="a.e", b="b.e")
+    lam = _MMR_LAMBDA
+    ctes = [
+        f"""
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), q AS (SELECT e FROM v WHERE vec_id = {_MMR_QUERY_ID}),
+    pool AS (
+        SELECT vec_id, e, rel FROM (
+            SELECT v.vec_id, v.e, {cos_q} AS rel,
+                   row_number() OVER (ORDER BY {cos_q} DESC, v.vec_id) AS prk
+            FROM v CROSS JOIN q WHERE v.vec_id <> {_MMR_QUERY_ID}
+        ) WHERE prk <= {_MMR_POOL}
+    ), pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib, {cos_p} AS s
+        FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ), s1 AS (
+        SELECT vec_id, {lam} * rel AS mmr, rel FROM pool
+        ORDER BY mmr DESC, vec_id LIMIT 1
+    )"""
+    ]
+    prev = ["s1"]
+    for t in range(2, _MMR_K + 1):
+        sel = " UNION ALL ".join(f"SELECT vec_id FROM {p}" for p in prev)
+        ctes.append(f"""
+    s{t} AS (
+        SELECT p.vec_id,
+               {lam} * p.rel - {1 - lam} * (
+                   SELECT max(s) FROM pairs
+                   WHERE ia = p.vec_id AND ib IN ({sel})
+               ) AS mmr,
+               p.rel
+        FROM pool p WHERE p.vec_id NOT IN ({sel})
+        ORDER BY mmr DESC, vec_id LIMIT 1
+    )""")
+        prev.append(f"s{t}")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS pick, vec_id, "
+        f"round(mmr, 6) AS mmr, round(rel, 6) AS rel FROM {p}"
+        for i, p in enumerate(prev)
+    )
+    return "WITH " + ",".join(ctes) + "\n" + union
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from the query's top-{pool} cosine candidate pool, pick
+    {k} results greedily maximizing
+    lambda*rel(c) - (1-lambda)*max_sim(c, selected) — the standard
+    diversity-aware rerank a RAG retrieval stage runs so the context
+    window isn't {k} copies of the same passage. Pick 1 is pure
+    relevance (no selected set yet); ties break on vec_id.
+
+    Determinism: rel and pairwise sims are the repo's sequential-sum
+    doubles (identical on both engines), each step's score is the
+    same two-op IEEE expression, and max over the selected set is
+    exact — so the greedy argmax agrees bit-for-bit with the oracle,
+    which unrolls all {k} steps as CTE layers.
+
+    Scale: the ONLY corpus-sized work is the pool construction — a
+    broadcast-query scan ranked by TakeOrderedAndProject (at 100 TB
+    the pool would come from the ANN index instead, same contract).
+    Everything after operates on the {pool}-row pool and its
+    {pool}x{pool} pair matrix, localCheckpointed once; the {k}
+    unrolled steps are map-side aggregates over those tiny frames —
+    rerank cost is independent of corpus size by construction."""
+    emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
+            F.col("e").alias("qe"), F.col("n").alias("qn")
+        )
+    )
+    rel = cosine_from_parts(dot(F.col("e"), F.col("qe")), F.col("n"), F.col("qn"))
+    pool = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != _MMR_QUERY_ID)
+        .select("vec_id", "e", "n", rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .localCheckpoint()  # 12 rows; reused by every unrolled step
+    )
+    a = pool.select(
+        F.col("vec_id").alias("ia"), F.col("e").alias("ea"), F.col("n").alias("na")
+    )
+    b = pool.select(
+        F.col("vec_id").alias("ib"), F.col("e").alias("eb"), F.col("n").alias("nb")
+    )
+    sim = cosine_from_parts(dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb"))
+    pairs = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", sim.alias("s"))
+        .localCheckpoint()  # 132 rows
+    )
+    slim = pool.select("vec_id", "rel")
+    lam = _MMR_LAMBDA
+
+    def argmax(cand: DataFrame) -> DataFrame:
+        """One greedy pick: max_by over struct(mmr, -vec_id) == the
+        oracle's ORDER BY mmr DESC, vec_id LIMIT 1."""
+        return cand.agg(
+            F.max_by(
+                F.struct("vec_id", "mmr", "rel"),
+                F.struct(F.col("mmr"), (-F.col("vec_id")).alias("tb")),
+            ).alias("p")
+        ).select("p.vec_id", "p.mmr", "p.rel")
+
+    selected = argmax(
+        slim.select("vec_id", (F.lit(lam) * F.col("rel")).alias("mmr"), "rel")
+    ).withColumn("pick", F.lit(1))
+    for t in range(2, _MMR_K + 1):
+        sel_ids = selected.select(F.col("vec_id").alias("ib"))
+        cand = (
+            slim.join(selected.select("vec_id"), "vec_id", "left_anti")
+            .join(
+                pairs.join(sel_ids, "ib")
+                .groupBy("ia")
+                .agg(F.max("s").alias("ms")),
+                F.col("vec_id") == F.col("ia"),
+            )
+            .select(
+                "vec_id",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1 - lam) * F.col("ms")
+                ).alias("mmr"),
+                "rel",
+            )
+        )
+        selected = selected.unionByName(
+            argmax(cand).withColumn("pick", F.lit(t))
+        )
+    return selected.select(
+        F.col("pick").cast("bigint"),
+        "vec_id",
+        F.round("mmr", 6).alias("mmr"),
+        F.round("rel", 6).alias("rel"),
+    )
+
+
+mmr_diversified_topk.__doc__ = mmr_diversified_topk.__doc__.format(
+    pool=_MMR_POOL, k=_MMR_K
+)
