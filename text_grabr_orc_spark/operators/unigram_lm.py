@@ -466,9 +466,16 @@ unigram_lm_train.__doc__ = unigram_lm_train.__doc__.format(
 
 def _pruned_probs(spark: SparkSession, sf_dir: str, grid: DataFrame):
     """The trained-and-pruned piece table (piece, p DECIMAL)."""
-    probs = _seed_probs(grid)
+    # each round's output is vocabulary-bounded (chars + seed multis),
+    # so localCheckpoint materializes a few hundred rows and cuts the
+    # round's lineage: without it the final plan nests every EM round
+    # under BOTH the chars and multi branches of the union below (and
+    # gp under both the forward-backward and E-step branches), and
+    # the downstream consumers (viterbi, compression report) re-nest
+    # it again — exchange reuse catches some but not all of that
+    probs = _seed_probs(grid).localCheckpoint()
     for _ in range(_UNI_ROUNDS):
-        probs = _em_round(grid, probs)
+        probs = _em_round(grid, probs).localCheckpoint()
     chars = probs.filter(F.length("piece") == 1)
     multi = (
         probs.filter(F.length("piece") > 1)
