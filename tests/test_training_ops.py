@@ -185,3 +185,31 @@ def test_longest_common_span_on_crafted_fixture(spark, tmp_path):
     }
     assert got.get((0, 1)) == 12
     assert (2, 3) not in got
+
+
+def test_cluster_split_never_straddles_clusters(spark, sf_dir):
+    """Every near-dup cluster's members share one split; singletons
+    match the per-doc Knuth-hash assignment; the whole corpus is
+    covered exactly once."""
+    from text_grabr_orc_spark.operators.dedup import dedup_clusters
+    from text_grabr_orc_spark.operators.sampling import split_by_cluster
+
+    rows = split_by_cluster(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_doc = {r["doc_id"]: r for r in rows}
+    clusters: dict[int, set[str]] = {}
+    clustered = set()
+    for c in dedup_clusters(spark, sf_dir).collect():
+        clusters.setdefault(c["cluster_id"], set()).add(
+            by_doc[c["node_id"]]["split"]
+        )
+        clustered.add(c["node_id"])
+    assert clusters and all(len(s) == 1 for s in clusters.values())
+    for r in rows:
+        if r["doc_id"] not in clustered:
+            assert r["group_id"] == r["doc_id"]
+            b = (r["doc_id"] * 2654435761 % 4294967296) % 100
+            exp = "train" if b < 80 else ("val" if b < 90 else "test")
+            assert r["split"] == exp

@@ -416,3 +416,71 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("jaccard"), 6).alias("worst_jaccard"),
         )
     )
+
+
+def _split_by_cluster_oracle() -> str:
+    from text_grabr_orc_spark.registry import ORACLES
+
+    clusters = ORACLES["dedup_clusters"]
+    return f"""
+    WITH cl AS (
+        SELECT * FROM ({clusters})
+    ), grouped AS (
+        SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN cl ON cl.node_id = d.doc_id
+    )
+    SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+           CASE
+             WHEN ((group_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+             WHEN ((group_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM grouped
+    """
+
+
+@register("split_by_cluster", oracle=_split_by_cluster_oracle())
+def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split: hash-bucket on the NEAR-DUP
+    CLUSTER id, not the document id, so an entire near-duplicate
+    cluster lands in one split — the structural fix for the
+    train/test leakage that ``split_leakage_report`` audits (a plain
+    per-doc split puts ~20% of every cluster's near-copies in val/test
+    against their train twins). Documents outside any cluster are
+    their own group, so their assignment degenerates to the standard
+    per-doc split and stays append-stable.
+
+    Composition: cluster ids come from the registered
+    ``dedup_clusters`` (connected components over the embedding
+    near-dup graph; the oracle nests its recursive-CTE SQL verbatim),
+    and the bucket is the same Knuth multiplicative hash as
+    ``split_train_val_test`` — membership stays re-derivable from the
+    group key alone.
+
+    Scale: the cluster table is a tiny fraction of the corpus (only
+    docs with at least one near-dup edge), so the LEFT join broadcasts
+    it; the split tag itself is a row-local integer expression. The
+    clustering cost is the CC loop's — paid once and shared via the
+    dedup family's pair cache."""
+    from text_grabr_orc_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    cl = dedup_clusters(spark, sf_dir).select(
+        F.col("node_id").alias("doc_id"), "cluster_id"
+    )
+    grouped = docs.select("doc_id").join(F.broadcast(cl), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("group_id"),
+    )
+    b = F.pmod(
+        F.pmod(F.col("group_id") * F.lit(2654435761), F.lit(4294967296)),
+        F.lit(100),
+    )
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return grouped.select(
+        "doc_id", F.col("group_id").cast("bigint"), split.alias("split")
+    )
