@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "chunk_semantic",
     "events_funnel_windowed",
     "similarity_index_persisted",
+    "search_hybrid_rrf",
+    "mmr_diversified_topk",
+    "decontaminate_semantic",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation
