@@ -136,12 +136,31 @@ def _fmt_instant(col: str, fmt: str):
     )
 
 
-def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    df: DataFrame, mode: str = "complete", state_partitions: int | None = 8
+) -> DataFrame:
     """Execute a streaming DataFrame with AvailableNow into a memory
-    sink; block until done; return the materialized result."""
+    sink; block until done; return the materialized result.
+
+    ``state_partitions`` sizes the state store for the run (the
+    shuffle-partition count a stateful query freezes into its
+    checkpoint at first start — see run_update_to_parquet): every
+    registered streaming query here carries sketch- or
+    window-bounded state, so 8 stores beat the batch-tuned 32; a
+    larger keyspace deployment raises it before first start. Pass
+    None to keep the session setting — required for the
+    applyInPandasWithState operators, where the state partition
+    count is ALSO the Python-worker parallelism (8 stores would
+    halve their throughput on 32 cores: measured 19.7 s -> 34.7 s
+    on the streaming MinHash query)."""
     spark = df.sparkSession
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if state_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(state_partitions)
+        )
     name = f"tgos_stream_{next(_COUNTER)}"
     checkpoint = tempfile.mkdtemp(prefix="tgos_ckpt_")
     try:
@@ -156,6 +175,7 @@ def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return df.sparkSession.table(name)
 
 
@@ -401,7 +421,9 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    final = run_to_memory(out, "update")
+    # state_partitions=None: applyInPandasWithState parallelism IS
+    # the state partition count — keep the session's core-sized value
+    final = run_to_memory(out, "update", state_partitions=None)
     # multiple micro-batches emit one row per user per batch in update
     # mode; the LAST emission per user carries the converged totals
     from pyspark.sql import Window
@@ -1295,7 +1317,10 @@ def streaming_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    cand = run_to_memory(cand_stream, "append").distinct()
+    # state_partitions=None: see streaming_stateful_user_stats
+    cand = run_to_memory(
+        cand_stream, "append", state_partitions=None
+    ).distinct()
     # exact verification on the materialized candidate set (batch)
     docs = spark.read.parquet(path).filter(F.col("text").rlike(r"(?U)\S"))
     shx = hashed_shingle_table(docs)
