@@ -639,3 +639,37 @@ def test_interleave_order_is_a_round_robin_permutation(spark, sf_dir):
         lst.sort()
         gp = [g for _, g in lst]
         assert gp == sorted(gp)
+
+
+def test_oov_rate_consistent_with_vocab(spark, sf_dir):
+    """n_oov/n_tokens arithmetic holds per row; corpus-wide token
+    totals match an independent count; a token INSIDE the vocabulary
+    is never counted OOV (checked by recomputing one source's OOV
+    count from the raw tokens and the vocab set)."""
+    from text_grabr_orc_spark.operators.curation import (
+        vocab_oov_rate_by_source,
+        vocab_top_tokens,
+    )
+    from text_grabr_orc_spark.functions.text import tokens
+
+    rows = vocab_oov_rate_by_source(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - round(r["n_oov"] / r["n_tokens"], 6)) < 1e-9
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = (
+        docs.select(F.explode(tokens("text")).alias("t")).count()
+    )
+    assert sum(r["n_tokens"] for r in rows) == total
+    vocab = {r["token"] for r in vocab_top_tokens(spark, sf_dir).collect()}
+    src = rows[0]["source"]
+    toks = [
+        t["t"].lower()
+        for t in docs.filter(F.col("source") == src)
+        .select(F.explode(tokens("text")).alias("t"))
+        .collect()
+    ]
+    exp_oov = sum(1 for t in toks if t not in vocab)
+    got = next(r for r in rows if r["source"] == src)
+    assert (got["n_tokens"], got["n_oov"]) == (len(toks), exp_oov)

@@ -2224,3 +2224,75 @@ def interleave_sources_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_pos",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary OOV coverage by source
+# ---------------------------------------------------------------------------
+
+
+def _oov_oracle() -> str:
+    from text_grabr_orc_spark.registry import ORACLES
+
+    vocab = ORACLES["vocab_top_tokens"]
+    return f"""
+    WITH vocab AS (
+        SELECT token FROM ({vocab})
+    ), tok AS (
+        SELECT d.source, lower(t.tok) AS token
+        FROM documents d, unnest({_ORACLE_TOKS}) AS t(tok)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (token)
+    GROUP BY source
+    """
+
+
+@register("vocab_oov_rate_by_source", oracle=_oov_oracle())
+def vocab_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: per source, the fraction of token
+    occurrences OUTSIDE the induced top-{k} vocabulary
+    (``vocab_top_tokens`` — the oracle nests its SQL, so vocabulary
+    and audit can never drift). A source with an outlying OOV rate is
+    either a different register/language than the vocabulary was
+    induced from or noise — the standard pre-tokenizer check before
+    committing a vocab size, and the per-source twin of the
+    compression-ratio report.
+
+    Scale: the vocabulary is broadcast (k rows); the corpus pass is
+    one explode + broadcast left-join + per-source aggregate with
+    map-side combine — no corpus-sized shuffle. The OOV flag is a
+    null-check on the join, so the hot path stays whole-stage
+    codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = F.broadcast(
+        vocab_top_tokens(spark, sf_dir).select("token", F.lit(1).alias("iv"))
+    )
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    ).select("source", F.lower("tok").alias("token"))
+    return (
+        tok.join(vocab, "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+vocab_oov_rate_by_source.__doc__ = vocab_oov_rate_by_source.__doc__.format(
+    k=_VOCAB_K
+)
