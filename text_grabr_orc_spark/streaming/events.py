@@ -1334,3 +1334,112 @@ def streaming_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "streaming_stream_stream_full_join",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts FROM events
+        WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ), wm AS (
+        SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+               - INTERVAL 1 HOUR AS w
+    ), matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id,
+               epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        FROM c JOIN p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ), unmatched_c AS (
+        -- left null side: emits once the watermark closes the
+        -- click's join window (same rule as the LEFT OUTER oracle)
+        SELECT c.click_id, CAST(-1 AS BIGINT) AS purchase_id, c.user_id,
+               epoch_us(c.ts) AS click_us, CAST(-1 AS BIGINT) AS purchase_us
+        FROM c CROSS JOIN wm
+        WHERE c.ts + INTERVAL 30 MINUTE < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+          )
+    ), unmatched_p AS (
+        -- right null side: a purchase can only match clicks with
+        -- click_ts in [purchase_ts - 30 min, purchase_ts], so its
+        -- window closes as soon as the watermark passes purchase_ts
+        SELECT CAST(-1 AS BIGINT) AS click_id, p.purchase_id, p.user_id,
+               CAST(-1 AS BIGINT) AS click_us, epoch_us(p.ts) AS purchase_us
+        FROM p CROSS JOIN wm
+        WHERE p.ts < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM c
+              WHERE c.user_id = p.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+          )
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_c
+    UNION ALL SELECT * FROM unmatched_p
+    """,
+)
+def streaming_stream_stream_full_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the
+    streaming join-mode matrix (inner / left outer registered above).
+    Matches emit immediately; EACH side's null row emits only when
+    the global watermark proves no partner can still arrive — for a
+    click that is click_ts + 30 min (its window extends forward),
+    for a purchase just purchase_ts (its window extends backward
+    only), and rows younger than that are still in state when the
+    AvailableNow run stops and never emit. The oracle models both
+    eviction rules in batch SQL, so a green hash check pins the
+    asymmetric watermark semantics, not just the join results.
+
+    Null-side ids emit as -1 (repo-wide nullable-BIGINT convention).
+
+    Scale: identical bounded-state contract to the inner/left
+    variants — per-key state holds only rows inside the watermark
+    horizon; the outer modes add deferred null-side emission flushed
+    by the no-data final micro-batch."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts_utc").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts_utc").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + interval 30 minutes
+            """
+        ),
+        "fullOuter",
+    )
+    out = run_to_memory(joined, "append")
+    return out.select(
+        F.coalesce("click_id", F.lit(-1)).cast("bigint").alias("click_id"),
+        F.coalesce("purchase_id", F.lit(-1)).cast("bigint").alias("purchase_id"),
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        F.coalesce(F.unix_micros("click_ts"), F.lit(-1)).alias("click_us"),
+        F.coalesce(F.unix_micros("purchase_ts"), F.lit(-1)).alias("purchase_us"),
+    )
