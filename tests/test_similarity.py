@@ -457,3 +457,39 @@ def test_mmr_matches_python_greedy_reference(spark, sf_dir):
         assert abs(r["rel"] - round(float(rel[bi]), 6)) < 2e-6
         sel.append(bi)
     assert len(set(r["vec_id"] for r in rows)) == similarity._MMR_K
+
+
+def test_ndcg_bounds_and_reference(spark, sf_dir):
+    """nDCG in [0, 1]; equals a numpy recomputation from the
+    registered IVF ranking and the label table (same quantization)."""
+    import math
+
+    rows = {
+        r["query_id"]: r
+        for r in similarity.retrieval_ndcg_at_k(spark, sf_dir).collect()
+    }
+    assert len(rows) == similarity._NDCG_QUERIES
+    ivf = similarity.similarity_topk_ivf(spark, sf_dir).collect()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    lab = dict(zip(t["vec_id"], t["label"]))
+    from collections import Counter
+
+    nlab = Counter(lab.values())
+    per_q: dict[int, list] = {}
+    for r in ivf:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, hits in per_q.items():
+        dcg = sum(
+            round(
+                (1 if lab[h["neighbor_id"]] == lab[qid] else 0)
+                / math.log2(h["rk"] + 1),
+                9,
+            )
+            for h in hits
+        )
+        m = min(nlab[lab[qid]] - 1, similarity._NDCG_K)
+        idcg = sum(round(1.0 / math.log2(i + 1), 9) for i in range(1, m + 1))
+        got = rows[qid]
+        assert 0.0 <= got["ndcg"] <= 1.0
+        assert abs(got["dcg"] - round(dcg, 6)) < 2e-6
+        assert abs(got["ndcg"] - round(dcg / idcg, 6)) < 2e-6

@@ -2353,3 +2353,141 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 mmr_diversified_topk.__doc__ = mmr_diversified_topk.__doc__.format(
     pool=_MMR_POOL, k=_MMR_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: nDCG@k of the registered ANN ranking
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 5  # = similarity_topk_ivf's k
+_NDCG_QUERIES = 10
+
+
+def _ndcg_oracle() -> str:
+    from text_grabr_orc_spark.registry import ORACLES
+
+    ivf = ORACLES["similarity_topk_ivf"]
+    return f"""
+    WITH r AS (
+        SELECT * FROM ({ivf})
+    ), lab AS (
+        SELECT vec_id, label FROM embeddings
+    ), rel AS (
+        SELECT r.query_id, r.rk,
+               CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS rel
+        FROM r
+        JOIN lab ql ON ql.vec_id = r.query_id
+        JOIN lab nl ON nl.vec_id = r.neighbor_id
+    ), dcg AS (
+        SELECT query_id,
+               sum(CAST(round(rel / log2(rk + 1.0), 9) AS DECIMAL(18,9)))
+                   AS dcg,
+               CAST(sum(rel) AS BIGINT) AS n_rel_topk
+        FROM rel GROUP BY 1
+    ), avail AS (
+        SELECT q.vec_id AS query_id,
+               least(c.n - 1, {_NDCG_K}) AS m
+        FROM lab q
+        JOIN (SELECT label, count(*) AS n FROM lab GROUP BY 1) c
+          ON c.label = q.label
+        WHERE q.vec_id < {_NDCG_QUERIES}
+    ), ideal AS (
+        SELECT query_id,
+               sum(CAST(round(1.0 / log2(i + 1.0), 9) AS DECIMAL(18,9)))
+                   AS idcg
+        FROM avail, unnest(range(1, m + 1)) AS t(i)
+        GROUP BY 1
+    )
+    SELECT d.query_id, d.n_rel_topk,
+           round(CAST(d.dcg AS DOUBLE), 6) AS dcg,
+           round(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg
+    FROM dcg d JOIN ideal i USING (query_id)
+    """
+
+
+@register("retrieval_ndcg_at_k", oracle=_ndcg_oracle())
+def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine retrieval evaluation: nDCG@{k} of the REGISTERED
+    approximate ranking (``similarity_topk_ivf`` — the oracle nests
+    its SQL verbatim) against binary label-match relevance, per query
+    — the eval harness a retrieval stack runs after every index or
+    quantizer change, expressed as one query so it can gate a 100 TB
+    index build in-pipeline. IDCG uses the corpus-wide count of
+    available relevant docs (capped at k), so a query whose label has
+    few peers isn't penalized for an unfillable ideal list.
+
+    Cross-engine float discipline: each rank's discount
+    rel/log2(rk+1) quantizes to DECIMAL(18,9) BEFORE the per-query
+    sum (log2 of small integers agrees across engines far past 9 dp;
+    the decimal sum is then order-free and exact), and the final
+    nDCG division is one IEEE op on identical doubles.
+
+    Scale: the ranking is k-bounded per query before any eval math;
+    relevance labels join against it (broadcast — k x queries rows);
+    the only corpus-sized work is the per-label count aggregate, a
+    map-side-combining groupBy on a low-cardinality key."""
+    ivf = similarity_topk_ivf(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    rel = (
+        F.broadcast(ivf)
+        .join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("qlab"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlab"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rk",
+            F.when(F.col("nlab") == F.col("qlab"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    dcg = rel.groupBy("query_id").agg(
+        F.sum(
+            F.round(F.col("rel") / F.log2(F.col("rk") + 1.0), 9).cast(
+                "decimal(18,9)"
+            )
+        ).alias("dcg"),
+        F.sum("rel").cast("bigint").alias("n_rel_topk"),
+    )
+    counts = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    avail = (
+        lab.filter(F.col("vec_id") < _NDCG_QUERIES)
+        .join(F.broadcast(counts), "label")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.least(F.col("n") - 1, F.lit(_NDCG_K)).alias("m"),
+        )
+    )
+    ideal = (
+        avail.select(
+            "query_id", F.explode(F.sequence(F.lit(1), F.col("m"))).alias("i")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.round(F.lit(1.0) / F.log2(F.col("i") + 1.0), 9).cast(
+                    "decimal(18,9)"
+                )
+            ).alias("idcg")
+        )
+    )
+    return dcg.join(ideal, "query_id").select(
+        "query_id",
+        "n_rel_topk",
+        F.round(F.col("dcg").cast("double"), 6).alias("dcg"),
+        F.round(
+            F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
+        ).alias("ndcg"),
+    )
+
+
+retrieval_ndcg_at_k.__doc__ = retrieval_ndcg_at_k.__doc__.format(k=_NDCG_K)
