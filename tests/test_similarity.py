@@ -493,3 +493,21 @@ def test_ndcg_bounds_and_reference(spark, sf_dir):
         assert 0.0 <= got["ndcg"] <= 1.0
         assert abs(got["dcg"] - round(dcg, 6)) < 2e-6
         assert abs(got["ndcg"] - round(dcg / idcg, 6)) < 2e-6
+
+
+def test_recall_query_agrees_with_set_intersection(spark, sf_dir):
+    """The registered recall rows equal a direct set intersection of
+    the two registered rankings' collected results."""
+    exact: dict[int, set] = {}
+    for r in similarity.similarity_topk_bruteforce(spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx: dict[int, set] = {}
+    for r in similarity.similarity_topk_ivf(spark, sf_dir).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rows = similarity.retrieval_recall_ivf_vs_brute(spark, sf_dir).collect()
+    assert {r["query_id"] for r in rows} == set(exact)
+    for r in rows:
+        hit = len(exact[r["query_id"]] & approx.get(r["query_id"], set()))
+        assert r["n_hit"] == hit
+        assert r["k"] == len(exact[r["query_id"]])
+        assert abs(r["recall"] - round(hit / r["k"], 6)) < 1e-9

@@ -2491,3 +2491,68 @@ def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 retrieval_ndcg_at_k.__doc__ = retrieval_ndcg_at_k.__doc__.format(k=_NDCG_K)
+
+
+def _recall_oracle() -> str:
+    from text_grabr_orc_spark.registry import ORACLES
+
+    return f"""
+    WITH approx AS (
+        SELECT * FROM ({ORACLES["similarity_topk_ivf"]})
+    ), exact AS (
+        SELECT * FROM ({ORACLES["similarity_topk_bruteforce"]})
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(count(*) AS BIGINT) AS k,
+           round(count(a.neighbor_id) / CAST(count(*) AS DOUBLE), 6)
+               AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register("retrieval_recall_ivf_vs_brute", oracle=_recall_oracle())
+def retrieval_recall_ivf_vs_brute(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@k of the approximate index against ground truth: per
+    query, the fraction of the EXACT top-k (``similarity_
+    topk_bruteforce``) that the REGISTERED IVF ranking recovered —
+    the metric that decides nprobe/centroid-count tradeoffs before an
+    index ships. Both legs are the registered operators (the oracle
+    nests both SQLs), so the reported recall is exactly the shipped
+    configuration's, not a test harness approximation; the nDCG
+    sibling (``retrieval_ndcg_at_k``) grades ranking quality, this
+    grades candidate coverage.
+
+    Scale: both rankings are k-bounded per query before the compare;
+    the join and aggregate touch k x queries rows — the corpus cost
+    is the two retrieval legs', each already scale-shaped (broadcast
+    queries / IVF probe join)."""
+    exact = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity_topk_ivf(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    return (
+        exact.join(
+            F.broadcast(
+                approx.withColumnRenamed("query_id", "a_query")
+            ),
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor").alias("n_hit"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.round(
+                F.count("a_neighbor") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("recall"),
+        )
+    )
