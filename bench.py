@@ -249,6 +249,9 @@ SCALE_FAMILIES = {
     "dedup_clusters_twophase": "embeddings",
     "knn_graph_ivf": "embeddings",
     "events_hourly_rollup": "events",
+    # the heaviest round-6 trainer: EM over the word lattice must
+    # scale with the VOCABULARY (sublinear in corpus rows)
+    "unigram_lm_train": "documents",
 }
 
 _SCALE_DIRS = [
