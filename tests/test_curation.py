@@ -673,3 +673,29 @@ def test_oov_rate_consistent_with_vocab(spark, sf_dir):
     exp_oov = sum(1 for t in toks if t not in vocab)
     got = next(r for r in rows if r["source"] == src)
     assert (got["n_tokens"], got["n_oov"]) == (len(toks), exp_oov)
+
+
+def test_canary_decontamination_plants_and_finds(spark, tmp_path):
+    """A planted corpus: doc 23 quotes benchmark doc 0's opening
+    verbatim mid-text, doc 24 paraphrases it (no exact substring) —
+    only the verbatim quote is flagged, with the right source."""
+    from text_grabr_orc_spark.operators.curation import (
+        _CANARY_LEN,
+        decontaminate_canary,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    snippet = bench_text[:_CANARY_LEN]
+    rows = [
+        (0, bench_text, "en", "web", len(bench_text)),
+        (5, f"intro words then {snippet} and a tail", "en", "web", 40),
+        (7, "the quickest brown foxes jump over lazy dogs", "en", "web", 45),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r for r in decontaminate_canary(spark, d).collect()}
+    assert set(got) == {5}
+    assert got[5]["n_canaries"] == 1
+    assert got[5]["first_bench_id"] == 0

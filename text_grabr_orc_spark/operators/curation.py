@@ -2296,3 +2296,70 @@ def vocab_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 vocab_oov_rate_by_source.__doc__ = vocab_oov_rate_by_source.__doc__.format(
     k=_VOCAB_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Canary-string decontamination (exact substring scan)
+# ---------------------------------------------------------------------------
+
+_CANARY_LEN = 16  # snippet chars; fixture-sized so planted dups hit
+
+
+@register(
+    "decontaminate_canary",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id AS bench_id, substring(text, 1, {_CANARY_LEN}) AS snip
+        FROM documents WHERE doc_id % {_DECON_MOD} = 0
+    ), c AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % {_DECON_MOD} <> 0
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_canaries,
+           CAST(min(b.bench_id) AS BIGINT) AS first_bench_id
+    FROM c JOIN b ON position(b.snip IN c.text) > 0
+    GROUP BY c.doc_id
+    """,
+)
+def decontaminate_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary decontamination: flag corpus documents containing an
+    EXACT benchmark snippet as a raw substring — the third
+    decontamination mechanism next to token n-gram overlap
+    (``decontaminate_ngram_overlap``) and embedding similarity
+    (``decontaminate_semantic``), and the one that catches
+    canary-GUID-style markers (the BIG-bench device) and verbatim
+    quotes that token alignment or paraphrase detection can miss.
+    Snippets are the first {n} characters of each held-out benchmark
+    doc (same % {mod} slice as the other two checks, so all three
+    audit the same eval set).
+
+    Scale: the snippet set is broadcast and the scan is one map-only
+    corpus pass (contains() per snippet stays whole-stage codegen);
+    with a canary set too large to loop per row, the same contract
+    runs as an Aho-Corasick automaton in a mapInPandas stage — the
+    broadcast-probe shape is unchanged. Substring match uses
+    ``instr`` on raw text, identical semantics to the oracle's
+    ``position(snip IN text)``."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = F.broadcast(
+        docs.filter(F.col("doc_id") % _DECON_MOD == 0).select(
+            F.col("doc_id").alias("bench_id"),
+            F.substring("text", 1, _CANARY_LEN).alias("snip"),
+        )
+    )
+    corp = docs.filter(F.col("doc_id") % _DECON_MOD != 0).select(
+        "doc_id", "text"
+    )
+    return (
+        corp.join(bench, F.instr(F.col("text"), F.col("snip")) > 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_canaries"),
+            F.min("bench_id").cast("bigint").alias("first_bench_id"),
+        )
+    )
+
+
+decontaminate_canary.__doc__ = decontaminate_canary.__doc__.format(
+    n=_CANARY_LEN, mod=_DECON_MOD
+)
