@@ -699,3 +699,37 @@ def test_canary_decontamination_plants_and_finds(spark, tmp_path):
     assert set(got) == {5}
     assert got[5]["n_canaries"] == 1
     assert got[5]["first_bench_id"] == 0
+
+
+def test_fertility_consistent_with_encode(spark, sf_dir):
+    """Per-lang fertility totals must equal the per-doc encode
+    operator's sums joined through the documents' lang column, and
+    fertility >= 1 wherever any word is eligible (a BPE segmentation
+    never emits fewer symbols than words)."""
+    from text_grabr_orc_spark.operators.curation import (
+        bpe_encode_corpus,
+        tokenizer_fertility_by_lang,
+    )
+
+    fert = {r["lang"]: r for r in tokenizer_fertility_by_lang(spark, sf_dir).collect()}
+    enc = bpe_encode_corpus(spark, sf_dir).collect()
+    lang_of = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    agg: dict[str, list[int]] = {}
+    for r in enc:
+        a = agg.setdefault(lang_of[r["doc_id"]], [0, 0, 0])
+        a[0] += r["n_words"]
+        a[1] += r["n_skipped"]
+        a[2] += r["n_bpe_tokens"]
+    assert set(fert) == set(agg)
+    for lang, (nw, nskip, nbpe) in agg.items():
+        f = fert[lang]
+        assert (f["n_words"], f["n_oov_words"], f["n_bpe_tokens"]) == (
+            nw, nskip, nbpe,
+        )
+        if nw:
+            assert f["fertility"] >= 1.0

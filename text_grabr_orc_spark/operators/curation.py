@@ -2363,3 +2363,87 @@ def decontaminate_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
 decontaminate_canary.__doc__ = decontaminate_canary.__doc__.format(
     n=_CANARY_LEN, mod=_DECON_MOD
 )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language
+# ---------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    chain, _ = _bpe_oracle_chain()
+    return f"""{chain}
+    , vocab AS (
+        SELECT w,
+               len(str_split(substr(s, 2, length(s) - 2), '][')) AS n_sym
+        FROM words{_BPE_N_MERGES}
+    ), dtok AS (
+        SELECT d.lang, lower(t.w) AS w
+        FROM documents d, unnest({_ORACLE_TOKS}) AS t(w)
+    ), scored AS (
+        SELECT d.lang,
+               CASE WHEN v.w IS NULL THEN 0 ELSE 1 END AS elig,
+               coalesce(v.n_sym, 0) AS n_sym
+        FROM dtok d LEFT JOIN vocab v USING (w)
+    )
+    SELECT lang,
+           CAST(sum(elig) AS BIGINT) AS n_words,
+           CAST(sum(1 - elig) AS BIGINT) AS n_oov_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+           round(CASE WHEN sum(elig) = 0 THEN 0.0
+                      ELSE sum(n_sym)::DOUBLE / sum(elig) END, 6)
+               AS fertility
+    FROM scored GROUP BY lang
+    """
+
+
+@register("tokenizer_fertility_by_lang", oracle=_fertility_oracle())
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer FERTILITY audit: BPE tokens emitted per in-alphabet
+    word, by language — the standard multilingual-tokenizer fairness
+    number (a language with outlying fertility pays more context
+    budget per sentence and trains on fewer effective documents; the
+    reason multilingual vocabularies are rebalanced before a run).
+    Uses the in-engine-trained merges (``bpe_train_merges``), so the
+    audited tokenizer is the shipped draft; the oracle nests the full
+    unrolled training chain and the per-language aggregation in one
+    hash-checked contract. Out-of-alphabet words are counted
+    separately (n_oov_words), never silently dropped.
+
+    Scale: identical shape to ``bpe_encode_corpus`` — the learned
+    vocabulary is vocabulary-bounded state applied by ONE equi-join
+    of exploded (lang, token) rows; the final aggregate has #langs
+    groups with map-side combine."""
+    _, final_words = _bpe_chain(spark, sf_dir)
+    core = F.expr("substr(s, 2, length(s) - 2)")
+    vocab = final_words.select(
+        "w", F.size(F.split(core, r"\]\[")).alias("n_sym")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "lang", F.explode(tokens("text")).alias("t")
+    ).select("lang", F.lower("t").alias("w"))
+    scored = dtok.join(vocab, "w", "left").select(
+        "lang",
+        F.when(F.col("n_sym").isNull(), 0).otherwise(1).alias("elig"),
+        F.coalesce("n_sym", F.lit(0)).alias("n_sym"),
+    )
+    g = scored.groupBy("lang").agg(
+        F.sum("elig").cast("bigint").alias("n_words"),
+        F.sum(1 - F.col("elig")).cast("bigint").alias("n_oov_words"),
+        F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+    )
+    return g.select(
+        "lang",
+        "n_words",
+        "n_oov_words",
+        "n_bpe_tokens",
+        F.round(
+            F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words")
+            ),
+            6,
+        ).alias("fertility"),
+    )
