@@ -2340,3 +2340,90 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
     rounds=_LP_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Threshold sensitivity sweep
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), p AS (
+        SELECT list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ), binned AS (
+        SELECT CAST(floor(cos * 20) AS BIGINT) AS bin, count(*) AS n
+        FROM p WHERE cos >= 0.25 GROUP BY 1
+    )
+    SELECT round(bin / 20.0, 2) AS threshold,
+           CAST(sum(n) OVER (ORDER BY bin DESC) AS BIGINT) AS n_pairs_ge
+    FROM binned
+    ORDER BY bin
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration for the embedding near-dup family: the
+    cumulative count of pairs at or above each 0.05-wide cosine
+    threshold (0.25+) in ONE pass over the pair set — the sweep a
+    data team runs before committing a dedup threshold, since the
+    kept-pair count is the knob's whole cost/recall tradeoff. A
+    cliff between adjacent rows locates the duplicate/background
+    separation; the registered family's 0.4 sits in it.
+
+    Scale: computing the curve costs ONE pair enumeration (the same
+    scale-guarded generator as ``dedup_embedding_cosine`` — at scale
+    the GEMM pair cache feeds it), then a 15-bucket histogram with
+    map-side combine and a cumulative sum over the bounded bucket
+    table — the sweep never re-runs dedup per threshold, which is
+    the naive n-thresholds x n^2 mistake. The cumulative window
+    orders a <=15-row frame.
+
+    The pair set reuses the content-tag-cached GEMM pairs when
+    available (same family sharing as the cluster operators)."""
+    from text_grabr_orc_spark.functions.vectors import (
+        cosine_from_parts,
+        dot,
+        l2_norm,
+        to_double_array,
+    )
+    from text_grabr_orc_spark.functions.windows import bounded_window
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e")
+    ).withColumn("n", l2_norm(F.col("e")))
+    a = emb.select(
+        F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("n").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("n").alias("nb")
+    )
+    cos = cosine_from_parts(dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb"))
+    binned = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .select(cos.alias("cos"))
+        .filter(F.col("cos") >= 0.25)
+        .select(F.floor(F.col("cos") * 20).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # bounded: <= 15 histogram buckets ever reach the window
+    w = bounded_window("bin", F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        binned.select(
+            F.round(F.col("bin") / 20.0, 2).alias("threshold"),
+            F.sum("n").over(w).cast("bigint").alias("n_pairs_ge"),
+            F.col("bin"),
+        )
+        .orderBy("bin")
+        .drop("bin")
+    )
