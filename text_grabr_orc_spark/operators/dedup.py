@@ -2427,3 +2427,83 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bin")
         .drop("bin")
     )
+
+
+@register(
+    "jaccard_threshold_sweep",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_ORACLE_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents)
+    ), p AS (
+        SELECT len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+               (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    ), binned AS (
+        SELECT CAST(floor(jac * 20) AS BIGINT) AS bin, count(*) AS n
+        FROM p WHERE jac >= 0.05 GROUP BY 1
+    )
+    SELECT round(bin / 20.0, 2) AS threshold,
+           CAST(sum(n) OVER (ORDER BY bin DESC) AS BIGINT) AS n_pairs_ge
+    FROM binned
+    ORDER BY bin
+    """,
+)
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textual twin of ``dedup_threshold_sweep``: cumulative
+    near-dup PAIR counts at each 0.05-wide n-gram-Jaccard threshold
+    (0.05+), in one pass — the calibration artifact for choosing the
+    MinHash family's threshold (and the banding sized to it; the
+    registered 0.5 sits at the curve's cliff on the fixture).
+
+    Full recall without brute force: any pair with J > 0 shares at
+    least one shingle, so the inverted-index equi-join (the
+    ``dedup_ngram_jaccard`` plan) enumerates a superset of every
+    bucketed pair — the sweep pays one index join + a <=20-bucket
+    histogram, never n^2 and never one-dedup-per-threshold. The
+    cumulative window runs over the bounded bucket table."""
+    from text_grabr_orc_spark.functions.windows import bounded_window
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = hashed_shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.select("doc_id", F.size("hs").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("hs").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    binned = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(jac.alias("jac"))
+        .filter(F.col("jac") >= 0.05)
+        .select(F.floor(F.col("jac") * 20).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = bounded_window("bin", F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        binned.select(
+            F.round(F.col("bin") / 20.0, 2).alias("threshold"),
+            F.sum("n").over(w).cast("bigint").alias("n_pairs_ge"),
+            F.col("bin"),
+        )
+        .orderBy("bin")
+        .drop("bin")
+    )
