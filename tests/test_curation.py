@@ -699,6 +699,13 @@ def test_canary_decontamination_plants_and_finds(spark, tmp_path):
     assert set(got) == {5}
     assert got[5]["n_canaries"] == 1
     assert got[5]["first_bench_id"] == 0
+    # the Aho-Corasick scale variant must agree row for row
+    from text_grabr_orc_spark.operators.curation import (
+        decontaminate_canary_ac,
+    )
+
+    ac = sorted(map(tuple, decontaminate_canary_ac(spark, d).collect()))
+    assert ac == sorted(map(tuple, got.values()))
 
 
 def test_fertility_consistent_with_encode(spark, sf_dir):

@@ -2447,3 +2447,104 @@ def tokenizer_fertility_by_lang(
             6,
         ).alias("fertility"),
     )
+
+
+def _canary_oracle_sql() -> str:
+    return f"""
+    WITH b AS (
+        SELECT doc_id AS bench_id, substring(text, 1, {_CANARY_LEN}) AS snip
+        FROM documents WHERE doc_id % {_DECON_MOD} = 0
+    ), c AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % {_DECON_MOD} <> 0
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_canaries,
+           CAST(min(b.bench_id) AS BIGINT) AS first_bench_id
+    FROM c JOIN b ON position(b.snip IN c.text) > 0
+    GROUP BY c.doc_id
+    """
+
+
+@register("decontaminate_canary_ac", oracle=_canary_oracle_sql())
+def decontaminate_canary_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE variant of ``decontaminate_canary``: the same
+    contract (same oracle SQL — the two registered queries must
+    hash-match each other), computed with an Aho-Corasick automaton
+    in an Arrow-batched ``mapInPandas`` stage instead of one
+    contains() predicate per snippet. Per-snippet scanning is
+    O(|text| x #snippets); the automaton is O(|text| + matches)
+    regardless of canary-set size — the shape that survives a
+    million-entry canary list against 100 TB. The automaton is built
+    ONCE per worker from the broadcast snippet list (goto/fail/output
+    tables, Aho & Corasick 1975) and amortized across Arrow batches;
+    dedup of multiple hits of the same snippet inside one document
+    happens in the automaton's per-doc output set, and the per-doc
+    aggregate (count + min bench id) stays in Spark so the Python
+    stage emits one row per (doc, matched snippet)."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.substring("text", 1, _CANARY_LEN).alias("snip"),
+        )
+        .collect()  # canary sets are tiny by construction; broadcast
+    )
+    patterns = [(int(r["bench_id"]), r["snip"]) for r in bench]
+    bc = spark.sparkContext.broadcast(patterns)
+
+    def scan(batches):
+        import pandas as pd
+
+        # build the automaton once per worker task
+        goto: list[dict] = [{}]
+        out: list[set] = [set()]
+        for pid, (bid, pat) in enumerate(bc.value):
+            s = 0
+            for ch in pat:
+                nxt = goto[s].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    out.append(set())
+                    nxt = len(goto) - 1
+                    goto[s][ch] = nxt
+                s = nxt
+            out[s].add(bid)
+        # BFS failure links
+        from collections import deque
+
+        fail = [0] * len(goto)
+        dq = deque(goto[0].values())
+        while dq:
+            s = dq.popleft()
+            for ch, t in goto[s].items():
+                dq.append(t)
+                f = fail[s]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
+                out[t] |= out[fail[t]]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = 0
+                hits = set()
+                for ch in text:
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    if out[s]:
+                        hits |= out[s]
+                rows.extend((int(doc_id), bid) for bid in hits)
+            yield pd.DataFrame(rows, columns=["doc_id", "bench_id"])
+
+    corp = docs.filter(F.col("doc_id") % _DECON_MOD != 0).select(
+        "doc_id", "text"
+    )
+    hits = corp.mapInPandas(scan, "doc_id long, bench_id long")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_canaries"),
+        F.min("bench_id").cast("bigint").alias("first_bench_id"),
+    )
