@@ -293,3 +293,36 @@ def test_mad_robust_to_planted_outlier(spark, sf_dir, tmp_path):
     assert sum(p["n_anomalies"] for p in polluted.values()) == sum(
         b["n_anomalies"] for b in base.values()
     ) + 1
+
+
+def test_trend_slope_matches_numpy_polyfit(spark, sf_dir):
+    """The integer-exact closed-form slope equals numpy's lstsq fit
+    over the same (hour, count) support set, per event type."""
+    import numpy as np
+
+    from text_grabr_orc_spark.operators.events_batch import (
+        events_trend_slope_by_type,
+    )
+
+    rows = {r["event_type"]: r for r in events_trend_slope_by_type(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        ev.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .groupBy("event_type", "h")
+        .count()
+        .collect()
+    )
+    pts: dict[str, list] = {}
+    for r in hourly:
+        pts.setdefault(r["event_type"], []).append(
+            (r["h"].timestamp() / 3600, r["count"])
+        )
+    assert set(rows) == set(pts)
+    for t, xy in pts.items():
+        x = np.array([a for a, _ in xy]); y = np.array([b for _, b in xy])
+        slope = np.polyfit(x - x.min(), y, 1)[0]
+        assert rows[t]["n_hours"] == len(xy)
+        assert abs(rows[t]["slope_per_hour"] - slope) < 1e-4
+        assert abs(rows[t]["mean_per_hour"] - y.mean()) < 1e-4

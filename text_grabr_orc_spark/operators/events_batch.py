@@ -727,3 +727,97 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-type hourly trend slope (drift detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_trend_slope_by_type",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+               count(*) AS y
+        FROM events GROUP BY 1, 2
+    ), centered AS (
+        SELECT event_type,
+               h - min(h) OVER (PARTITION BY event_type) AS x,
+               y
+        FROM hourly
+    ), s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM centered GROUP BY 1
+    )
+    SELECT event_type, m AS n_hours,
+           round(CAST(sy AS DOUBLE) / m, 6) AS mean_per_hour,
+           round(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS slope_per_hour
+    FROM s
+    """,
+)
+def events_trend_slope_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Traffic drift detector: per event type, the least-squares
+    slope of hourly event counts over time (events/hour per hour) —
+    the one-number answer to "is this stream growing, decaying, or
+    flat", which is what capacity planning and anomaly baselining
+    actually consume downstream of the hourly rollup. Hours with no
+    events for a type are absent points, not zeros (the rollup's
+    support set), stated so the semantics are unambiguous.
+
+    Exactness device: hour indexes are CENTERED per type (slope is
+    shift-invariant), so every regression sum (Sx, Sy, Sxy, Sxx) is
+    a small exact int64 — no floating accumulation anywhere, and the
+    closed-form slope (m*Sxy - Sx*Sy)/(m*Sxx - Sx^2) is ONE double
+    division of exact integers, identical on both engines.
+
+    Scale: one corpus pass into the (type, hour) rollup (map-side
+    combine), then a #types-row aggregate; the centering min is a
+    per-type scalar over the bounded hourly table."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts_ns") / F.lit(3_600_000_000_000)).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("event_type")
+    centered = hourly.select(
+        "event_type",
+        (F.col("h") - F.min("h").over(w)).alias("x"),
+        "y",
+    )
+    s = centered.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        F.col("m").cast("bigint").alias("n_hours"),
+        F.round(F.col("sy").cast("double") / F.col("m"), 6).alias(
+            "mean_per_hour"
+        ),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("slope_per_hour"),
+    )
