@@ -821,3 +821,61 @@ def events_trend_slope_by_type(
             6,
         ).alias("slope_per_hour"),
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+        SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+               count(*) AS n
+        FROM ordered WHERE e3 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk
+        FROM paths
+    ) WHERE rk <= 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 10 most common 3-step user journeys
+    (consecutive event-type trigrams per user, ordered by time with
+    event_id tie-break) — the k-step extension of the first-order
+    ``events_transition_matrix``, and the standard product-analytics
+    artifact for finding dominant flows before funnel definitions
+    exist. Paths render as 'a > b > c' strings so the table reads
+    directly.
+
+    Scale: ONE shuffle partitions events by user (each user's
+    history sorts within its partition — per-user state is session
+    activity, never corpus-sized); trigram formation is two lead()
+    windows over that partitioning; the count aggregate is bounded
+    by #event_types^3 with map-side combine, and the final ranking
+    is TakeOrdered over that bounded table + a bounded re-rank."""
+    from text_grabr_orc_spark.functions.windows import bounded_window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        ordered.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = paths.orderBy(F.col("n").desc(), "path").limit(10)
+    rw = bounded_window("path", F.col("n").desc(), "path")
+    return top.withColumn("rk", F.row_number().over(rw).cast("bigint"))
