@@ -2548,3 +2548,79 @@ def decontaminate_canary_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_canaries"),
         F.min("bench_id").cast("bigint").alias("first_bench_id"),
     )
+
+
+def _canary_scrub_oracle() -> str:
+    return f"""
+    WITH b AS (
+        SELECT doc_id AS bench_id, substring(text, 1, {_CANARY_LEN}) AS snip
+        FROM documents WHERE doc_id % {_DECON_MOD} = 0
+    ), c AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % {_DECON_MOD} <> 0
+    ), hits AS (
+        SELECT c.doc_id, c.text, list(b.snip ORDER BY b.bench_id) AS sl
+        FROM c JOIN b ON position(b.snip IN c.text) > 0
+        GROUP BY c.doc_id, c.text
+    )
+    SELECT doc_id,
+           CAST(len(sl) AS BIGINT) AS n_scrubbed,
+           CAST(length(text) AS BIGINT) AS chars_before,
+           CAST(length(list_reduce(list_prepend(text, sl),
+                                   (acc, s) -> replace(acc, s, ' ')))
+                AS BIGINT) AS chars_after,
+           md5(list_reduce(list_prepend(text, sl),
+                           (acc, s) -> replace(acc, s, ' '))) AS scrubbed_md5
+    FROM hits
+    """
+
+
+@register("decontaminate_canary_scrub", oracle=_canary_scrub_oracle())
+def decontaminate_canary_scrub(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ACTION to ``decontaminate_canary``'s signal (the same
+    detect->remediate symmetry as boilerplate mining->scrub and PII
+    detect->scrub): every flagged document has each matched benchmark
+    snippet masked with a space, applied as an ordered fold
+    (bench_id order, leftmost replace) so the result is
+    deterministic, and the scrubbed text is BIT-CHECKED via its md5
+    next to before/after char counts — remediation, not just a
+    report. Only contaminated documents appear (the scrub is the
+    identity elsewhere).
+
+    Scale: the matched-snippet lists ride the same broadcast
+    candidate join as the detector; the fold is map-only over the
+    flagged slice — corpus cost is one detection pass plus a rewrite
+    of the (tiny) contaminated subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = F.broadcast(
+        docs.filter(F.col("doc_id") % _DECON_MOD == 0).select(
+            F.col("doc_id").alias("bench_id"),
+            F.substring("text", 1, _CANARY_LEN).alias("snip"),
+        )
+    )
+    corp = docs.filter(F.col("doc_id") % _DECON_MOD != 0).select(
+        "doc_id", "text"
+    )
+    hits = (
+        corp.join(bench, F.instr(F.col("text"), F.col("snip")) > 0)
+        .groupBy("doc_id", "text")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bench_id", "snip"))),
+                lambda x: x["snip"],
+            ).alias("sl")
+        )
+    )
+    scrubbed = F.aggregate(
+        F.col("sl"),
+        F.col("text"),
+        lambda acc, s: F.replace(acc, s, F.lit(" ")),
+    )
+    return hits.select(
+        "doc_id",
+        F.size("sl").cast("bigint").alias("n_scrubbed"),
+        F.length("text").cast("bigint").alias("chars_before"),
+        F.length(scrubbed).cast("bigint").alias("chars_after"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
