@@ -2507,3 +2507,96 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bin")
         .drop("bin")
     )
+
+
+def _detector_agreement_oracle() -> str:
+    from text_grabr_orc_spark.registry import ORACLES
+
+    return f"""
+    WITH lex AS (
+        SELECT * FROM ({ORACLES["dedup_minhash_lsh"]})
+    ), sem AS (
+        SELECT * FROM ({ORACLES["dedup_embedding_cosine"]})
+    ), joined AS (
+        SELECT coalesce(l.doc_a, s.vec_a) AS a,
+               coalesce(l.doc_b, s.vec_b) AS b,
+               l.jaccard, s.cosine
+        FROM lex l
+        FULL OUTER JOIN sem s ON s.vec_a = l.doc_a AND s.vec_b = l.doc_b
+    )
+    SELECT CASE WHEN jaccard IS NOT NULL AND cosine IS NOT NULL THEN 'both'
+                WHEN jaccard IS NOT NULL THEN 'lexical_only'
+                ELSE 'semantic_only' END AS agreement,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(coalesce(sum(CAST(round(jaccard, 6) AS DECIMAL(18,9))),
+                               -1) AS DOUBLE)
+                 / CASE WHEN count(jaccard) = 0 THEN 1
+                        ELSE count(jaccard) END, 6) AS avg_jaccard,
+           round(CAST(coalesce(sum(CAST(round(cosine, 6) AS DECIMAL(18,9))),
+                               -1) AS DOUBLE)
+                 / CASE WHEN count(cosine) = 0 THEN 1
+                        ELSE count(cosine) END, 6) AS avg_cosine
+    FROM joined
+    GROUP BY 1
+    """
+
+
+@register("neardup_detector_agreement", oracle=_detector_agreement_oracle())
+def neardup_detector_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Detector disagreement audit: the near-dup pair sets of the
+    LEXICAL detector (``dedup_minhash_lsh``, token 3-gram Jaccard >=
+    0.5) and the SEMANTIC detector (``dedup_embedding_cosine``,
+    cosine >= 0.4) full-outer joined on the pair key (doc ids ==
+    vec ids) and classified both / lexical_only / semantic_only with
+    per-class pair counts and mean scores (-1 sentinel where a class
+    has no score by construction). lexical_only mass is
+    template/boilerplate duplication the embedding space absorbs;
+    semantic_only is paraphrase the token shingles miss — the number
+    that justifies running BOTH detectors in a cleaning pipeline,
+    computed from the REGISTERED operators (the oracle nests both
+    SQLs, so the audit can never drift from what ships).
+
+    Scale: both pair sets are already candidate-generated (inverted
+    index / scale-guarded GEMM); the audit joins two pair tables —
+    duplicate-mass-sized, a tiny fraction of the corpus — and
+    aggregates into 3 rows map-side. Means sum DECIMAL-quantized
+    scores, so per-class averages are partition-order-free."""
+    lex = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), "jaccard"
+    )
+    sem = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), "cosine"
+    )
+    joined = lex.join(sem, ["a", "b"], "full_outer")
+    cls = (
+        F.when(
+            F.col("jaccard").isNotNull() & F.col("cosine").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("jaccard").isNotNull(), F.lit("lexical_only"))
+        .otherwise(F.lit("semantic_only"))
+    )
+    jq = F.round("jaccard", 6).cast("decimal(18,9)")
+    cq = F.round("cosine", 6).cast("decimal(18,9)")
+    return (
+        joined.groupBy(cls.alias("agreement"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.coalesce(F.sum(jq), F.lit(-1)).cast("double")
+                / F.when(F.count("jaccard") == 0, 1).otherwise(
+                    F.count("jaccard")
+                ),
+                6,
+            ).alias("avg_jaccard"),
+            F.round(
+                F.coalesce(F.sum(cq), F.lit(-1)).cast("double")
+                / F.when(F.count("cosine") == 0, 1).otherwise(
+                    F.count("cosine")
+                ),
+                6,
+            ).alias("avg_cosine"),
+        )
+    )
