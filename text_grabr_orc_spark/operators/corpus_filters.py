@@ -817,3 +817,75 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_source_spans"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+def _dedup_impact_oracle() -> str:
+    from text_grabr_orc_spark.registry import ORACLES
+
+    return f"""
+    WITH kb AS (
+        SELECT * FROM ({ORACLES["dedup_keep_best_canonical"]})
+    ), tok AS (
+        SELECT d.doc_id, d.source,
+               len(list_filter(regexp_split_to_array(d.text,
+                   '{ORACLE_WS_RUN}'), t -> t <> '')) AS n_tok
+        FROM documents d
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN kb.is_canonical = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_removed,
+           CAST(sum(CASE WHEN kb.is_canonical = 0 THEN t.n_tok ELSE 0 END)
+                AS BIGINT) AS n_tokens_removed,
+           round(sum(CASE WHEN kb.is_canonical = 0 THEN t.n_tok ELSE 0 END)
+                 / CAST(sum(t.n_tok) AS DOUBLE), 6) AS token_removal_rate
+    FROM tok t
+    LEFT JOIN kb ON kb.doc_id = t.doc_id
+    GROUP BY t.source
+    """
+
+
+@register("dedup_impact_report", oracle=_dedup_impact_oracle())
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COST side of the dedup decision: per source, documents and
+    tokens that the keep-best policy (``dedup_keep_best_canonical``)
+    would actually delete, with the token removal rate — the first
+    number a data lead asks before approving a dedup setting, and
+    the complement of ``corpus_curation_report``'s exposure fraction
+    (exposure counts docs touched by ANY pair; this counts the
+    resolved removals after cluster resolution keeps one canonical
+    member). Non-clustered docs are never removed (LEFT join).
+
+    Composition: the removal set is the registered decision operator
+    verbatim (the oracle nests its recursive-CTE SQL), token counts
+    are the strings.Fields-parity tokenizer — the report adds only a
+    broadcast join on the (duplicate-mass-bounded) decision table
+    and a per-source aggregate with map-side combine."""
+    from text_grabr_orc_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    kb = dedup_keep_best_canonical(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    tok = docs.select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    removed = F.when(F.col("is_canonical") == 0, 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(kb), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(removed).cast("bigint").alias("n_docs_removed"),
+            F.sum(removed * F.col("n_tok"))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+            F.round(
+                F.sum(removed * F.col("n_tok"))
+                / F.sum("n_tok").cast("double"),
+                6,
+            ).alias("token_removal_rate"),
+        )
+    )
