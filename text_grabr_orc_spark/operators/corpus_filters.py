@@ -438,9 +438,12 @@ _KB_J = """len(list_intersect(a.shingles, b.shingles))::DOUBLE /
 _KB_ORACLE = f"""
     WITH RECURSIVE tok AS (
         SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
+        -- MATERIALIZED: DuckDB otherwise re-inlines the shingle
+        -- build per reference (the deep-chain device documented for
+        -- the unigram oracles) — 21.6s -> 7.9s, identical rows
         SELECT doc_id, {_ORACLE_SHINGLES} AS shingles FROM tok
-    ), p AS (
+    ), p AS MATERIALIZED (
         SELECT a.doc_id AS pa, b.doc_id AS pb
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE {_KB_J} >= 0.5
