@@ -109,3 +109,26 @@ def test_python_datasource_partitions_reassemble_exactly(spark, sf_dir):
     assert sorted(ids) == list(range(_SEQ_ROWS))
     agg = {r.bucket: r.n for r in python_datasource_sequence(spark, sf_dir).collect()}
     assert sum(agg.values()) == _SEQ_ROWS
+
+
+def test_python_datasource_writer_manifest_consistent(spark, sf_dir):
+    """The sink's manifest must agree with the data both ways: shard
+    entries sum to the totals, and the registered query's round-trip
+    row equals a direct recount of documents."""
+    from text_grabr_orc_spark.operators.spark4_surface import (
+        _PDW_KNUTH,
+        _PDW_MOD,
+        _PDW_PARTS,
+        python_datasource_writer,
+    )
+
+    row = python_datasource_writer(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    ks = sum(
+        r["doc_id"] * _PDW_KNUTH % _PDW_MOD
+        for r in docs.select("doc_id").collect()
+    )
+    assert row["n_tasks"] == _PDW_PARTS
+    assert row["n_rows"] == n == row["jsonl_rows"]
+    assert row["key_checksum"] == ks

@@ -657,3 +657,157 @@ def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 python_datasource_stream.__doc__ = python_datasource_stream.__doc__.format(
     step=_SEQ_STREAM_STEP
 )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER (the sink half of the connector API)
+# ---------------------------------------------------------------------------
+
+_PDW_KNUTH = 2654435761
+_PDW_MOD = 4294967296
+
+
+def _make_jsonl_sink_datasource():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Commit(WriterCommitMessage):
+        def __init__(self, part_id, n_rows, key_sum):
+            self.part_id = part_id
+            self.n_rows = n_rows
+            self.key_sum = key_sum
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, rows):
+            import json as _json
+            import os as _os
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            _os.makedirs(self.path, exist_ok=True)
+            n, ks = 0, 0
+            # tmp-then-rename so a retried task never leaves a torn file
+            tmp = _os.path.join(self.path, f".part-{pid}.jsonl.tmp")
+            with open(tmp, "w") as f:
+                for r in rows:
+                    f.write(
+                        _json.dumps(
+                            {"doc_id": r["doc_id"], "n_chars": r["n_chars"]}
+                        )
+                        + "\n"
+                    )
+                    n += 1
+                    ks += r["doc_id"] * _PDW_KNUTH % _PDW_MOD
+            _os.replace(tmp, _os.path.join(self.path, f"part-{pid}.jsonl"))
+            return _Commit(pid, n, ks)
+
+        def commit(self, messages):
+            import json as _json
+            import os as _os
+
+            manifest = {
+                "n_tasks": len(messages),
+                "n_rows": sum(m.n_rows for m in messages),
+                "key_checksum": sum(m.key_sum for m in messages),
+                "shards": sorted(
+                    [m.part_id, m.n_rows, m.key_sum] for m in messages
+                ),
+            }
+            with open(_os.path.join(self.path, "manifest.json"), "w") as f:
+                _json.dump(manifest, f)
+
+        def abort(self, messages):
+            pass
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "tgos_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options)
+
+    return JsonlSink
+
+
+_PDW_PARTS = 8
+
+
+@register(
+    "python_datasource_writer",
+    oracle=f"""
+    SELECT CAST({_PDW_PARTS} AS BIGINT) AS n_tasks,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id * {_PDW_KNUTH} % {_PDW_MOD}) AS BIGINT)
+               AS key_checksum,
+           CAST(count(*) AS BIGINT) AS jsonl_rows,
+           CAST(sum(n_chars) AS BIGINT) AS jsonl_chars
+    FROM documents
+    """,
+)
+def python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER half of the Python DataSource API (the batch-sink
+    connector extension point — ``python_datasource_sequence`` and
+    ``python_datasource_stream`` cover the two read halves): the
+    documents table written through a custom JSONL sink whose tasks
+    each emit a WriterCommitMessage (rows + Knuth-hash key checksum)
+    and whose driver-side commit() writes a shard manifest — the
+    exporter-with-integrity-manifest shape of
+    ``shard_export_manifest``, implemented AS a connector. Task
+    writes are tmp-then-rename so a retried task can't leave a torn
+    shard, and commit() only sees messages from successful tasks —
+    the exactly-once contract of the V2 write path.
+
+    The registered result re-reads what was WRITTEN: manifest totals
+    (n_tasks/n_rows/key_checksum from commit messages) joined with a
+    re-aggregation of the JSONL files themselves via spark.read.json
+    — the oracle computes the same numbers straight from documents,
+    so a green hash proves no row was lost, duplicated, or torn
+    between writer tasks, commit protocol, and on-disk bytes.
+
+    Scale: each task streams its partition to its own shard file —
+    no driver materialization; the manifest is #tasks-sized. The
+    checksum sums exact int64s (order-free)."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    src = _make_jsonl_sink_datasource()
+    try:
+        spark.dataSource.register(src)
+    except Exception:
+        pass  # already registered in this session
+    out = _tempfile.mkdtemp(prefix="tgos_pdw_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    (
+        docs.repartition(_PDW_PARTS, "doc_id")
+        .write.format("tgos_jsonl_sink")
+        .mode("append")
+        .option("path", out)
+        .save()
+    )
+    with open(_os.path.join(out, "manifest.json")) as f:
+        man = _json.load(f)
+    manifest = spark.createDataFrame(
+        [
+            (
+                int(man["n_tasks"]),
+                int(man["n_rows"]),
+                int(man["key_checksum"]),
+            )
+        ],
+        "n_tasks bigint, n_rows bigint, key_checksum bigint",
+    )
+    back = spark.read.json(_os.path.join(out, "part-*.jsonl"))
+    re_agg = back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("jsonl_rows"),
+        F.sum("n_chars").cast("bigint").alias("jsonl_chars"),
+    )
+    return manifest.crossJoin(re_agg)
