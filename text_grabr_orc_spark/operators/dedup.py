@@ -1419,10 +1419,7 @@ def dedup_incremental_minhash_state(
     The state dir is content-tag cached (the repo's staleness
     convention) — a second call with the same fixture skips RUN 1
     entirely, which is exactly the cross-run reuse under test."""
-    import os
-    import tempfile
-
-    from text_grabr_orc_spark.tables import cache_tag
+    from text_grabr_orc_spark.tables import published_cache_dir
 
     docs = load_table(spark, sf_dir, "documents")
     nonblank = docs.filter(F.col("text").rlike(r"(?U)\S"))
@@ -1449,18 +1446,19 @@ def dedup_incremental_minhash_state(
             ).alias("band"),
         ).select("doc_id", "band.band_idx", "band.band_hash")
 
-    # RUN 1: persist the corpus band table partitioned by band_idx
-    state_dir = os.path.join(
-        tempfile.gettempdir(), "tgos_minhash_state", cache_tag(sf_dir)
-    )
-    if not os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-        (
+    # RUN 1: persist the corpus band table partitioned by band_idx.
+    # Atomic scratch-build + rename publish: a concurrent run can
+    # never probe a half-written state dir (see published_cache_dir).
+    state_dir = published_cache_dir(
+        "tgos_minhash_state",
+        sf_dir,
+        lambda p: (
             _bands_of(nonblank.filter(F.col("doc_id") < _STATE_SPLIT))
             .withColumnRenamed("doc_id", "corpus_doc")
-            .write.mode("overwrite")
-            .partitionBy("band_idx")
-            .parquet(state_dir)
-        )
+            .write.partitionBy("band_idx")
+            .parquet(p)
+        ),
+    )
 
     # RUN 2: band only the new batch, prune the state scan to the
     # band partitions the batch actually produced

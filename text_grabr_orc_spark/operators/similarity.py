@@ -1817,10 +1817,7 @@ def similarity_index_persisted(
     served I/O is ~nprobe/sqrt(n) of the index per query batch.
     Plan-asserted in tests/test_plans.py. Same oracle as
     ``similarity_topk_ivf``: persistence changes I/O, not answers."""
-    import os
-    import tempfile
-
-    from text_grabr_orc_spark.tables import cache_tag
+    from text_grabr_orc_spark.tables import published_cache_dir
 
     emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
     cent = F.broadcast(
@@ -1830,17 +1827,18 @@ def similarity_index_persisted(
             F.col("n").alias("cn"),
         )
     )
-    # RUN 1: build + persist the assignment index, partitioned by cell
-    index_dir = os.path.join(
-        tempfile.gettempdir(), "tgos_ivf_index", cache_tag(sf_dir)
-    )
-    if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
-        (
+    # RUN 1: build + persist the assignment index, partitioned by
+    # cell. Atomic scratch-build + rename publish: concurrent runs
+    # can never scan a half-written index (see published_cache_dir).
+    index_dir = published_cache_dir(
+        "tgos_ivf_index",
+        sf_dir,
+        lambda p: (
             _nearest_centroid_assign(emb, cent)
-            .write.mode("overwrite")
-            .partitionBy("centroid_id")
-            .parquet(index_dir)
-        )
+            .write.partitionBy("centroid_id")
+            .parquet(p)
+        ),
+    )
 
     # RUN 2: probe — nprobe nearest centroids per query, then a
     # partition-pruned scan of exactly those cells

@@ -67,3 +67,77 @@ def cache_tag(sf_dir: str) -> str:
         except OSError:
             h.update(f"{name}:absent;".encode())
     return f"{base}-{h.hexdigest()[:12]}"
+
+
+def published_cache_dir(
+    family: str,
+    sf_dir: str,
+    build,
+    marker: str = "_SUCCESS",
+) -> str:
+    """Atomically published, content-addressed /tmp cache directory.
+
+    Replaces the old check-then-act guard (``if not exists(_SUCCESS):
+    write.mode("overwrite")``) which raced: two concurrent runs (e.g.
+    parallel --exact and --vanilla sweeps, or two users on one host)
+    could interleave so one process read a directory the other was
+    mid-overwrite — partial scans or poisoned state.
+
+    Protocol (single-writer-wins, lock-free):
+
+    - The parent dir carries the caller's uid (``tgos_x-1000``) so
+      users on a shared host never share (or can poison) state.
+    - ``build(tmp_path)`` writes into a UNIQUE scratch dir
+      (pid + random suffix) that no other process knows about.
+    - The scratch dir is published with ``os.rename`` — atomic on
+      POSIX — so the final path either does not exist or is COMPLETE
+      (its marker was written before the rename). Readers can never
+      observe a partial directory, and published dirs are immutable:
+      content changes alter ``cache_tag`` and land at a NEW path, so
+      no re-verification after read is needed.
+    - Losing a publish race (rename onto an existing complete dir
+      fails) just discards the duplicate scratch build.
+
+    ``marker`` is the completeness sentinel relative to the dir
+    (multi-write builds use a last-write marker like ``v2/_SUCCESS``).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    base = os.path.join(tempfile.gettempdir(), f"{family}-{uid}")
+    final = os.path.join(base, cache_tag(sf_dir))
+    marker_path = os.path.join(final, marker)
+    if os.path.exists(marker_path):
+        return final
+    os.makedirs(base, exist_ok=True)
+    tmp = os.path.join(
+        base, f".build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
+    build(tmp)
+    if not os.path.exists(os.path.join(tmp, marker)):
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"cache build for {family} left no {marker} marker"
+        )
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if os.path.exists(marker_path):
+            # lost the race to another COMPLETE publish — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # stale/partial occupant (crashed pre-atomic-era run):
+            # move it aside, then publish ours
+            aside = f"{final}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(final, aside)
+            except OSError:
+                pass
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(aside, ignore_errors=True)
+    return final
