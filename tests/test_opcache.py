@@ -1,0 +1,92 @@
+"""The session-scoped operator-intermediate cache (opcache.cached_frame):
+identity reuse, content-tag staleness, and eviction that actually frees
+persisted blocks (the round-6 ADVICE finding: ``df.rdd.unpersist()`` on
+a localCheckpointed frame was a no-op on the parent's storage — the
+persist-based design makes eviction observable via ``storageLevel``)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from text_grabr_orc_spark import opcache
+from text_grabr_orc_spark.opcache import cache_clear, cached_frame
+
+
+@pytest.fixture()
+def clean_cache():
+    cache_clear()
+    yield
+    cache_clear()
+
+
+def _docs_fixture(spark, tmp_path, rows):
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_same_key_returns_identical_frame(spark, tmp_path, clean_cache):
+    d = _docs_fixture(spark, tmp_path, [(1, "a"), (2, "b")])
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.read.parquet(os.path.join(d, "documents.parquet"))
+
+    df1 = cached_frame(spark, d, "t_fam", build)
+    df2 = cached_frame(spark, d, "t_fam", build)
+    assert df1 is df2
+    assert len(calls) == 1
+    assert df1.storageLevel.useMemory  # persisted, not plain
+    # distinct extras key -> distinct entry
+    df3 = cached_frame(spark, d, "t_fam", build, 0.7)
+    assert df3 is not df1 and len(calls) == 2
+
+
+def test_content_change_is_a_new_entry(spark, tmp_path, clean_cache):
+    d = _docs_fixture(spark, tmp_path, [(1, "a")])
+    df1 = cached_frame(
+        spark, d, "t_stale",
+        lambda: spark.read.parquet(os.path.join(d, "documents.parquet")),
+    )
+    assert df1.count() == 1
+    # regenerate the fixture with different content (mtime+size change)
+    shutil.rmtree(os.path.join(d, "documents.parquet"))
+    _docs_fixture(spark, tmp_path, [(1, "a"), (2, "bb"), (3, "ccc")])
+    df2 = cached_frame(
+        spark, d, "t_stale",
+        lambda: spark.read.parquet(os.path.join(d, "documents.parquet")),
+    )
+    assert df2 is not df1
+    assert df2.count() == 3
+
+
+def test_eviction_unpersists_the_evicted_frame(spark, tmp_path, clean_cache):
+    from pyspark.sql import functions as F
+
+    d = _docs_fixture(spark, tmp_path, [(1, "a")])
+
+    # distinct logical plan per entry: Spark's CacheManager dedupes
+    # persisted frames BY PLAN, so identical plans would alias storage
+    def build(i):
+        return spark.read.parquet(
+            os.path.join(d, "documents.parquet")
+        ).withColumn("tag", F.lit(i))
+
+    first = cached_frame(spark, d, "t_evict", lambda: build(0), 0)
+    assert first.storageLevel.useMemory
+    # fill past the bound; FIFO evicts the oldest entries
+    for i in range(1, opcache._CACHE_MAX + 1):
+        cached_frame(spark, d, "t_evict", lambda i=i: build(i), i)
+    # the evicted frame's storage really was released (StorageLevel(NONE))
+    assert not first.storageLevel.useMemory
+    assert not first.storageLevel.useDisk
+    # and a re-request rebuilds rather than serving the dropped object
+    again = cached_frame(spark, d, "t_evict", lambda: build(0), 0)
+    assert again is not first
+    assert again.storageLevel.useMemory

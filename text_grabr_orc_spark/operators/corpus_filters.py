@@ -40,7 +40,7 @@ from pyspark.storagelevel import StorageLevel
 from text_grabr_orc_spark.functions.text import ORACLE_WS_RUN, tokens
 from text_grabr_orc_spark.operators.dedup import (
     _ORACLE_SHINGLES,
-    dedup_minhash_lsh,
+    minhash_pairs_cached,
 )
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.tables import load_table
@@ -493,7 +493,7 @@ def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: recursive-CTE transitive closure over the brute-force
     exact-Jaccard pair graph joined to the shared classifier-score
     SQL — different algorithm, same fixpoint."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))

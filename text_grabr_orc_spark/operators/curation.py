@@ -1915,11 +1915,11 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "temp_share", "epochs"
     )
     from text_grabr_orc_spark.operators.text_analysis import (
-        text_quality_scores,
+        quality_scores_cached,
     )
 
     qa = (
-        text_quality_scores(spark, sf_dir)
+        quality_scores_cached(spark, sf_dir)
         .select("source", F.col("quality_score").cast("decimal(12,6)").alias("qd"))
         .groupBy("source")
         .agg(
@@ -1928,9 +1928,9 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_quality")
         )
     )
-    from text_grabr_orc_spark.operators.dedup import dedup_minhash_lsh
+    from text_grabr_orc_spark.operators.dedup import minhash_pairs_cached
 
-    mh = dedup_minhash_lsh(spark, sf_dir)
+    mh = minhash_pairs_cached(spark, sf_dir)
     dup_docs = (
         mh.select(F.col("doc_a").alias("d"))
         .union(mh.select(F.col("doc_b").alias("d")))

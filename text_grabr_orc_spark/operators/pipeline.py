@@ -585,9 +585,9 @@ def chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     {w}-token pseudo-sentence windows get hashed bag-of-words vectors
     ({b} md5-slice buckets — the repo's engine-portable feature-hash
     device), adjacent windows are compared by cosine, and a chunk
-    boundary falls wherever cosine < 0.5. The decision is EXACT
-    integer arithmetic on both engines: cos < tau with tau = 1/2 is
-    4*dot^2 < |a|^2 * |b|^2 — no float crosses the comparator, so the
+    boundary falls wherever cosine < 0.25. The decision is EXACT
+    integer arithmetic on both engines: cos < tau with tau = 1/4 is
+    16*dot^2 < |a|^2 * |b|^2 — no float crosses the comparator, so the
     chunking is bit-reproducible.
 
     The RAG/context shape fixed-offset ``chunk_documents`` cannot

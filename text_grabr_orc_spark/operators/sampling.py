@@ -391,9 +391,9 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the near-dup pair set is duplicate-mass-bounded; the audit
     is a map-side split tag + a 6-group aggregate on it."""
-    from text_grabr_orc_spark.operators.dedup import dedup_minhash_lsh
+    from text_grabr_orc_spark.operators.dedup import minhash_pairs_cached
 
-    mh = dedup_minhash_lsh(spark, sf_dir)
+    mh = minhash_pairs_cached(spark, sf_dir)
 
     def tag(c):
         b = hash_bucket(c, 100)

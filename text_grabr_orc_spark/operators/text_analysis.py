@@ -199,6 +199,21 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "source", *[c.alias(n) for n, c in cols.items()])
 
 
+def quality_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_quality_scores`` materialized once per (session,
+    fixture content) — the shared prefix of the quality rollup,
+    percentile normalization, and curation dashboard (round-6 verdict
+    "what's wrong" #3). Per-doc scalars only: corpus-row-bounded."""
+    from text_grabr_orc_spark.opcache import cached_frame
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "quality_scores",
+        lambda: text_quality_scores(spark, sf_dir),
+    )
+
+
 @register(
     "text_quality_by_source",
     oracle=f"""
@@ -220,7 +235,7 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4dp rounding under the driver in round 1). Integer sums are
     coalesced non-null and CAST BIGINT on both sides (DuckDB
     sum(BIGINT) is HUGEINT -> float64 under pandas comparators)."""
-    q = text_quality_scores(spark, sf_dir)
+    q = quality_scores_cached(spark, sf_dir)
     return q.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(
@@ -1056,7 +1071,7 @@ def quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     means nothing across sources; "top 10%" does)."""
     from pyspark.sql import Window
 
-    q = text_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    q = quality_scores_cached(spark, sf_dir).select("doc_id", "quality_score")
     b = F.broadcast(
         q.agg(
             F.min("quality_score").alias("lo"),
