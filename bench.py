@@ -106,7 +106,11 @@ BENCH_QUERIES = [
     "unigram_encode_viterbi",
     "dedup_incremental_minhash_state",
     "ocr_pipeline_glyph",
-    "streaming_histogram_p90_update",
+    # streaming_histogram_p90_update / _cms_update are NOT timed here:
+    # their wall time is ~94% fixed micro-batch-replay machinery (16
+    # checkpoint-backed triggers), which skews cross-round headline
+    # comparability (round-6 verdict item 1). They are decomposed into
+    # startup vs per-batch marginal inside `streaming_breakdown`.
     "chunk_semantic",
     "events_funnel_windowed",
     "similarity_index_persisted",
@@ -124,7 +128,6 @@ BENCH_QUERIES = [
 #: separately as `streaming_sec`.
 STREAMING_QUERIES = {
     "streaming_hourly_counts",
-    "streaming_histogram_p90_update",
 }
 
 
@@ -239,68 +242,126 @@ def main() -> None:
     )
 
 
-#: scale-curve families: query -> the table whose cardinality drives
-#: it (documents and embeddings are identical at sf0.001/sf0.01, so
-#: each family is fitted against its driving table's ROW COUNT, never
-#: against the sf label).
+#: scale-curve families: query -> driving table + the family's
+#: DECLARED complexity bound (the measured exponent above it is the
+#: alarm). Bounds are algorithmic claims, not aspirations:
+#: dedup_embedding_gemm is the EXACT all-pairs path — O(n²) by design
+#: (the scale guard routes real corpora through banded prefilters;
+#: this entry exists to time the exact kernel honestly, so its bound
+#: is quadratic) — and knn_graph_ivf carries an n²/stride centroid
+#: assignment term alongside its linear per-cell joins.
 SCALE_FAMILIES = {
-    "dedup_minhash_lsh": "documents",
-    "dedup_embedding_gemm": "embeddings",
-    "dedup_clusters_twophase": "embeddings",
-    "knn_graph_ivf": "embeddings",
-    "events_hourly_rollup": "events",
-    # the heaviest round-6 trainer: EM over the word lattice must
-    # scale with the VOCABULARY (sublinear in corpus rows)
-    "unigram_lm_train": "documents",
+    "dedup_minhash_lsh": {"table": "documents", "expected_max": 1.2},
+    "dedup_embedding_gemm": {"table": "embeddings", "expected_max": 2.25},
+    "dedup_clusters_twophase": {"table": "embeddings", "expected_max": 1.4},
+    # sqrt-stride flat IVF: O(n^1.5) by construction (the round-7
+    # decade curve caught the previous fixed-stride variant at ~n²)
+    "knn_graph_ivf": {"table": "embeddings", "expected_max": 1.7},
+    "events_hourly_rollup": {"table": "events", "expected_max": 1.1},
+    "unigram_lm_train": {"table": "documents", "expected_max": 1.3},
 }
 
-_SCALE_DIRS = [
-    "/root/testdata/sf0.001",
-    "/root/testdata/sf0.01",
-    "/root/testdata/sf0.1",
-]
+#: curve points: the base fixture plus the ×10 and ×30 synthetic
+#: tiers (scale_tier.synth_tier_dir — content-aware replication, see
+#: its module docstring) give every family 1.5 DECADES of
+#: driving-table rows with TWO work-dominated upper points, so the
+#: three-point fit below can separate the per-query overhead constant
+#: from the work term (round-6 verdict item 1: 4-10× spans with no
+#: floor handling fitted exponents ~0.03 on linear operators — a
+#: quadratic could hide under them). ×10 as the MIDDLE point is
+#: deliberate: at ×3 a linear family's work increment is still inside
+#: measurement noise (~0.3 s), which destabilizes the difference fit.
+_SCALE_TIER_MULTS = (10, 30)
+
+
+def fit_scale_exponent(points: list[tuple[int, float]]) -> float:
+    """Exponent of the exact power-law-plus-constant fit
+    ``t = c + a·n^p`` through three (rows, sec) points.
+
+    The fixed per-query overhead ``c`` is FITTED, not measured at a
+    separate tiny size — a noisy floor measurement larger than a real
+    point would otherwise clamp residuals and fabricate alarms. With
+    the overhead eliminated via differences,
+    ``(t3−t2)/(t2−t1) = (m3^p − m2^p)/(m2^p − 1)`` for row multiples
+    ``m_i = n_i/n1``; the right side is continuous and increasing in
+    ``p``, so bisection recovers the exponent exactly for exact data
+    (the planted-quadratic test pins this). Degenerate spacing
+    (``t2 ≤ t1``: the middle point is still overhead-dominated) falls
+    back to the top-two-point slope on ``t − t1``, a floor-subtracted
+    upper bound. Pure function — tests/test_bench_harness.py."""
+    import math
+
+    (n1, t1), (n2, t2), (n3, t3) = sorted(points)[-3:]
+    d21, d32 = t2 - t1, t3 - t2
+    if d32 <= 0:
+        return 0.0
+    if d21 <= 0.02:
+        # middle point indistinguishable from the base: bound p from
+        # the top pair alone, treating t1 as the overhead floor
+        return math.log(max(t3 - t1, 0.05) / 0.05) / math.log(n3 / n2)
+    target = d32 / d21
+    m2, m3 = n2 / n1, n3 / n1
+
+    def ratio(p: float) -> float:
+        return (m3**p - m2**p) / (m2**p - 1.0)
+
+    lo, hi = 0.05, 3.5
+    if target <= ratio(lo):
+        return lo
+    if target >= ratio(hi):
+        return hi
+    for _ in range(80):
+        mid = (lo + hi) / 2
+        if ratio(mid) < target:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
 
 
 def _scale_curve(spark) -> dict:
-    """Measured scaling evidence for the dedup/graph family (round-5
-    verdict item 5): steady-state seconds at every fixture size with
-    a DISTINCT driving-table cardinality, plus the least-squares
-    exponent of log(sec) on log(rows). Quasi-linear operators fit
-    exponents ~<= 1; fixed per-query overhead (~0.3 s scheduler floor
-    at these sizes) biases the fit DOWN, so an exponent near or below
-    1 is the pass condition and a super-linear fit is the alarm."""
-    out: dict[str, dict] = {}
-    for name, table in SCALE_FAMILIES.items():
-        fn = registry.QUERIES[name]
-        pts: list[tuple[int, float]] = []
-        seen_rows = set()
-        for d in _SCALE_DIRS:
-            if not os.path.isdir(d):
-                continue
-            rows = spark.read.parquet(f"{d}/{table}.parquet").count()
-            if rows in seen_rows:
-                continue
-            seen_rows.add(rows)
-            fn(spark, d).count()  # warm (codegen + content-tag caches)
-            best = min(
-                _timed(lambda: fn(spark, d).count()) for _ in range(2)
-            )
-            pts.append((rows, best))
-        if len(pts) < 2:
-            continue
-        import math
+    """Measured scaling evidence for the dedup/graph family: per-query
+    seconds at the base fixture and the ×3/×10 synthetic tiers; the
+    reported ``exponent`` is the power-law-plus-constant fit over the
+    decade and ``alarm`` fires when it exceeds the family's declared
+    complexity bound."""
+    from text_grabr_orc_spark.scale_tier import synth_tier_dir
 
-        xs = [math.log(r) for r, _ in pts]
-        ys = [math.log(max(t, 1e-3)) for _, t in pts]
-        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-        denom = sum((x - mx) ** 2 for x in xs)
-        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
-        out[name] = {
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dirs = [sf_dir]
+    for mult in _SCALE_TIER_MULTS:
+        try:
+            dirs.append(synth_tier_dir(spark, sf_dir, mult))
+        except Exception as exc:  # noqa: BLE001
+            print(f"# scale tier x{mult} build failed: {exc}", file=sys.stderr)
+
+    out: dict[str, dict] = {}
+    for name, spec in SCALE_FAMILIES.items():
+        fn = registry.QUERIES[name]
+        table = spec["table"]
+        pts: list[tuple[int, float]] = []
+        for d in dirs:
+            rows = spark.read.parquet(f"{d}/{table}.parquet").count()
+            # run 1 warms content-keyed caches/JIT for this dir; the
+            # min of two keeps one-off stalls out of the fit. Points
+            # already deep in work-dominated territory (>8 s) skip
+            # the repeat: noise is relatively tiny there and the
+            # second run would only burn curve wall-clock.
+            best = _timed(lambda: fn(spark, d).count())
+            if best < 8.0:
+                best = min(best, _timed(lambda: fn(spark, d).count()))
+            pts.append((rows, best))
+        entry = {
             "rows": [r for r, _ in pts],
             "sec": [round(t, 3) for _, t in pts],
-            "exponent": round(slope, 3),
+            "expected_max": spec["expected_max"],
         }
-        print(f"# scale-curve {name}: {out[name]}", file=sys.stderr)
+        if len(pts) >= 3:
+            exp = fit_scale_exponent(pts)
+            entry["exponent"] = round(exp, 3)
+            entry["alarm"] = exp > spec["expected_max"]
+        out[name] = entry
+        print(f"# scale-curve {name}: {entry}", file=sys.stderr)
     return out
 
 
@@ -365,6 +426,34 @@ def _streaming_breakdown(
         "n_batches": n_batches,
         "per_batch_marginal_sec": round(per_batch, 3),
     }
+
+    # UPDATE-mode replay queries (round-6 verdict item 1): their wall
+    # time is dominated by the fixed per-trigger machinery of the
+    # checkpointed replay, so the honest report is the same startup /
+    # marginal decomposition — the identical pipeline run at 2 and at
+    # 8 time-split files; the slope IS the per-micro-batch cost and
+    # the 2-batch run bounds startup + data volume.
+    from text_grabr_orc_spark.streaming.events import (
+        _cms_update_run,
+        _histogram_p90_update_run,
+    )
+
+    for label, fn in (
+        ("streaming_histogram_p90_update", _histogram_p90_update_run),
+        ("streaming_cms_heavy_hitters_update", _cms_update_run),
+    ):
+        t2 = min(
+            _timed(lambda: fn(spark, sf_dir, 2)[0].count()) for _ in range(2)
+        )
+        t8 = min(
+            _timed(lambda: fn(spark, sf_dir, 8)[0].count()) for _ in range(2)
+        )
+        breakdown[label] = {
+            "two_batch_sec": round(t2, 3),
+            "eight_batch_sec": round(t8, 3),
+            "per_batch_marginal_sec": round(max(0.0, (t8 - t2) / 6), 3),
+        }
+
     print(f"# streaming breakdown: {breakdown}", file=sys.stderr)
     return breakdown
 

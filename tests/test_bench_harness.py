@@ -44,15 +44,69 @@ def test_warmup_surfaces_persistent_failures(spark, sf_dir, monkeypatch):
 
 
 def test_scale_curve_exponent_fit():
-    """The least-squares fit recovers a known exponent from synthetic
-    (rows, sec) points — the alarm threshold is meaningful."""
+    """The power-law-plus-constant fit recovers known exponents
+    EXACTLY from exact three-point data, with the overhead constant
+    fitted rather than measured — the alarm threshold is meaningful."""
+    c = 1.3  # fixed per-query overhead, never passed to the fit
+    lin = [(5_000, c + 0.5), (50_000, c + 5.0), (150_000, c + 15.0)]
+    assert abs(bench.fit_scale_exponent(lin) - 1.0) < 1e-6
+    quad = [(5_000, c + 0.05), (50_000, c + 5.0), (150_000, c + 45.0)]
+    assert abs(bench.fit_scale_exponent(quad) - 2.0) < 1e-6
+    sqrt15 = [
+        (2_000, c + 0.1),
+        (20_000, c + 0.1 * 10**1.5),
+        (60_000, c + 0.1 * 30**1.5),
+    ]
+    assert abs(bench.fit_scale_exponent(sqrt15) - 1.5) < 1e-6
+
+
+def test_fit_degenerate_middle_point_reports_flat_or_bound():
+    """Noise cases must not fabricate alarms: a middle point at or
+    below the base (work still sub-noise) falls back gracefully, and
+    a flat top (no growth at all) reports 0."""
+    flat = [(5_000, 2.4), (50_000, 2.2), (150_000, 2.3)]
+    assert bench.fit_scale_exponent(flat) == 0.0 or (
+        bench.fit_scale_exponent(flat) < 0.5
+    )
+    decreasing = [(5_000, 2.4), (50_000, 2.2), (150_000, 2.1)]
+    assert bench.fit_scale_exponent(decreasing) == 0.0
+
+
+def test_planted_quadratic_trips_the_alarm():
+    """Round-6 verdict item 1: under the OLD methodology (raw log-log
+    over a 4× span, overhead included) a quadratic operator hid
+    beneath the per-query constant (measured exponents ~0.03 on
+    linear families). Plant a quadratic whose work term is small next
+    to the overhead at the base size and assert the NEW decade fit
+    still measures it quadratic — while the same operator under the
+    old methodology would NOT have tripped, which is exactly the
+    blind spot the decade tier closes."""
     import math
 
-    pts = [(500, 0.2), (5000, 2.0)]  # exactly linear
-    xs = [math.log(r) for r, _ in pts]
-    ys = [math.log(t) for _, t in pts]
+    floor = 1.0
+    work = lambda n: 2e-11 * n * n  # 0.0005s @5k, 0.05s @50k, 5s @500k
+    pts = lambda sizes: [(n, floor + work(n)) for n in sizes]
+
+    # NEW: base + x10 + x30 tier points (documents family sizing,
+    # scaled up so the work term is visible at the upper points)
+    new_fit = bench.fit_scale_exponent(pts([50_000, 500_000, 1_500_000]))
+    assert abs(new_fit - 2.0) < 1e-6  # trips every family's bound
+
+    # OLD: raw log-log over the 4x span, floor included
+    old_pts = pts([5_000, 20_000])
+    xs = [math.log(r) for r, _ in old_pts]
+    ys = [math.log(t) for _, t in old_pts]
     mx, my = sum(xs) / 2, sum(ys) / 2
-    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
-        (x - mx) ** 2 for x in xs
-    )
-    assert abs(slope - 1.0) < 1e-9
+    old_fit = sum(
+        (x - mx) * (y - my) for x, y in zip(xs, ys)
+    ) / sum((x - mx) ** 2 for x in xs)
+    assert old_fit < 0.1, old_fit  # the quadratic hid under the floor
+
+
+def test_scale_families_declare_bounds():
+    """Every scale family carries a driving table and a declared
+    complexity bound the measured exponent is compared against."""
+    for name, spec in bench.SCALE_FAMILIES.items():
+        assert name in registry.QUERIES or not registry.QUERIES, name
+        assert spec["table"] in {"documents", "embeddings", "events"}
+        assert 1.0 < spec["expected_max"] <= 2.5

@@ -531,3 +531,86 @@ def test_kcore_matches_reference_on_random_graphs(spark):
             for r in dedup.kcore_peel(pairs, 2, 6).collect()
         }
         assert got == want, (trial, sorted(edges), got, want)
+
+
+def test_exact_substr_spans_cap_free_and_reference(spark, tmp_path, sf_dir):
+    """The cap-free ExactSubstr mask (round-6 verdict item 4).
+
+    Crafted fixture: 150 docs share a verbatim 20-token span — every
+    gram inside it has df=150, past _LCS_DF_CAP=100, so the capped
+    per-pair operator drops the span ENTIRELY; the cap-free
+    corpus-level operator must flag it in all 150 docs with the exact
+    start/length. Then the whole operator is checked against an
+    independent pure-Python reference (duplicated-L-gram mask +
+    interval union) on the crafted fixture AND the real one."""
+    from pyspark.sql import functions as F
+
+    from text_grabr_orc_spark.operators.dedup import (
+        _LCS_DF_CAP,
+        _XS_L,
+        dedup_exact_substr_spans,
+        dedup_longest_common_span,
+    )
+
+    span = " ".join(f"shared{i}" for i in range(20))  # 20-token span
+    rows = []
+    for d_id in range(150):
+        prefix = " ".join(f"u{d_id}p{i}" for i in range(5))
+        suffix = " ".join(f"u{d_id}s{i}" for i in range(7))
+        rows.append((d_id, f"{prefix} {span} {suffix}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    d = str(tmp_path / "xs_fixture")
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    assert 150 > _LCS_DF_CAP
+    # capped pair view: every gram of the span is past the cap -> gone
+    assert dedup_longest_common_span(spark, d).count() == 0
+
+    got = {
+        r.doc_id: (r.span_start, r.span_len_tokens)
+        for r in dedup_exact_substr_spans(spark, d).collect()
+    }
+    # all 150 docs flagged, exactly tokens 6..25 (1-based), length 20
+    assert len(got) == 150
+    assert set(got.values()) == {(6, 20)}
+
+    def reference(texts: dict[int, str]) -> set[tuple[int, int, int]]:
+        toks = {i: t.split() for i, t in texts.items()}
+        counts: dict[tuple, int] = {}
+        for tk in toks.values():
+            for p in range(len(tk) - _XS_L + 1):
+                gram = tuple(tk[p : p + _XS_L])
+                counts[gram] = counts.get(gram, 0) + 1
+        out = set()
+        for i, tk in toks.items():
+            ps = [
+                p
+                for p in range(len(tk) - _XS_L + 1)
+                if counts[tuple(tk[p : p + _XS_L])] >= 2
+            ]
+            run: list[int] = []
+            for p in ps:
+                if run and p - run[-1] > _XS_L:
+                    out.add((i, run[0] + 1, run[-1] - run[0] + _XS_L))
+                    run = []
+                run.append(p)
+            if run:
+                out.add((i, run[0] + 1, run[-1] - run[0] + _XS_L))
+        return out
+
+    assert {
+        (r.doc_id, r.span_start, r.span_len_tokens) for r in
+        dedup_exact_substr_spans(spark, d).collect()
+    } == reference({i: t for i, t in rows})
+
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    assert {
+        (r.doc_id, r.span_start, r.span_len_tokens)
+        for r in dedup_exact_substr_spans(spark, sf_dir).collect()
+    } == reference({r.doc_id: r.text for r in real})

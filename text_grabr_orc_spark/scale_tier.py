@@ -1,0 +1,142 @@
+"""Deterministic synthetic scale tier: the base fixture replicated
+×mult with DISTINCT content per replica.
+
+Round-6 verdict item 1 ("Next round" #1): the bench's scale-curve
+exponents were fitted over 4-10× row spans where the fixed per-query
+constant swamps the work term (minhash 0.03, unigram −0.02 — a
+genuinely quadratic operator could hide under those numbers). This
+module builds the larger tier so each family's fit spans ≥1 decade of
+work-dominated sizes.
+
+Replication is content-aware, not byte-copying — a naive copy would
+CHANGE operator semantics (identical shingles across copies would give
+every shingle bucket ×mult occupancy and quadratic cross-copy candidate
+mass, measuring an artifact instead of scale):
+
+- ``documents``: every token gets a per-replica suffix
+  (``regexp_replace(text, '(\\S+)', '$1zr<r>')``) — a BIJECTION on the
+  token vocabulary, so within-replica Jaccard/shingle structure (and
+  therefore duplicate mass per replica) is preserved EXACTLY while no
+  shingle ever collides across replicas: pair mass scales ×mult,
+  vocabulary scales ×mult. ``n_chars`` is recomputed from the new text.
+- ``embeddings``: a per-replica SIGNED PERMUTATION of the 64 dims
+  (Fisher-Yates + Rademacher signs from a fixed seed). An orthogonal
+  map: sign flips cancel exactly in every within-replica dot product
+  and the permutation only reorders its summation, so within-replica
+  cosine structure is preserved to float rounding, while
+  cross-replica similarity is scrambled — near-dup pair mass scales
+  ×mult, not ×mult².
+- ``events``: each replica shifted by ``r × 400 days`` with distinct
+  event/user ids — both rows AND the hour-window keyspace grow, the
+  longer-retention shape a real rollup sees at 100 TB.
+
+The tier is built ONCE per (base fixture content, mult) via
+``published_cache_dir`` (atomic rename publish, per-uid path) and
+reused across bench runs; ids are offset by fixed strides so replica id
+spaces never collide.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from text_grabr_orc_spark.tables import published_cache_dir
+
+_DOC_STRIDE = 1_000_000
+_VEC_STRIDE = 1_000_000
+_EVT_STRIDE = 100_000_000
+_USER_STRIDE = 10_000_000
+_DIMS = 64
+_SEED = 0x5CA1E
+
+
+def _replicated_documents(docs: DataFrame, mult: int) -> DataFrame:
+    parts = []
+    for r in range(mult):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * _DOC_STRIDE)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1zr{r}").alias("text"),
+                "lang",
+                "source",
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _replicated_embeddings(emb: DataFrame, mult: int) -> DataFrame:
+    parts = []
+    for r in range(mult):
+        rnd = random.Random(_SEED + r)
+        perm = list(range(_DIMS))
+        rnd.shuffle(perm)
+        signs = [rnd.choice((-1.0, 1.0)) for _ in range(_DIMS)]
+        vec = F.array(
+            *[
+                (
+                    F.element_at("embedding", perm[i] + 1) * F.lit(signs[i])
+                ).cast("float")
+                for i in range(_DIMS)
+            ]
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * _VEC_STRIDE)).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _replicated_events(ev: DataFrame, mult: int) -> DataFrame:
+    parts = []
+    for r in range(mult):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(r * _EVT_STRIDE)).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {r * 400} DAYS")).alias("ts"),
+                (F.col("user_id") + F.lit(r * _USER_STRIDE)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def synth_tier_dir(spark: SparkSession, base_sf_dir: str, mult: int) -> str:
+    """Path of the ×``mult`` tier for ``base_sf_dir``, building it on
+    first use (atomic publish; content-addressed on the base fixture)."""
+
+    def build(tmp: str) -> None:
+        docs = spark.read.parquet(f"{base_sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{base_sf_dir}/embeddings.parquet")
+        ev = spark.read.parquet(f"{base_sf_dir}/events.parquet")
+        _replicated_documents(docs, mult).repartition(
+            max(8, 2 * mult)
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        _replicated_embeddings(emb, mult).repartition(8).write.parquet(
+            os.path.join(tmp, "embeddings.parquet")
+        )
+        _replicated_events(ev, mult).repartition(
+            max(8, 2 * mult)
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        # completeness sentinel for published_cache_dir: the LAST write
+        open(os.path.join(tmp, "_TIER_COMPLETE"), "w").write("ok")
+
+    return published_cache_dir(
+        f"tgos_scale_x{mult}", base_sf_dir, build, marker="_TIER_COMPLETE"
+    )
