@@ -70,6 +70,13 @@ def test_fit_degenerate_middle_point_reports_flat_or_bound():
     )
     decreasing = [(5_000, 2.4), (50_000, 2.2), (150_000, 2.1)]
     assert bench.fit_scale_exponent(decreasing) == 0.0
+    # +10% total over 30x rows with a dipping middle = noise on a
+    # flat family, NOT exponent ~1.5 (the round-7 false alarm)
+    jitter_flat = [(5_000, 2.678), (50_000, 2.506), (150_000, 2.955)]
+    assert bench.fit_scale_exponent(jitter_flat) == 0.0
+    # but a top point that REALLY grew still reports super-linear
+    grew = [(5_000, 1.9), (50_000, 1.85), (150_000, 7.4)]
+    assert bench.fit_scale_exponent(grew) > 1.3
 
 
 def test_planted_quadratic_trips_the_alarm():

@@ -1928,7 +1928,10 @@ def dedup_longest_common_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens appears as a run of L - {w} + 1 consecutive grams. Hot
     grams past a {cap}-position posting cap are dropped on both
     engines (boilerplate handled by its own operator), bounding join
-    fan-out — the same cap suffix-dedup implementations apply.
+    fan-out — the same cap suffix-dedup implementations apply. The
+    cap is inherent to the per-PAIR contract (d docs sharing a span
+    IS d(d-1)/2 output pairs); the CAP-FREE corpus-level view is
+    ``dedup_exact_substr_spans``.
 
     Scale: the exchange carries (gram, doc, pos) postings once; runs
     are computed under (doc_a, doc_b, diag)-partitioned windows —
