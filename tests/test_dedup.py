@@ -614,3 +614,45 @@ def test_exact_substr_spans_cap_free_and_reference(spark, tmp_path, sf_dir):
         (r.doc_id, r.span_start, r.span_len_tokens)
         for r in dedup_exact_substr_spans(spark, sf_dir).collect()
     } == reference({r.doc_id: r.text for r in real})
+
+
+def test_exact_substr_scrub_removes_exact_spans(spark, tmp_path):
+    """Scrub action on a crafted corpus: every affected doc loses
+    exactly the shared 20-token span; the md5 bit-check equals the
+    hand-built expected text; a fully-duplicated doc scrubs to the
+    empty string rather than vanishing."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from text_grabr_orc_spark.operators.dedup import (
+        dedup_exact_substr_scrub,
+    )
+
+    span = " ".join(f"shared{i}" for i in range(20))
+    rows = []
+    expected = {}
+    for d_id in range(3):
+        prefix = " ".join(f"u{d_id}p{i}" for i in range(5))
+        suffix = " ".join(f"u{d_id}s{i}" for i in range(7))
+        rows.append((d_id, f"{prefix} {span} {suffix}"))
+        expected[d_id] = f"{prefix} {suffix}"
+    # docs 3 and 4: the bare span only -> fully masked, empty scrub
+    rows += [(3, span), (4, span)]
+    expected[3] = expected[4] = ""
+    # doc 5: unique text, never emitted
+    rows.append((5, " ".join(f"solo{i}" for i in range(30))))
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    d = str(tmp_path / "xs_scrub")
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    got = {r.doc_id: r for r in dedup_exact_substr_scrub(spark, d).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    for i, r in got.items():
+        assert r.n_removed == 20
+        assert r.n_kept == len(expected[i].split()) if expected[i] else r.n_kept == 0
+        assert r.scrub_md5 == hashlib.md5(expected[i].encode()).hexdigest()

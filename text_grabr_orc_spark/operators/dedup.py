@@ -2110,6 +2110,127 @@ dedup_exact_substr_spans.__doc__ = dedup_exact_substr_spans.__doc__.format(
 )
 
 
+_XS_SPANS_ORACLE_BODY = f"""
+    WITH t AS (
+        SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+    ), idx AS (
+        SELECT unnest(range(1, (SELECT max(len(toks)) FROM t) + 1))::INT AS i
+    ), g AS (
+        SELECT doc_id, i AS p,
+               list_aggregate(toks[i:i + {_XS_L} - 1], 'string_agg', ' ') AS g
+        FROM t CROSS JOIN idx
+        WHERE i <= len(toks) - {_XS_L} + 1
+    ), dup AS (
+        SELECT g FROM g GROUP BY g HAVING count(*) >= 2
+    ), hits AS (
+        SELECT doc_id, p FROM g JOIN dup USING (g)
+    ), flagged AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         <= {_XS_L}
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits
+    ), isl AS (
+        SELECT doc_id, p,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        FROM flagged
+    ), spans AS (
+        SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+               CAST(max(p) - min(p) + {_XS_L} AS BIGINT) AS span_len_tokens
+        FROM isl GROUP BY doc_id, island
+    )
+"""
+
+
+@register(
+    "dedup_exact_substr_scrub",
+    oracle=f"""{_XS_SPANS_ORACLE_BODY}
+    , masked AS (
+        SELECT DISTINCT doc_id,
+               unnest(range(span_start,
+                            span_start + span_len_tokens))::BIGINT AS p
+        FROM spans
+    ), tok AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1)::BIGINT AS p
+        FROM t
+    ), aff AS (
+        SELECT DISTINCT doc_id FROM masked
+    ), fl AS (
+        SELECT tok.doc_id, tok.p, tok.tok, m.p IS NOT NULL AS is_masked
+        FROM tok JOIN aff USING (doc_id)
+        LEFT JOIN masked m ON m.doc_id = tok.doc_id AND m.p = tok.p
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN is_masked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(sum(CASE WHEN is_masked THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN NOT is_masked THEN tok END,
+                                   ' ' ORDER BY p), '')) AS scrub_md5
+    FROM fl GROUP BY doc_id
+    """,
+)
+def dedup_exact_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION to ``dedup_exact_substr_spans``'s signal — the same
+    detect->remediate symmetry as ``boilerplate_scrub`` and
+    ``decontaminate_canary_scrub``: every token covered by the exact
+    duplicated-span mask is removed, and the scrubbed document is
+    BIT-CHECKED via md5 of the kept tokens (space-joined in position
+    order) next to removed/kept counts. Only affected documents are
+    emitted (the remediation delta — a production pass left-anti
+    joins it back onto the corpus).
+
+    Composition: the span mask is the registered cap-free operator's
+    plan nested verbatim (the oracle nests its SQL the same way), so
+    the scrub inherits the mask's exactness proof; the scrub itself
+    adds one sequence-explode of the span intervals, one
+    (doc, pos)-keyed anti-flag join, and a per-doc aggregate — all
+    linear, no pair join, exact at any duplication skew.
+
+    A fully-duplicated document scrubs to the empty string
+    (md5('') on both engines), not a dropped row — the caller
+    decides whether empty survivors are kept."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup_exact_substr_spans(spark, sf_dir)
+    masked = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("span_start"),
+                F.col("span_start") + F.col("span_len_tokens") - 1,
+            )
+        ).alias("p"),
+    ).distinct()
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "tok")
+    affected = masked.select("doc_id").distinct()
+    fl = toks.join(affected, "doc_id").join(
+        masked.withColumn("m", F.lit(1)), ["doc_id", "p"], "left"
+    )
+    kept_struct = F.when(
+        F.col("m").isNull(), F.struct(F.col("p"), F.col("tok"))
+    )
+    return fl.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("m").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            )
+        ).alias("scrub_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplication profile: component-size histogram
 # ---------------------------------------------------------------------------
