@@ -1,8 +1,12 @@
-"""The synthetic scale tier must multiply WORK, not create artifact
-candidate mass: token vocabularies are disjoint across replicas (no
-cross-replica shingle collisions), within-replica geometry is
-preserved (token bijection / signed permutation), and row counts are
-exactly ×mult."""
+"""The synthetic scale tier must multiply WORK faithfully: token
+vocabularies are disjoint across replicas (no cross-replica shingle
+collisions — lexical candidate mass scales exactly ×mult),
+within-replica geometry is preserved (token bijection / signed
+permutation), and row counts are exactly ×mult. For embeddings,
+cross-replica cosines follow the data's BACKGROUND distribution —
+the honest fixed-dimension limit; the quadratic background pair
+mass this implies at tail thresholds is documented in
+scale_tier.py and priced into bench.SCALE_FAMILIES bounds."""
 
 from __future__ import annotations
 

@@ -1996,10 +1996,11 @@ dedup_longest_common_span.__doc__ = dedup_longest_common_span.__doc__.format(
 #: equal to _LCS_MIN_SPAN so the two views threshold comparably).
 _XS_L = 10
 
-
-@register(
-    "dedup_exact_substr_spans",
-    oracle=f"""
+#: the span-mask derivation, shared VERBATIM by the spans operator's
+#: oracle and the scrub oracle that nests it — one definition, so the
+#: "scrub inherits the mask's exactness proof" claim is enforced by
+#: construction, not by keeping two copies in sync.
+_XS_SPANS_ORACLE_BODY = f"""
     WITH t AS (
         SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
     ), idx AS (
@@ -2023,10 +2024,18 @@ _XS_L = 10
         SELECT doc_id, p,
                sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
         FROM flagged
+    ), spans AS (
+        SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+               CAST(max(p) - min(p) + {_XS_L} AS BIGINT) AS span_len_tokens
+        FROM isl GROUP BY doc_id, island
     )
-    SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
-           CAST(max(p) - min(p) + {_XS_L} AS BIGINT) AS span_len_tokens
-    FROM isl GROUP BY doc_id, island
+"""
+
+
+@register(
+    "dedup_exact_substr_spans",
+    oracle=f"""{_XS_SPANS_ORACLE_BODY}
+    SELECT doc_id, span_start, span_len_tokens FROM spans
     """,
 )
 def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2108,38 +2117,6 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_exact_substr_spans.__doc__ = dedup_exact_substr_spans.__doc__.format(
     l=_XS_L
 )
-
-
-_XS_SPANS_ORACLE_BODY = f"""
-    WITH t AS (
-        SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
-    ), idx AS (
-        SELECT unnest(range(1, (SELECT max(len(toks)) FROM t) + 1))::INT AS i
-    ), g AS (
-        SELECT doc_id, i AS p,
-               list_aggregate(toks[i:i + {_XS_L} - 1], 'string_agg', ' ') AS g
-        FROM t CROSS JOIN idx
-        WHERE i <= len(toks) - {_XS_L} + 1
-    ), dup AS (
-        SELECT g FROM g GROUP BY g HAVING count(*) >= 2
-    ), hits AS (
-        SELECT doc_id, p FROM g JOIN dup USING (g)
-    ), flagged AS (
-        SELECT doc_id, p,
-               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
-                         <= {_XS_L}
-                    THEN 0 ELSE 1 END AS brk
-        FROM hits
-    ), isl AS (
-        SELECT doc_id, p,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
-        FROM flagged
-    ), spans AS (
-        SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
-               CAST(max(p) - min(p) + {_XS_L} AS BIGINT) AS span_len_tokens
-        FROM isl GROUP BY doc_id, island
-    )
-"""
 
 
 @register(

@@ -115,7 +115,13 @@ def published_cache_dir(
     tmp = os.path.join(
         base, f".build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     )
-    build(tmp)
+    try:
+        build(tmp)
+    except BaseException:
+        # a failed build (OOM, disk full) must not leak a
+        # multi-gigabyte half-written scratch tree under /tmp
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     if not os.path.exists(os.path.join(tmp, marker)):
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
