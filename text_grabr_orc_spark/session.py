@@ -66,6 +66,16 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.path.join(tempfile.gettempdir(), "tgos_warehouse"),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.memory",
+            # single-JVM local mode hosts ALL executor storage: 8g
+            # thrashed GC once a long bench run accumulated persist /
+            # localCheckpoint blocks (measured: mid-list queries 4-9x
+            # slower late in a run); the container has 128 GiB
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+        # long-lived local JVMs accumulate dropped RDD blocks until a
+        # full GC happens to run; reclaim them on a bounded cadence
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     return builder.getOrCreate()
