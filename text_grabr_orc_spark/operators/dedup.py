@@ -38,6 +38,7 @@ from text_grabr_orc_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from text_grabr_orc_spark.functions.windows import bounded_window
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.tables import load_table
 
@@ -920,9 +921,24 @@ def gemm_cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     # theta pairing is a nested loop over two tiny int lists, never a
     # partitioned cartesian.
     blk_ids = packed.select("blk")
-    pair_idx = blk_ids.select(F.col("blk").alias("blk_a")).join(
-        F.broadcast(blk_ids.select(F.col("blk").alias("blk_b"))),
-        F.col("blk_a") <= F.col("blk_b"),
+    # Rank the pairs on the INT-ONLY index (tiles² rows, a few bytes
+    # each — never the packed matrices) and range-partition by rank:
+    # every tile pair is an identical-cost BLAS call, so the
+    # wall-clock is the fullest task, and hash placement (the old
+    # repartition on blk ids) put 2-3x the mean pair count on unlucky
+    # partitions — the stragglers dominated at the x30 bench tier.
+    # Range partitioning the dense rank gives each task an almost
+    # identical pair count by construction.
+    pair_idx = (
+        blk_ids.select(F.col("blk").alias("blk_a"))
+        .join(
+            F.broadcast(blk_ids.select(F.col("blk").alias("blk_b"))),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+        .withColumn(
+            "pair_rank",
+            F.row_number().over(bounded_window("blk_a", "blk_a", "blk_b")),
+        )
     )
     pairs = (
         pair_idx.join(
@@ -941,9 +957,10 @@ def gemm_cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
             ),
             "blk_b",
         )
-        # spread tile pairs across tasks instead of wherever the join
-        # left them (a handful of wide rows per partition)
-        .repartition(F.col("blk_a"), F.col("blk_b"))
+        # one wide shuffle (same volume the old blk-hash repartition
+        # paid) but range-partitioned on the dense rank -> even tasks
+        .repartitionByRange("pair_rank")
+        .drop("pair_rank")
     )
 
     out_schema = "vec_a bigint, vec_b bigint, cosine double"
@@ -961,10 +978,20 @@ def gemm_cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
                 )
                 na = np.sqrt((a * a).sum(axis=1))
                 nb = np.sqrt((b * b).sum(axis=1))
-                scores = a @ b.T
-                denom = np.outer(na, nb)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = np.where(denom > 0, scores / denom, 0.0)
+                # normalize the (rows x dim) operands BEFORE the
+                # matmul instead of dividing the (rows x rows) score
+                # matrix by an outer-product denominator: drops two
+                # tile²-sized float64 temporaries per pair (the
+                # allocator churn dominated variance at the x30
+                # tier); the rows x dim temporaries here are ~1% of
+                # that. Zero-norm rows get reciprocal 0, i.e. an
+                # all-zero row whose dots are 0 — same cos=0
+                # contract as the old where(denom > 0, ..., 0).
+                ra = np.zeros_like(na)
+                rb = np.zeros_like(nb)
+                np.divide(1.0, na, out=ra, where=na > 0)
+                np.divide(1.0, nb, out=rb, where=nb > 0)
+                cos = (a * ra[:, None]) @ (b * rb[:, None]).T
                 ii, jj = np.nonzero(cos >= threshold)
                 # strictly-upper pairs: across tiles every hit counts,
                 # within a tile keep id_a < id_b
