@@ -264,10 +264,18 @@ SCALE_FAMILIES = {
     "dedup_clusters_twophase": {"table": "embeddings", "expected_max": 1.8},
     # sqrt-stride flat IVF: O(n^1.5) by construction (the round-7
     # decade curve caught the previous fixed-stride variant at ~n²,
-    # measured 2.19). Bound = theory 1.5 + margin for single-run
-    # noise at the ×30 point (measured 1.3-1.7 across runs; a true
-    # quadratic measures ≥2.0)
-    "knn_graph_ivf": {"table": "embeddings", "expected_max": 1.9},
+    # measured 2.19). Bound = theory 1.5 + noise margin; a true
+    # quadratic measures ≥2.0. Fitted on ×3/×10 tiers: the n^1.5
+    # work term is measurable at ×3 already (unlike the linear
+    # families), while the ×30 point's 14.7M-pair Catalyst dot pass
+    # swings 21-58 s with JVM allocator state — at ×10 the points
+    # are stable and a quadratic still separates cleanly (target
+    # ratio 11.4 vs 3.5 at p=1.5).
+    "knn_graph_ivf": {
+        "table": "embeddings",
+        "expected_max": 1.9,
+        "mults": (3, 10),
+    },
     "events_hourly_rollup": {"table": "events", "expected_max": 1.1},
     "unigram_lm_train": {"table": "documents", "expected_max": 1.3},
 }
@@ -306,7 +314,12 @@ def fit_scale_exponent(points: list[tuple[int, float]]) -> float:
     d21, d32 = t2 - t1, t3 - t2
     if d32 <= 0:
         return 0.0
-    if d21 <= 0.02:
+    # the middle increment must clear measurement noise (~10% of the
+    # base time on this box) before it may DRIVE the fit — a 0.11 s
+    # jitter on a 2 s constant-dominated family once solved to p≈1.5
+    # through the bisection; real work terms at these sizes produce
+    # increments several times the base
+    if d21 <= max(0.02, 0.1 * t1):
         # The middle point is indistinguishable from the base — the
         # fit cannot separate overhead from work, so p is formally
         # indeterminate. Two honest sub-cases:
@@ -379,10 +392,15 @@ def _scale_curve(spark) -> dict:
         print(f"# cache clear before curve failed: {exc}", file=sys.stderr)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    dirs = [sf_dir]
-    for mult in _SCALE_TIER_MULTS:
+    tier_dirs: dict[int, str] = {}
+    needed = {
+        m
+        for spec in SCALE_FAMILIES.values()
+        for m in spec.get("mults", _SCALE_TIER_MULTS)
+    }
+    for mult in sorted(needed):
         try:
-            dirs.append(synth_tier_dir(spark, sf_dir, mult))
+            tier_dirs[mult] = synth_tier_dir(spark, sf_dir, mult)
         except Exception as exc:  # noqa: BLE001
             print(f"# scale tier x{mult} build failed: {exc}", file=sys.stderr)
 
@@ -390,6 +408,11 @@ def _scale_curve(spark) -> dict:
     for name, spec in SCALE_FAMILIES.items():
         fn = registry.QUERIES[name]
         table = spec["table"]
+        dirs = [sf_dir] + [
+            tier_dirs[m]
+            for m in spec.get("mults", _SCALE_TIER_MULTS)
+            if m in tier_dirs
+        ]
         pts: list[tuple[int, float]] = []
         for d in dirs:
             rows = spark.read.parquet(f"{d}/{table}.parquet").count()

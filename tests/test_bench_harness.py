@@ -77,6 +77,10 @@ def test_fit_degenerate_middle_point_reports_flat_or_bound():
     # an assumed-noise-floor fabrication (measured 3.44 pre-fix)
     late_growth = [(2_000, 3.616), (20_000, 3.541), (60_000, 5.81)]
     assert bench.fit_scale_exponent(late_growth) < 0.2
+    # a sub-noise POSITIVE middle increment (+0.11s on a 2s constant)
+    # must not drive the bisection either (solved to p≈1.5 pre-fix)
+    small_d21 = [(5_000, 2.02), (50_000, 2.133), (150_000, 2.625)]
+    assert bench.fit_scale_exponent(small_d21) < 0.2
     # but a top point that REALLY grew (>2x) still reports
     # super-linear
     grew = [(5_000, 1.9), (50_000, 1.85), (150_000, 7.4)]
