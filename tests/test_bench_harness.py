@@ -130,3 +130,40 @@ def test_scale_families_declare_bounds():
         assert name in registry.QUERIES, name
         assert spec["table"] in {"documents", "embeddings", "events"}
         assert 1.0 < spec["expected_max"] <= 2.5
+
+
+def test_fit_kind_distinguishes_bounded_from_fitted():
+    """Round-7 advice: a BOUNDED exponent (middle point inside noise,
+    top grew >2x — p assumed from a 0.05s work term) must be labeled
+    differently from a bisection FIT, and the alarm policy must gate
+    bounded values on material absolute growth."""
+    c = 1.3
+    quad = [(5_000, c + 0.05), (50_000, c + 5.0), (150_000, c + 45.0)]
+    p, kind = bench.fit_scale(quad)
+    assert kind == "bisection" and abs(p - 2.0) < 1e-6
+    assert bench._alarm(p, kind, quad, 1.2) is True
+
+    flat = [(5_000, 2.4), (50_000, 2.2), (150_000, 2.1)]
+    p, kind = bench.fit_scale(flat)
+    assert kind == "flat" and p == 0.0
+    assert bench._alarm(p, kind, flat, 1.2) is False
+
+    jitter = [(5_000, 2.678), (50_000, 2.506), (150_000, 2.955)]
+    p, kind = bench.fit_scale(jitter)
+    assert kind == "raw_slope"
+    assert bench._alarm(p, kind, jitter, 1.2) is False
+
+    # bounded branch, SMALL absolute growth (0.4s -> 0.9s): the p
+    # value clamps high but must not alarm — constant-scale jitter
+    small = [(5_000, 0.4), (50_000, 0.42), (150_000, 0.9)]
+    p, kind = bench.fit_scale(small)
+    assert kind == "upper_bound"
+    assert bench._alarm(p, kind, small, 1.2) is False
+
+    # bounded branch, LARGE absolute growth (1.9s -> 7.4s): a real
+    # super-linear work term the fit cannot resolve precisely — the
+    # bound still alarms
+    grew = [(5_000, 1.9), (50_000, 1.85), (150_000, 7.4)]
+    p, kind = bench.fit_scale(grew)
+    assert kind == "upper_bound" and p > 1.3
+    assert bench._alarm(p, kind, grew, 1.2) is True

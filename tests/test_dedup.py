@@ -656,3 +656,64 @@ def test_exact_substr_scrub_removes_exact_spans(spark, tmp_path):
         assert r.n_removed == 20
         assert r.n_kept == len(expected[i].split()) if expected[i] else r.n_kept == 0
         assert r.scrub_md5 == hashlib.md5(expected[i].encode()).hexdigest()
+
+
+def test_embedding_rhp_highsim_matches_exact_on_augmented(spark, sf_dir):
+    """The θ=0.85 banded operating point must report EXACTLY the
+    all-pairs ≥0.85 set over the planted-dup augmented table (recall
+    1 on the fixture: planted pairs sit at cosine ≥0.9989 by the
+    Kantorovich bound, where the banding's miss probability is
+    <1e-10 and deterministic hyperplanes make it exactly 0 here)."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    scale = np.ones(vecs.shape[1])
+    scale[1::2] = 1.1  # even elements 1-based == odd indices 0-based
+    planted = ids % dedup._HS_DUP_STRIDE == 0
+    aug_ids = np.concatenate([ids, ids[planted] + dedup._HS_DUP_OFFSET])
+    aug = np.vstack([vecs, vecs[planted] * scale])
+    nrm = np.linalg.norm(aug, axis=1)
+    cos = (aug @ aug.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(len(aug_ids), k=1)
+    # id order, not row order: vec_a < vec_b by ID
+    exact = set()
+    for i, j in zip(*iu):
+        if cos[i, j] >= dedup._HS_THRESHOLD:
+            a, b = sorted((int(aug_ids[i]), int(aug_ids[j])))
+            exact.add((a, b))
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.dedup_embedding_rhp_highsim(spark, sf_dir).collect()
+    }
+    assert got == exact and len(exact) > 0
+    # every reported pair is a planted (original, copy) pair — the
+    # fixture's background tops out ~0.6, far under the threshold
+    assert all(b - a == dedup._HS_DUP_OFFSET for a, b in exact)
+
+
+def test_embedding_rhp_highsim_plan_is_banded(spark, sf_dir):
+    from text_grabr_orc_spark.plans import executed_plan
+
+    plan = executed_plan(dedup.dedup_embedding_rhp_highsim(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert any(
+        "Join" in line and "band_idx" in line and "band_val" in line
+        for line in plan.splitlines()
+    ), "band self-join is not a keyed equi-join"
+    # the only nested-loop joins are the tiny broadcast hyperplane
+    # slice (IdentityBroadcastMode), never corpus x corpus
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "IdentityBroadcastMode"
+    )
+
+
+def test_hs_band_bits_grows_with_corpus():
+    """r ~ log2(n): fixed r would re-quadratize the band join; the
+    sizing keeps ≥2n buckets per band at every size."""
+    assert dedup._hs_band_bits(500) == 10
+    assert dedup._hs_band_bits(2040) == 12
+    assert dedup._hs_band_bits(61200) == 17
+    for n in (100, 1000, 60000, 10**7):
+        assert 2 ** dedup._hs_band_bits(n) >= 2 * n

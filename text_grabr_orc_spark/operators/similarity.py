@@ -1691,9 +1691,12 @@ _KNN_K = 3
         FROM embeddings
     ), st AS (
         -- sqrt-balanced centroid stride (see the Spark docstring);
-        -- round() parity with Python holds because sqrt of an
-        -- integer can never land exactly on a .5 tie
-        SELECT greatest(2, CAST(round(sqrt(count(*))) AS BIGINT)) AS k
+        -- floor(sqrt+0.5) is half-away-from-zero BY CONSTRUCTION, the
+        -- same computation as the Python side's int(sqrt(n)+0.5) —
+        -- parity no longer leans on "sqrt never ties at .5", which is
+        -- false in float64 for n = k^2+k once k >= 2^26 (round-7
+        -- advice)
+        SELECT greatest(2, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) AS k
         FROM embeddings
     ), cent AS (
         SELECT vec_id AS centroid_id, e AS ce FROM v, st
@@ -1742,8 +1745,12 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     point). sqrt-stride balances both passes: c ≈ sqrt(n) centroids
     to assign against AND ~sqrt(n)-sized cells to self-join, so total
     work is O(n^1.5) — the standard flat-IVF operating point. The
-    stride is one count() scalar; both engines round the same value
-    (sqrt of an integer can never be an exact .5 tie).
+    stride is one count() scalar; both engines compute the SAME
+    half-away-from-zero rounding (int(sqrt+0.5) here, floor(sqrt+0.5)
+    in the oracle) rather than relying on Python's banker's round()
+    agreeing with DuckDB's — float64 sqrt of n = k^2+k rounds to
+    exactly k+0.5 once k >= 2^26, where the two would diverge
+    (round-7 advice).
 
     Scale: one broadcast of the centroid table, one shuffle of the
     corpus on centroid_id, per-cell self-join + WindowGroupLimit
@@ -1752,7 +1759,7 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
-    stride = max(2, round(math.sqrt(emb.count())))
+    stride = max(2, int(math.sqrt(emb.count()) + 0.5))
     cent = F.broadcast(
         emb.filter(F.col("vec_id") % stride == 0).select(
             F.col("vec_id").alias("centroid_id"),

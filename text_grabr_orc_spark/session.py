@@ -68,11 +68,14 @@ def get_spark(
         )
         .config(
             "spark.driver.memory",
-            # single-JVM local mode hosts ALL executor storage: 8g
-            # thrashed GC once a long bench run accumulated persist /
-            # localCheckpoint blocks (measured: mid-list queries 4-9x
-            # slower late in a run); the container has 128 GiB
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            # 8g is the LIBRARY default — a 16g -Xmx baked in here
+            # would assume a large host for every get_spark() caller
+            # (round-7 advice). The long bench/sweep workloads that
+            # measured 8g GC-thrashing (mid-list queries 4-9x slower
+            # once ~70 heavy queries accumulated persist blocks) set
+            # SPARK_GRAFT_DRIVER_MEM=16g themselves (bench.py,
+            # tools/check.py).
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
         # long-lived local JVMs accumulate dropped RDD blocks until a
         # full GC happens to run; reclaim them on a bounded cadence

@@ -146,4 +146,14 @@ def published_cache_dir(
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(aside, ignore_errors=True)
+    # every path above must leave a COMPLETE dir at `final`; if the
+    # race handling lost both renames (concurrent stale-handlers, or
+    # an unexpected OSError like EXDEV) a caller would otherwise scan
+    # a partial/stale directory this function just promised is
+    # complete (round-7 advice)
+    if not os.path.exists(marker_path):
+        raise RuntimeError(
+            f"cache publish for {family} left no {marker} marker at"
+            f" {final}; retry the build"
+        )
     return final

@@ -130,6 +130,10 @@ def main() -> int:
             .getOrCreate()
         )
     else:
+        # full-registry sweeps accumulate ~240 queries of persist /
+        # localCheckpoint blocks in one JVM — the workload that
+        # measured 8g GC-thrashing (see session.py driver-memory note)
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
         spark = get_spark("check")
     con = duckdb.connect()
     for name in TABLE_NAMES:
