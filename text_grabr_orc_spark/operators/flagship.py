@@ -1,0 +1,360 @@
+"""Flagship end-to-end corpus build — the artifact a pretraining data
+team actually ships (round-7 verdict "next round" #6): one registered,
+hash-checked query that composes the engine's cleaning, keep-best
+near-dup dedup, all three decontamination mechanisms, cluster-aware
+splitting, sequence packing and shard manifesting into a single
+funnel, reporting a per-stage attrition row for each.
+
+Every stage is the REGISTERED operator (Spark side calls the operator
+function; the DuckDB oracle nests the operator's registered SQL
+verbatim via ``registry.ORACLES``), so the flagship's correctness gate
+transitively re-checks each stage's own contract — there is no second
+implementation to drift.
+
+Funnel semantics: each stage's drop set is computed corpus-wide by its
+operator (that is each operator's contract), then applied to the
+CURRENT survivor set in order — a doc is removed by the FIRST stage
+that drops it, identical on both engines by construction.
+
+The reference's whole pipeline is a one-document funnel (validate ->
+preprocess -> OCR -> count, `main.go:41-97`); this operator is that
+shape at corpus scale with the north-star stages in between.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# stage-operator modules MUST be imported before the ORACLES lookups
+# below (each registers its SQL at import time); registry.load_all()
+# also imports this module LAST for the same reason.
+from text_grabr_orc_spark.operators import (  # noqa: F401
+    corpus_filters,
+    curation,
+    dedup,
+    pipeline,
+    sampling,
+    similarity,
+)
+from text_grabr_orc_spark.operators.curation import _DECON_MOD, _N_SHARDS
+from text_grabr_orc_spark.operators.pipeline import (
+    CLEAN_STAGED_BODY,
+    _MIN_QUALITY,
+    _PACK_CAPACITY,
+    clean_doc_decisions,
+    distributed_prefix_cum,
+)
+from text_grabr_orc_spark.opcache import cached_frame
+from text_grabr_orc_spark.registry import ORACLES, register
+from text_grabr_orc_spark.tables import load_table
+
+#: (stage_ord, stage) labels — the funnel rows both engines emit.
+_STAGES = (
+    "raw",
+    "clean",
+    "keep_best_neardup",
+    "holdout_slice",
+    "decon_ngram",
+    "decon_bloom",
+    "decon_semantic",
+    "train_split",
+)
+
+_FLAGSHIP_ORACLE = f"""
+    WITH {CLEAN_STAGED_BODY},
+    kb_drop AS (
+        SELECT doc_id FROM ({ORACLES["dedup_keep_best_canonical"]})
+        WHERE is_canonical = 0
+    ), ng AS (
+        SELECT doc_id FROM ({ORACLES["decontaminate_ngram_overlap"]})
+    ), bl AS (
+        SELECT doc_id FROM ({ORACLES["decontaminate_bloom"]})
+        WHERE flagged = 1
+    ), sem AS (
+        SELECT vec_id AS doc_id FROM ({ORACLES["decontaminate_semantic"]})
+    ), sp AS (
+        SELECT doc_id, split FROM ({ORACLES["split_by_cluster"]})
+    ), ok AS (
+        SELECT s.doc_id, s.n_tok,
+               (s.copy_rank = 1 AND s.q >= {_MIN_QUALITY}
+                AND s.pred_lang <> 'und') AS ok1,
+               (s.copy_rank = 1 AND s.q >= {_MIN_QUALITY}
+                AND s.pred_lang <> 'und')
+                 AND k.doc_id IS NULL AS ok2,
+               (s.copy_rank = 1 AND s.q >= {_MIN_QUALITY}
+                AND s.pred_lang <> 'und')
+                 AND k.doc_id IS NULL
+                 AND s.doc_id % {_DECON_MOD} <> 0 AS ok3,
+               (s.copy_rank = 1 AND s.q >= {_MIN_QUALITY}
+                AND s.pred_lang <> 'und')
+                 AND k.doc_id IS NULL
+                 AND s.doc_id % {_DECON_MOD} <> 0
+                 AND g.doc_id IS NULL AS ok4,
+               (s.copy_rank = 1 AND s.q >= {_MIN_QUALITY}
+                AND s.pred_lang <> 'und')
+                 AND k.doc_id IS NULL
+                 AND s.doc_id % {_DECON_MOD} <> 0
+                 AND g.doc_id IS NULL
+                 AND b.doc_id IS NULL AS ok5,
+               (s.copy_rank = 1 AND s.q >= {_MIN_QUALITY}
+                AND s.pred_lang <> 'und')
+                 AND k.doc_id IS NULL
+                 AND s.doc_id % {_DECON_MOD} <> 0
+                 AND g.doc_id IS NULL
+                 AND b.doc_id IS NULL
+                 AND m.doc_id IS NULL AS ok6,
+               (s.copy_rank = 1 AND s.q >= {_MIN_QUALITY}
+                AND s.pred_lang <> 'und')
+                 AND k.doc_id IS NULL
+                 AND s.doc_id % {_DECON_MOD} <> 0
+                 AND g.doc_id IS NULL
+                 AND b.doc_id IS NULL
+                 AND m.doc_id IS NULL
+                 AND sp.split = 'train' AS ok7
+        FROM staged s
+        LEFT JOIN kb_drop k ON k.doc_id = s.doc_id
+        LEFT JOIN ng g ON g.doc_id = s.doc_id
+        LEFT JOIN bl b ON b.doc_id = s.doc_id
+        LEFT JOIN sem m ON m.doc_id = s.doc_id
+        LEFT JOIN sp ON sp.doc_id = s.doc_id
+    ), funnel AS (
+        SELECT count(*) AS c0, CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS t0,
+               count(*) FILTER (ok1) AS c1,
+               CAST(coalesce(sum(n_tok) FILTER (ok1), 0) AS BIGINT) AS t1,
+               count(*) FILTER (ok2) AS c2,
+               CAST(coalesce(sum(n_tok) FILTER (ok2), 0) AS BIGINT) AS t2,
+               count(*) FILTER (ok3) AS c3,
+               CAST(coalesce(sum(n_tok) FILTER (ok3), 0) AS BIGINT) AS t3,
+               count(*) FILTER (ok4) AS c4,
+               CAST(coalesce(sum(n_tok) FILTER (ok4), 0) AS BIGINT) AS t4,
+               count(*) FILTER (ok5) AS c5,
+               CAST(coalesce(sum(n_tok) FILTER (ok5), 0) AS BIGINT) AS t5,
+               count(*) FILTER (ok6) AS c6,
+               CAST(coalesce(sum(n_tok) FILTER (ok6), 0) AS BIGINT) AS t6,
+               count(*) FILTER (ok7) AS c7,
+               CAST(coalesce(sum(n_tok) FILTER (ok7), 0) AS BIGINT) AS t7
+        FROM ok
+    ), surv AS (
+        SELECT doc_id, n_tok FROM ok WHERE ok7
+    ), packed AS (
+        SELECT n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM surv WHERE n_tok > 0
+    ), pk AS (
+        SELECT CAST(count(DISTINCT (cum - n_tok) // {_PACK_CAPACITY})
+                    AS BIGINT) AS n_seq
+        FROM packed
+    ), sh AS (
+        SELECT CAST(count(DISTINCT
+                   ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % {_N_SHARDS}) AS BIGINT) AS n_shards,
+               CAST(coalesce(sum(
+                   ('0x' || substr(md5('ck:' || doc_id::VARCHAR), 1, 8))::BIGINT
+               ), 0) % 4294967296 AS BIGINT) AS id_checksum
+        FROM surv
+    ), wide AS (
+        SELECT * FROM funnel, pk, sh
+    )
+    SELECT CAST(0 AS BIGINT) AS stage_ord, 'raw' AS stage,
+           c0 AS docs_in, c0 AS docs_out,
+           CAST(0 AS BIGINT) AS docs_removed, t0 AS tokens_out,
+           CAST(-1 AS BIGINT) AS artifacts,
+           CAST(-1 AS BIGINT) AS checksum
+    FROM wide
+    UNION ALL SELECT 1, 'clean', c0, c1, c0 - c1, t1, -1, -1 FROM wide
+    UNION ALL SELECT 2, 'keep_best_neardup', c1, c2, c1 - c2, t2, -1, -1
+    FROM wide
+    UNION ALL SELECT 3, 'holdout_slice', c2, c3, c2 - c3, t3, -1, -1
+    FROM wide
+    UNION ALL SELECT 4, 'decon_ngram', c3, c4, c3 - c4, t4, -1, -1 FROM wide
+    UNION ALL SELECT 5, 'decon_bloom', c4, c5, c4 - c5, t5, -1, -1 FROM wide
+    UNION ALL SELECT 6, 'decon_semantic', c5, c6, c5 - c6, t6, -1, -1
+    FROM wide
+    UNION ALL SELECT 7, 'train_split', c6, c7, c6 - c7, t7, -1, -1 FROM wide
+    UNION ALL SELECT 8, 'pack_sequences', c7, c7, 0, t7, n_seq, -1 FROM wide
+    UNION ALL SELECT 9, 'shard_manifest', c7, c7, 0, t7, n_shards,
+                     id_checksum
+    FROM wide
+    """
+
+
+def _flagship_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc decision frame: one narrow row per document carrying
+    every stage's verdict — built ONCE (opcache) and scanned by the
+    funnel aggregate, the packing pass and the shard pass. The drop
+    sets are small next to the corpus (duplicate / contaminated mass),
+    so their joins broadcast; the split table is corpus-sized and
+    joins co-partitioned on doc_id."""
+    base = clean_doc_decisions(spark, sf_dir)
+    kb = (
+        corpus_filters.dedup_keep_best_canonical(spark, sf_dir)
+        .filter(F.col("is_canonical") == 0)
+        .select("doc_id", F.lit(1).alias("kb_drop"))
+    )
+    ng = curation.decontaminate_ngram_overlap(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("ng_flag")
+    )
+    bl = (
+        curation.decontaminate_bloom(spark, sf_dir)
+        .filter(F.col("flagged") == 1)
+        .select("doc_id", F.lit(1).alias("bl_flag"))
+    )
+    sem = similarity.decontaminate_semantic(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.lit(1).alias("sem_flag")
+    )
+    sp = sampling.split_by_cluster(spark, sf_dir).select("doc_id", "split")
+    dec = (
+        base.join(F.broadcast(kb), "doc_id", "left")
+        .join(F.broadcast(ng), "doc_id", "left")
+        .join(F.broadcast(bl), "doc_id", "left")
+        .join(F.broadcast(sem), "doc_id", "left")
+        .join(sp, "doc_id", "left")
+    )
+    ok1 = (
+        (F.col("copy_rank") == 1)
+        & (F.col("q") >= _MIN_QUALITY)
+        & (F.col("pred_lang") != "und")
+    )
+    ok2 = ok1 & F.col("kb_drop").isNull()
+    ok3 = ok2 & (F.col("doc_id") % _DECON_MOD != 0)
+    ok4 = ok3 & F.col("ng_flag").isNull()
+    ok5 = ok4 & F.col("bl_flag").isNull()
+    ok6 = ok5 & F.col("sem_flag").isNull()
+    ok7 = ok6 & (F.col("split") == "train")
+    return dec.select(
+        "doc_id",
+        "n_tok",
+        ok1.alias("ok1"),
+        ok2.alias("ok2"),
+        ok3.alias("ok3"),
+        ok4.alias("ok4"),
+        ok5.alias("ok5"),
+        ok6.alias("ok6"),
+        ok7.alias("ok7"),
+    )
+
+
+@register("corpus_build_flagship", oracle=_FLAGSHIP_ORACLE)
+def corpus_build_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build with a per-stage attrition row:
+
+    raw -> clean (exact dedup + quality + lang gate) -> keep-best
+    near-dup dedup -> holdout-slice removal -> n-gram + Bloom +
+    semantic decontamination -> cluster-aware train split -> sequence
+    packing -> shard manifest. Each row reports docs in/out/removed
+    and surviving token mass; the packing stage adds the packed
+    sequence count and the manifest stage adds the shard count plus
+    the order-independent id checksum of the FINAL kept set — the
+    integrity artifact a downstream trainer verifies.
+
+    Scale shape: the per-doc decision frame is ONE narrow row per
+    document (opcache-persisted, three consumers scan it); the funnel
+    is a single partial-aggregated pass producing one wide row; the
+    packing count rides the shared two-pass distributed prefix-sum;
+    the shard pass is map-only expressions + a global aggregate. The
+    expensive sub-operators (MinHash pair CC, GEMM cluster pairs)
+    amortize through their own caches, exactly as they do standalone.
+
+    Stage semantics note: each drop set is computed corpus-wide by the
+    REGISTERED stage operator and applied to the current survivor set
+    in funnel order (first failing stage wins) — e.g. a doc whose
+    near-dup cluster canonical was itself dropped by `clean` is still
+    removed at `keep_best_neardup`, because the dedup decision is the
+    corpus-wide operator's contract."""
+    dec = cached_frame(
+        spark, sf_dir, "flagship_decisions",
+        lambda: _flagship_decisions(spark, sf_dir),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("c0"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("t0"),
+    ]
+    for i in range(1, 8):
+        aggs.append(F.count(F.when(F.col(f"ok{i}"), 1)).alias(f"c{i}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col(f"ok{i}"), F.col("n_tok"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"t{i}")
+        )
+    funnel = dec.agg(*aggs)
+
+    surv = dec.filter("ok7").select("doc_id", "n_tok")
+    packed = distributed_prefix_cum(
+        surv.filter(F.col("n_tok") > 0), "doc_id", "n_tok"
+    )
+    pk = packed.agg(
+        F.countDistinct(
+            F.expr(f"(cum - n_tok) div {_PACK_CAPACITY}")
+        ).cast("bigint").alias("n_seq")
+    )
+    sh = surv.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _N_SHARDS
+        ).alias("shard_id"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ck:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("ck"),
+    ).agg(
+        F.countDistinct("shard_id").cast("bigint").alias("n_shards"),
+        (F.coalesce(F.sum("ck"), F.lit(0)) % F.lit(4294967296))
+        .cast("bigint")
+        .alias("id_checksum"),
+    )
+    # one wide single-row frame; persist so the ten stage-row branches
+    # below scan it instead of re-running the three aggregates each
+    wide = (
+        funnel.crossJoin(F.broadcast(pk))
+        .crossJoin(F.broadcast(sh))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def row(ord_, stage, c_in, c_out, toks, artifacts, checksum):
+        return wide.select(
+            F.lit(ord_).cast("bigint").alias("stage_ord"),
+            F.lit(stage).alias("stage"),
+            F.col(c_in).cast("bigint").alias("docs_in"),
+            F.col(c_out).cast("bigint").alias("docs_out"),
+            (F.col(c_in) - F.col(c_out)).cast("bigint").alias("docs_removed"),
+            F.col(toks).cast("bigint").alias("tokens_out"),
+            (
+                F.col(artifacts).cast("bigint")
+                if artifacts
+                else F.lit(-1).cast("bigint")
+            ).alias("artifacts"),
+            (
+                F.col(checksum).cast("bigint")
+                if checksum
+                else F.lit(-1).cast("bigint")
+            ).alias("checksum"),
+        )
+
+    rows = [row(0, "raw", "c0", "c0", "t0", None, None)]
+    for i, stage in enumerate(_STAGES[1:], start=1):
+        rows.append(row(i, stage, f"c{i - 1}", f"c{i}", f"t{i}", None, None))
+    rows.append(row(8, "pack_sequences", "c7", "c7", "t7", "n_seq", None))
+    rows.append(
+        row(9, "shard_manifest", "c7", "c7", "t7", "n_shards", "id_checksum")
+    )
+    return reduce(DataFrame.unionByName, rows)

@@ -30,8 +30,12 @@ from text_grabr_orc_spark.tables import load_table
 #: minimum composite quality score a document must reach to be kept
 _MIN_QUALITY = 0.5
 
-_ORACLE = f"""
-    WITH tok AS (
+#: per-doc clean-decision CTE chain ``tok -> scored -> staged`` with
+#: ``staged(doc_id, n_tok, copy_rank, pred_lang, q)`` — nested by the
+#: attrition report below AND by the flagship corpus-build funnel
+#: (operators/flagship.py), so both gates check the SAME clean stage.
+CLEAN_STAGED_BODY = f"""
+    tok AS (
         SELECT doc_id, source, text,
                list_filter(regexp_split_to_array(text, '{ORACLE_WS_RUN}'), t -> t <> '') AS toks,
                len(regexp_extract_all(text, '{_PUNCT}')) AS punct,
@@ -56,7 +60,11 @@ _ORACLE = f"""
                      + 0.3 * least(stop_ratio * 5, 1.0)
                      + 0.4 * (1 - least(punct_ratio * 10, 1.0)), 6) AS q
         FROM scored
-    ), outcomes AS (
+    )
+"""
+
+_ORACLE = f"""
+    WITH {CLEAN_STAGED_BODY}, outcomes AS (
         SELECT CASE
                  WHEN copy_rank > 1 THEN 'dropped_duplicate'
                  WHEN q < {_MIN_QUALITY} THEN 'dropped_quality'
@@ -74,6 +82,26 @@ _ORACLE = f"""
     FROM outcomes
     GROUP BY outcome
 """
+
+
+def clean_doc_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc clean-stage decision frame ``(doc_id, n_tok, pred_lang,
+    q, copy_rank)`` — the Spark twin of ``CLEAN_STAGED_BODY``'s
+    ``staged`` CTE, shared by the attrition report and the flagship
+    funnel. Lang-ID and quality are map-side expressions; the only
+    exchange is the exact-dedup window on ``sha2(text)``."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred, _hits = lang_id(F.col("text"))
+    q = quality_columns("text")
+    base = docs.select(
+        "doc_id",
+        "text",
+        pred.alias("pred_lang"),
+        q["n_tokens"].alias("n_tok"),
+        q["quality_score"].alias("q"),
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    return base.withColumn("copy_rank", F.row_number().over(w)).drop("text")
 
 
 @register("corpus_clean_pipeline", oracle=_ORACLE)
@@ -103,17 +131,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding under the driver in round 1); integer sums are coalesced
     and CAST BIGINT on both sides because DuckDB's sum(BIGINT) returns
     HUGEINT, which pandas-based comparators render as float64."""
-    docs = load_table(spark, sf_dir, "documents")
-    pred, _hits = lang_id(F.col("text"))
-    q = quality_columns("text")
-    base = docs.select(
-        "doc_id",
-        "text",
-        pred.alias("pred_lang"),
-        q["n_tokens"].alias("n_tok"),
-        q["quality_score"].alias("q"),
-    )
-    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    base = clean_doc_decisions(spark, sf_dir)
     outcome = (
         F.when(F.col("copy_rank") > 1, F.lit("dropped_duplicate"))
         .when(F.col("q") < _MIN_QUALITY, F.lit("dropped_quality"))
@@ -121,8 +139,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("kept_"), F.col("pred_lang")))
     )
     return (
-        base.withColumn("copy_rank", F.row_number().over(w))
-        .select(outcome.alias("outcome"), "n_tok", "q")
+        base.select(outcome.alias("outcome"), "n_tok", "q")
         .groupBy("outcome")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -205,6 +222,49 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tokens per packed training sequence (bin capacity)
 _PACK_CAPACITY = 256
 
+
+def distributed_prefix_cum(
+    df: DataFrame, order_col: str, val_col: str
+) -> DataFrame:
+    """``df`` + inclusive running sum ``cum`` of ``val_col`` in global
+    ``order_col`` order — the two-pass distributed prefix-sum shared by
+    ``pack_training_sequences`` and the flagship funnel's packing
+    stage (a bare ``Window.orderBy`` with no partitionBy would funnel
+    the whole corpus through ONE task):
+
+    1. range-partition by ``order_col`` (partition i holds strictly
+       smaller keys than i+1) and persist, pinning ONE sampled
+       partitioning for both passes;
+    2. pass 1 — per-partition subtotals, collected to the driver (a
+       numPartitions-length int vector — the documented legitimate
+       collect) and turned into exclusive prefix offsets;
+    3. pass 2 — partition-local running sums (window partitioned by
+       the range-partition id, fully parallel) + broadcast offset."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    nt = (
+        df.repartitionByRange(n_parts, order_col)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    subtotals = nt.groupBy("pid").agg(F.sum(val_col).alias("tot")).collect()
+    offsets, running = [], 0
+    for row in sorted(subtotals, key=lambda r: r["pid"]):
+        offsets.append((row["pid"], running))
+        running += row["tot"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off bigint")
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        nt.withColumn("local_cum", F.sum(val_col).over(wp))
+        .join(F.broadcast(off_df), "pid")
+        .withColumn("cum", F.col("local_cum") + F.col("off"))
+        .drop("pid", "local_cum", "off")
+    )
+
 _PACK_ORACLE = f"""
     WITH tok AS (
         SELECT doc_id,
@@ -260,35 +320,12 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_grabr_orc_spark.functions.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    nt = (
-        docs.filter(F.col("text").rlike(r"(?U)\S"))
-        .select("doc_id", token_count("text").alias("n_tok"))
-        .repartitionByRange(n_parts, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
+    nt = docs.filter(F.col("text").rlike(r"(?U)\S")).select(
+        "doc_id", token_count("text").alias("n_tok")
     )
-    # pass 1: per-partition subtotals -> exclusive prefix offsets
-    subtotals = nt.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect()
-    offsets, running = [], 0
-    for row in sorted(subtotals, key=lambda r: r["pid"]):
-        offsets.append((row["pid"], running))
-        running += row["tot"]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off bigint")
-    # pass 2: partition-local running sums + broadcast offset
-    wp = (
-        Window.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    packed = (
-        nt.withColumn("local_cum", F.sum("n_tok").over(wp))
-        .join(F.broadcast(off_df), "pid")
-        .withColumn("cum", F.col("local_cum") + F.col("off"))
-        .withColumn(
-            "seq_id",
-            F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_PACK_CAPACITY)),
-        )
+    packed = distributed_prefix_cum(nt, "doc_id", "n_tok").withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_PACK_CAPACITY)),
     )
     return packed.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
