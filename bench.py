@@ -291,7 +291,9 @@ def main() -> None:
             ),
             "w",
         ) as fh:
-            json.dump(full, fh, indent=1)
+            # summary fields at the top level (what the name promises),
+            # the full per-query payload nested for the grader
+            json.dump({**summary, "full": full}, fh, indent=1)
     except OSError as exc:
         print(f"# BENCH_SUMMARY.json write failed: {exc}", file=sys.stderr)
     sys.stdout.flush()
@@ -462,18 +464,29 @@ def fit_scale_exponent(points: list[tuple[int, float]]) -> float:
 #: exponent on a family whose top point grew 2.1x from 0.4 s to
 #: 0.9 s is constant-jitter, not a measured complexity violation.
 _UPPER_BOUND_ALARM_MIN_GROWTH_SEC = 2.0
+#: ... OR material RELATIVE growth: a fast family (base 0.1 s) that
+#: grows 19x to 1.9 s is genuinely super-linear even though its
+#: absolute growth is under 2 s — an absolute-only gate would blind
+#: the alarm exactly where the work term is cheapest to see.
+_UPPER_BOUND_ALARM_MIN_GROWTH_X = 5.0
 
 
 def _alarm(exp: float, kind: str, pts: list[tuple[int, float]], bound: float) -> bool:
     """Alarm policy: fitted exponents compare directly against the
     declared bound; ``upper_bound`` fits must ALSO show material
-    absolute growth (round-7 advice); ``flat``/``raw_slope`` are
-    sub-linear by construction and never alarm."""
+    growth — absolute (>=2 s) or relative (>=5x the base point) —
+    before alarming (round-7 advice + round-8 review);
+    ``flat``/``raw_slope`` are sub-linear by construction and never
+    alarm."""
     if kind == "bisection":
         return exp > bound
     if kind == "upper_bound":
         ts = [t for _, t in sorted(pts)]
-        return exp > bound and (ts[-1] - ts[0]) >= _UPPER_BOUND_ALARM_MIN_GROWTH_SEC
+        material = (
+            ts[-1] - ts[0] >= _UPPER_BOUND_ALARM_MIN_GROWTH_SEC
+            or ts[-1] >= _UPPER_BOUND_ALARM_MIN_GROWTH_X * ts[0]
+        )
+        return exp > bound and material
     return False
 
 

@@ -167,3 +167,14 @@ def test_fit_kind_distinguishes_bounded_from_fitted():
     p, kind = bench.fit_scale(grew)
     assert kind == "upper_bound" and p > 1.3
     assert bench._alarm(p, kind, grew, 1.2) is True
+
+
+def test_upper_bound_alarm_relative_growth_gate():
+    """Round-8 review: the absolute 2s growth gate alone would blind
+    the alarm on fast families — a 0.1s base growing 19x to 1.9s is a
+    real super-linear signal and must alarm; sub-5x relative growth
+    under 2s absolute stays suppressed as constant-scale jitter."""
+    fast_quad = [(5_000, 0.10), (50_000, 0.11), (150_000, 1.90)]
+    p, kind = bench.fit_scale(fast_quad)
+    assert kind == "upper_bound"
+    assert bench._alarm(p, kind, fast_quad, 1.2) is True

@@ -90,3 +90,32 @@ def test_eviction_unpersists_the_evicted_frame(spark, tmp_path, clean_cache):
     again = cached_frame(spark, d, "t_evict", lambda: build(0), 0)
     assert again is not first
     assert again.storageLevel.useMemory
+
+
+def test_build_seconds_attributes_nested_builds_once(spark, sf_dir):
+    """A build() that itself misses into cached_frame (flagship ->
+    minhash pair set) must contribute its wall seconds ONCE — naive
+    accumulation counted inner + outer and the attributed build time
+    could exceed the query's own cold wall (round-8 review)."""
+    import time as _time
+
+    cache_clear()
+    before = opcache.build_seconds()
+    t0 = _time.time()
+
+    def inner():
+        _time.sleep(0.2)
+        return spark.range(1)
+
+    def outer():
+        cached_frame(spark, sf_dir, "_t_nested_inner", inner)
+        _time.sleep(0.2)
+        return spark.range(2)
+
+    cached_frame(spark, sf_dir, "_t_nested_outer", outer)
+    wall = _time.time() - t0
+    attributed = opcache.build_seconds() - before
+    # double-counting would attribute ~wall + inner (>= wall + 0.2)
+    assert attributed <= wall + 0.05
+    assert attributed >= 0.4  # both sleeps are inside the outer build
+    cache_clear()

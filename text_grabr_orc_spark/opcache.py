@@ -52,7 +52,13 @@ _LOCK = threading.Lock()
 #: queries' cold numbers can be read as cold-minus-cache-build — the
 #: round-7 verdict found a +46% "cold regression" that was purely
 #: this front-loaded one-time cost moving between queries.
+#: Nested builds (a build() that itself misses into cached_frame —
+#: e.g. flagship_decisions -> minhash pair set) are attributed ONLY at
+#: the outermost level, else the inner build's wall seconds would be
+#: counted twice and the attributed build time could exceed the
+#: query's own cold wall.
 _BUILD_SECONDS = 0.0
+_TLS = threading.local()
 
 
 def build_seconds() -> float:
@@ -81,13 +87,19 @@ def cached_frame(
         df = _CACHE.get(key)
     if df is not None:
         return df
+    depth = getattr(_TLS, "depth", 0)
+    _TLS.depth = depth + 1
     t0 = time.time()
-    df = build().persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()  # eager: consumers never trace the build plan again
+    try:
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # eager: consumers never trace the build plan again
+    finally:
+        _TLS.depth = depth
     built = time.time() - t0
     global _BUILD_SECONDS
     with _LOCK:
-        _BUILD_SECONDS += built
+        if depth == 0:
+            _BUILD_SECONDS += built
         winner = _CACHE.get(key)
         if winner is not None:
             # lost a concurrent build race — adopt the winner's frame

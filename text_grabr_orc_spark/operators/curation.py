@@ -2136,7 +2136,11 @@ def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("n_tokens"),
         F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("n_chars"),
-        (F.sum("ck") % F.lit(4294967296)).cast("bigint").alias("id_checksum"),
+        # DECIMAL(38,0) accumulator: BIGINT would wrap past ~2^31 rows
+        # per shard where the oracle's HUGEINT sum stays exact
+        (F.sum(F.col("ck").cast("decimal(38,0)")) % F.lit(4294967296))
+        .cast("bigint")
+        .alias("id_checksum"),
     ).select(
         F.col("shard_id").cast("bigint"),
         "n_docs",

@@ -318,7 +318,17 @@ def corpus_build_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ck"),
     ).agg(
         F.countDistinct("shard_id").cast("bigint").alias("n_shards"),
-        (F.coalesce(F.sum("ck"), F.lit(0)) % F.lit(4294967296))
+        # accumulate in DECIMAL(38,0): a BIGINT sum of 32-bit terms
+        # wraps past ~2^31 rows while the oracle's sum(BIGINT)
+        # promotes to HUGEINT — the engines would diverge exactly at
+        # the corpus scale this checksum exists for (round-8 review)
+        (
+            F.coalesce(
+                F.sum(F.col("ck").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+            % F.lit(4294967296)
+        )
         .cast("bigint")
         .alias("id_checksum"),
     )
