@@ -557,6 +557,27 @@ def _fit_entry(pts: list[tuple[int, float]], spec: dict) -> dict:
     return entry
 
 
+def _curve_suspicious(pts: list[tuple[int, float]]) -> bool:
+    """True when the in-process points are PHYSICALLY implausible for
+    a scale curve — the signature of outside interference (concurrent
+    load, heap state), not of the algorithm: a top point below the
+    base, a middle point above the top, or a flat-topped curve whose
+    middle grew materially (work clearly happened, then 3x the rows
+    took less time). An exponent fitted from such points — including
+    the 0.0 the flat fallback reports — is noise either way, so these
+    re-measure in a fresh JVM exactly like alarms do. (Observed: a
+    concurrent sweep drove the minhash x10 point to 61.7 s with x30
+    at 8.1 s — reported exponent 0.0, no alarm, no flag.)"""
+    if len(pts) < 3:
+        return False
+    t1, t2, t3 = [t for _, t in sorted(pts)[-3:]]
+    if t3 < t1:
+        return True
+    if t2 > t3 + max(1.0, 0.2 * t3):
+        return True
+    return t3 <= t2 and (t2 - t1) > max(1.0, t1)
+
+
 def _confirm_family_fresh_jvm(name: str) -> list[tuple[int, float]] | None:
     """Re-measure one family's curve points in a FRESH subprocess JVM.
 
@@ -637,13 +658,19 @@ def _scale_curve(spark) -> dict:
     for name, spec in SCALE_FAMILIES.items():
         pts = _measure_family(spark, name, spec, sf_dir, tier_dirs)
         entry = _fit_entry(pts, spec)
-        if entry.get("alarm"):
+        reason = (
+            "alarm"
+            if entry.get("alarm")
+            else "implausible_points" if _curve_suspicious(pts) else None
+        )
+        if reason:
             confirmed = _confirm_family_fresh_jvm(name)
             if confirmed is not None:
                 entry_fresh = _fit_entry(confirmed, spec)
                 entry_fresh["sec_inprocess"] = entry["sec"]
                 entry_fresh["exponent_inprocess"] = entry.get("exponent")
                 entry_fresh["confirmed_fresh_jvm"] = True
+                entry_fresh["confirm_reason"] = reason
                 entry = entry_fresh
             else:
                 entry["confirm_failed"] = True

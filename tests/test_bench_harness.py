@@ -178,3 +178,20 @@ def test_upper_bound_alarm_relative_growth_gate():
     p, kind = bench.fit_scale(fast_quad)
     assert kind == "upper_bound"
     assert bench._alarm(p, kind, fast_quad, 1.2) is True
+
+
+def test_curve_suspicious_detects_interference_shapes():
+    """Non-monotone / physically implausible point patterns must be
+    flagged for fresh-JVM re-measurement even though no alarm fires
+    (observed: concurrent load drove a x10 point to 61.7s with x30 at
+    8.1s — fitted 'flat 0.0', silently wrong in both directions)."""
+    # middle far above top (the observed minhash shape)
+    assert bench._curve_suspicious([(5e3, 1.5), (5e4, 61.7), (15e4, 8.1)])
+    # flat top but middle grew materially (the observed gemm shape)
+    assert bench._curve_suspicious([(2e3, 0.75), (2e4, 12.76), (6e4, 12.49)])
+    # top point below base
+    assert bench._curve_suspicious([(2e3, 3.0), (2e4, 2.8), (6e4, 2.5)])
+    # healthy monotone growth — not suspicious
+    assert not bench._curve_suspicious([(2e3, 3.0), (2e4, 7.1), (6e4, 20.0)])
+    # flat-family jitter (sub-second wiggle) — not suspicious
+    assert not bench._curve_suspicious([(5e3, 2.4), (5e4, 2.6), (15e4, 2.5)])
