@@ -27,7 +27,6 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 # stage-operator modules MUST be imported before the ORACLES lookups
 # below (each registers its SQL at import time); registry.load_all()
@@ -266,6 +265,48 @@ def corpus_build_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster canonical was itself dropped by `clean` is still
     removed at `keep_best_neardup`, because the dedup decision is the
     corpus-wide operator's contract."""
+    # the wide single-row funnel frame is itself opcached: the packing
+    # stage's distributed prefix-sum COLLECTS per invocation (driver
+    # action, invisible to Spark's plan-matched persist cache), so
+    # without this every steady re-run would pay the two prefix-sum
+    # jobs again just to rebuild identical scalars
+    wide = cached_frame(
+        spark, sf_dir, "flagship_wide", lambda: _flagship_wide(spark, sf_dir)
+    )
+
+    def row(ord_, stage, c_in, c_out, toks, artifacts, checksum):
+        return wide.select(
+            F.lit(ord_).cast("bigint").alias("stage_ord"),
+            F.lit(stage).alias("stage"),
+            F.col(c_in).cast("bigint").alias("docs_in"),
+            F.col(c_out).cast("bigint").alias("docs_out"),
+            (F.col(c_in) - F.col(c_out)).cast("bigint").alias("docs_removed"),
+            F.col(toks).cast("bigint").alias("tokens_out"),
+            (
+                F.col(artifacts).cast("bigint")
+                if artifacts
+                else F.lit(-1).cast("bigint")
+            ).alias("artifacts"),
+            (
+                F.col(checksum).cast("bigint")
+                if checksum
+                else F.lit(-1).cast("bigint")
+            ).alias("checksum"),
+        )
+
+    rows = [row(0, "raw", "c0", "c0", "t0", None, None)]
+    for i, stage in enumerate(_STAGES[1:], start=1):
+        rows.append(row(i, stage, f"c{i - 1}", f"c{i}", f"t{i}", None, None))
+    rows.append(row(8, "pack_sequences", "c7", "c7", "t7", "n_seq", None))
+    rows.append(
+        row(9, "shard_manifest", "c7", "c7", "t7", "n_shards", "id_checksum")
+    )
+    return reduce(DataFrame.unionByName, rows)
+
+
+def _flagship_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row wide frame of funnel counts + packing/shard
+    scalars the stage rows project from."""
     dec = cached_frame(
         spark, sf_dir, "flagship_decisions",
         lambda: _flagship_decisions(spark, sf_dir),
@@ -332,39 +373,6 @@ def corpus_build_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("id_checksum"),
     )
-    # one wide single-row frame; persist so the ten stage-row branches
-    # below scan it instead of re-running the three aggregates each
-    wide = (
-        funnel.crossJoin(F.broadcast(pk))
-        .crossJoin(F.broadcast(sh))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    def row(ord_, stage, c_in, c_out, toks, artifacts, checksum):
-        return wide.select(
-            F.lit(ord_).cast("bigint").alias("stage_ord"),
-            F.lit(stage).alias("stage"),
-            F.col(c_in).cast("bigint").alias("docs_in"),
-            F.col(c_out).cast("bigint").alias("docs_out"),
-            (F.col(c_in) - F.col(c_out)).cast("bigint").alias("docs_removed"),
-            F.col(toks).cast("bigint").alias("tokens_out"),
-            (
-                F.col(artifacts).cast("bigint")
-                if artifacts
-                else F.lit(-1).cast("bigint")
-            ).alias("artifacts"),
-            (
-                F.col(checksum).cast("bigint")
-                if checksum
-                else F.lit(-1).cast("bigint")
-            ).alias("checksum"),
-        )
-
-    rows = [row(0, "raw", "c0", "c0", "t0", None, None)]
-    for i, stage in enumerate(_STAGES[1:], start=1):
-        rows.append(row(i, stage, f"c{i - 1}", f"c{i}", f"t{i}", None, None))
-    rows.append(row(8, "pack_sequences", "c7", "c7", "t7", "n_seq", None))
-    rows.append(
-        row(9, "shard_manifest", "c7", "c7", "t7", "n_shards", "id_checksum")
-    )
-    return reduce(DataFrame.unionByName, rows)
+    # one wide single-row frame; the caller opcaches it so the ten
+    # stage-row branches scan a materialized row
+    return funnel.crossJoin(F.broadcast(pk)).crossJoin(F.broadcast(sh))
