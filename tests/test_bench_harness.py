@@ -195,3 +195,18 @@ def test_curve_suspicious_detects_interference_shapes():
     assert not bench._curve_suspicious([(2e3, 3.0), (2e4, 7.1), (6e4, 20.0)])
     # flat-family jitter (sub-second wiggle) — not suspicious
     assert not bench._curve_suspicious([(5e3, 2.4), (5e4, 2.6), (15e4, 2.5)])
+
+
+def test_curve_suspicious_flags_clamped_low_fit():
+    """An inflated MIDDLE point collapses the bisection to its 0.05
+    clamp while staying monotone — overclaiming sub-linearity. With
+    material top growth that shape must re-measure; a genuinely flat
+    family (no top growth) must not."""
+    inflated_mid = [(2e3, 3.31), (2e4, 14.25), (6e4, 19.88)]
+    p, kind = bench.fit_scale(inflated_mid)
+    assert p <= 0.051 and kind == "bisection"
+    assert bench._curve_suspicious(inflated_mid, p)
+    # truly flat: tiny top increment — not suspicious
+    flat = [(2e3, 2.0), (2e4, 2.3), (6e4, 2.4)]
+    p2, _ = bench.fit_scale(flat)
+    assert not bench._curve_suspicious(flat, p2)
