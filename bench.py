@@ -357,9 +357,14 @@ SCALE_FAMILIES = {
     # (n^~1.1 over this span), band-keyed candidates O(n·bands) by the
     # r sizing, linear verify — the measured sub-quadratic operating
     # point next to the exact-GEMM tail path (round-7 verdict item 4).
-    # Bound 1.3 = the r-growth log factor (x30 span: log ratio ~1.4x
-    # ≈ n^0.1) + noise margin on top of linear.
-    "dedup_embedding_rhp_highsim": {"table": "embeddings", "expected_max": 1.3},
+    # Bound 1.7, not the theory-plus-margin 1.3 first tried: the
+    # family's base/middle points are 3-7 s where ±1 s of noise swings
+    # the differenced fit by ~±0.3 (idle-box same-code runs measured
+    # 1.06, 1.23, 1.25, 1.58), so 1.3 sat inside the fit's own
+    # variance and flapped. The failure mode this curve guards against
+    # — fixed-r banding collapsing to n²/2^r candidate mass — measures
+    # ≥1.9 (the knn fixed-stride bug fit 2.19) and still separates.
+    "dedup_embedding_rhp_highsim": {"table": "embeddings", "expected_max": 1.7},
 }
 
 #: curve points: the base fixture plus the ×10 and ×30 synthetic
@@ -547,12 +552,19 @@ def _measure_family(
         # single-run shortcut for expensive points saved wall-clock
         # exactly where a one-off stall (GC, page-cache miss burst)
         # distorts the fit the most: a confirm run once recorded a
-        # x10 point at 40.7 s that re-measures at ~4.5 s.
-        _timed(lambda: fn(spark, d).count())
+        # x10 point at 40.7 s that re-measures at ~4.5 s. CHEAP
+        # points (<10 s warm) take a third run: the three-point fit
+        # differences the base/middle points, so ±1 s of noise there
+        # swings the exponent by ~±0.3 (measured on the high-sim
+        # family: 1.06-1.58 across same-code idle runs) while the
+        # same noise on a 20 s top point barely moves it.
+        warm = _timed(lambda: fn(spark, d).count())
         best = min(
             _timed(lambda: fn(spark, d).count()),
             _timed(lambda: fn(spark, d).count()),
         )
+        if warm < 10.0:
+            best = min(best, _timed(lambda: fn(spark, d).count()))
         pts.append((rows, best))
     return pts
 
