@@ -205,8 +205,16 @@ def test_curve_suspicious_flags_clamped_low_fit():
     inflated_mid = [(2e3, 3.31), (2e4, 14.25), (6e4, 19.88)]
     p, kind = bench.fit_scale(inflated_mid)
     assert p <= 0.051 and kind == "bisection"
-    assert bench._curve_suspicious(inflated_mid, p)
+    assert bench._curve_suspicious(inflated_mid, p, kind)
     # truly flat: tiny top increment — not suspicious
     flat = [(2e3, 2.0), (2e4, 2.3), (6e4, 2.4)]
-    p2, _ = bench.fit_scale(flat)
-    assert not bench._curve_suspicious(flat, p2)
+    p2, k2 = bench.fit_scale(flat)
+    assert not bench._curve_suspicious(flat, p2, k2)
+    # raw_slope fallback on a constant-dominated family whose middle
+    # dipped within noise: exp can honestly land <= 0.051 with >1s of
+    # top growth — must NOT be flagged (round-8 review: the rule is
+    # bisection-only, else flat-ish families loop to 'unstable')
+    dip = [(2e3, 4.07), (2e4, 3.80), (6e4, 4.84)]
+    p3, k3 = bench.fit_scale(dip)
+    assert k3 == "raw_slope" and p3 <= 0.06
+    assert not bench._curve_suspicious(dip, p3, k3)
