@@ -21,12 +21,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001: the corpus-cleaning attrition report
-    — exact dedup + quality filter + language gate composed into one
-    plan (the reference's per-document text pipeline, main.go:192-197,
-    lifted to the corpus level)."""
+    """Flagship query on sf0.001: the end-to-end corpus BUILD funnel —
+    clean -> keep-best near-dup dedup -> holdout removal -> n-gram /
+    Bloom / semantic decontamination -> cluster-aware train split ->
+    sequence packing -> shard manifest, one attrition row per stage
+    (the reference's per-document pipeline, main.go:41-97, lifted to
+    a corpus-scale training-data build)."""
     registry.load_all()
-    return registry.QUERIES["corpus_clean_pipeline"](spark, SMOKE_SF_DIR)
+    return registry.QUERIES["corpus_build_flagship"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
