@@ -714,44 +714,63 @@ def _scale_curve(spark) -> dict:
 
     out: dict[str, dict] = {}
     for name, spec in SCALE_FAMILIES.items():
-        entry, suspect_secs = None, []
-        for attempt in range(2):
-            pts = _measure_family_fresh_jvm(name)
-            if pts is None:
-                if entry is not None:
-                    entry["confirm_failed"] = True
-                break
-            entry = _fit_entry(pts, spec)
-            entry["fresh_jvm"] = True
-            if suspect_secs:
-                # earlier suspect attempts stay visible in the entry
-                entry["sec_suspect_attempts"] = list(suspect_secs)
-                entry["remeasured"] = len(suspect_secs)
-            if not entry.get("alarm") and not _curve_suspicious(
-                pts, entry.get("exponent"), entry.get("fit")
-            ):
-                break
-            suspect_secs.append(entry["sec"])
-        else:
-            if _curve_suspicious(pts, entry.get("exponent"), entry.get("fit")):
-                entry["unstable"] = True
-        if entry is None:
-            # subprocess unavailable (e.g. resource exhaustion): fall
-            # back to in-process measurement, clearly labeled — and an
-            # alarm from the post-timed-pass parent JVM is SUPPRESSED
-            # rather than reported, preserving the round-7 guarantee
-            # that no in-process alarm ships without fresh-JVM
-            # confirmation (the fallback fires exactly when the box is
-            # least trustworthy)
-            pts = _measure_family(spark, name, spec, sf_dir, tier_dirs)
-            entry = _fit_entry(pts, spec)
-            entry["fresh_jvm"] = False
-            if entry.get("alarm"):
-                entry["alarm"] = False
-                entry["alarm_suppressed_unconfirmed"] = True
+        entry = _curve_entry_for(
+            spec,
+            lambda name=name: _measure_family_fresh_jvm(name),
+            lambda name=name: _measure_family(
+                spark, name, spec, sf_dir, tier_dirs
+            ),
+        )
         out[name] = entry
         print(f"# scale-curve {name}: {entry}", file=sys.stderr)
     return out
+
+
+def _curve_entry_for(spec, measure_fresh, measure_inprocess) -> dict:
+    """One family's curve entry from injectable measurement thunks
+    (pure logic — tests/test_bench_harness.py pins the semantics):
+
+    - fresh measurement, up to one re-measure while it alarms or
+      looks implausible; suspect attempts stay visible in the entry
+      (``sec_suspect_attempts`` / ``remeasured``);
+    - after two fresh attempts a persistent ALARM on plausible points
+      stands as real, a persistently implausible shape reports
+      ``unstable`` instead of a clean fit;
+    - the in-process fallback (fresh measurement unavailable) is
+      labeled ``fresh_jvm: false`` and SUPPRESSES alarms rather than
+      reporting unconfirmed ones — it fires exactly when the box is
+      least trustworthy, and the round-7 guarantee is that no
+      in-process alarm ships without fresh-JVM confirmation.
+    """
+    entry, suspect_secs, pts = None, [], None
+    for _attempt in range(2):
+        pts = measure_fresh()
+        if pts is None:
+            if entry is not None:
+                entry["confirm_failed"] = True
+            break
+        entry = _fit_entry(pts, spec)
+        entry["fresh_jvm"] = True
+        if suspect_secs:
+            # earlier suspect attempts stay visible in the entry
+            entry["sec_suspect_attempts"] = list(suspect_secs)
+            entry["remeasured"] = len(suspect_secs)
+        if not entry.get("alarm") and not _curve_suspicious(
+            pts, entry.get("exponent"), entry.get("fit")
+        ):
+            break
+        suspect_secs.append(entry["sec"])
+    else:
+        if _curve_suspicious(pts, entry.get("exponent"), entry.get("fit")):
+            entry["unstable"] = True
+    if entry is None:
+        pts = measure_inprocess()
+        entry = _fit_entry(pts, spec)
+        entry["fresh_jvm"] = False
+        if entry.get("alarm"):
+            entry["alarm"] = False
+            entry["alarm_suppressed_unconfirmed"] = True
+    return entry
 
 
 def _timed(thunk) -> float:

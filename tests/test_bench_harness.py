@@ -218,3 +218,48 @@ def test_curve_suspicious_flags_clamped_low_fit():
     p3, k3 = bench.fit_scale(dip)
     assert k3 == "raw_slope" and p3 <= 0.06
     assert not bench._curve_suspicious(dip, p3, k3)
+
+
+def test_curve_entry_retry_fallback_semantics():
+    """Pins _curve_entry_for (round-8 review #1/#3): suspect attempts
+    stay visible after a clean re-measure; twice-implausible reports
+    'unstable'; twice-alarmed-on-plausible-points stands as a real
+    alarm; the in-process fallback suppresses alarms."""
+    spec = {"expected_max": 1.2}
+    clean = [(5_000, 1.0), (50_000, 3.0), (150_000, 7.0)]      # p = 1
+    quad = [(5_000, 1.0), (50_000, 11.0), (150_000, 91.0)]     # p = 2
+    junk = [(5_000, 1.5), (50_000, 61.7), (150_000, 8.1)]      # non-monotone
+
+    def seq(*results):
+        it = iter(results)
+        return lambda: next(it)
+
+    boom = lambda: (_ for _ in ()).throw(AssertionError("not called"))
+
+    # clean first try: no remeasure bookkeeping
+    e = bench._curve_entry_for(spec, seq(clean), boom)
+    assert e["fresh_jvm"] and not e.get("remeasured") and not e.get("alarm")
+
+    # junk then clean: remeasured=1 and the suspect points kept
+    e = bench._curve_entry_for(spec, seq(junk, clean), boom)
+    assert e["remeasured"] == 1
+    assert e["sec_suspect_attempts"] == [[1.5, 61.7, 8.1]]
+    assert not e.get("alarm") and not e.get("unstable")
+
+    # junk twice: reported unstable, never presented as a clean fit
+    e = bench._curve_entry_for(spec, seq(junk, junk), boom)
+    assert e.get("unstable") and e["remeasured"] == 1
+
+    # real quadratic twice: the alarm stands (plausible points)
+    e = bench._curve_entry_for(spec, seq(quad, quad), boom)
+    assert e["alarm"] and not e.get("unstable")
+
+    # fresh measurement unavailable: in-process fallback labeled and
+    # its alarm suppressed
+    e = bench._curve_entry_for(spec, seq(None), lambda: quad)
+    assert e["fresh_jvm"] is False
+    assert e["alarm"] is False and e["alarm_suppressed_unconfirmed"]
+
+    # fresh died on the RE-measure: first fresh entry kept, flagged
+    e = bench._curve_entry_for(spec, seq(junk, None), boom)
+    assert e["fresh_jvm"] and e["confirm_failed"]
