@@ -13,10 +13,25 @@ from text_grabr_orc_spark.tables import TABLE_NAMES
 def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 1
-    assert set(df.columns) == {
-        "outcome", "n_docs", "total_tokens", "avg_quality"
-    }
+    # entry() runs corpus_build_flagship: ten attrition rows, one per
+    # funnel stage, in a fixed schema/order.
+    assert df.columns == [
+        "stage_ord", "stage", "docs_in", "docs_out",
+        "docs_removed", "tokens_out", "artifacts", "checksum",
+    ]
+    by_ord = {r.stage_ord: r for r in rows}
+    assert sorted(by_ord) == list(range(10))
+    assert [by_ord[i].stage for i in range(10)] == [
+        "raw", "clean", "keep_best_neardup", "holdout_slice",
+        "decon_ngram", "decon_bloom", "decon_semantic", "train_split",
+        "pack_sequences", "shard_manifest",
+    ]
+    # funnel invariants: stage i's input is stage i-1's output, and
+    # removed = in - out everywhere
+    for i in range(1, 8):
+        assert by_ord[i].docs_in == by_ord[i - 1].docs_out
+        assert by_ord[i].docs_removed == by_ord[i].docs_in - by_ord[i].docs_out
+    assert by_ord[0].docs_in > 0
 
 
 def test_every_oracle_key_has_query():

@@ -853,8 +853,11 @@ def dedup_embedding_rhp_highsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fixture's background cosine tops out ~0.6, so qualifying pairs
     are PLANTED deterministically in BOTH engines: every
-    ``{stride}``th vector gets a copy (id + {offset}) with its even
-    elements scaled by 1.1. By the Kantorovich bound, a vector and its
+    ``{stride}``th vector gets a copy (id + {offset}) with the
+    elements at even 1-BASED positions scaled by 1.1 — i.e. odd
+    0-based indices on the Spark ``transform`` side, even 1-based
+    indices in the DuckDB ``list_transform`` lambda; the numpy test
+    pins the same convention. By the Kantorovich bound, a vector and its
     coordinate-wise rescaling by factors in [1, 1.1] have cosine
     ≥ 2·sqrt(1.1)/2.1 ≈ 0.99886 REGARDLESS of the data — measured
     min planted cosine 0.99887 on every sf dir — while planted copies

@@ -12,6 +12,9 @@ canonical copies, and the attrition rollup rides the same exchange.
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -222,6 +225,37 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tokens per packed training sequence (bin capacity)
 _PACK_CAPACITY = 256
 
+#: bounded pin-set for the range-partitioned frames persisted by
+#: ``distributed_prefix_cum`` (round-8 ADVICE: the persist was
+#: never released, so long sessions accumulated one corpus-sized
+#: storage entry per distinct input).  Keyed by the ANALYZED plan's
+#: semanticHash so a re-invocation of the same query moves its entry
+#: to the back instead of appending a duplicate handle — unpersisting
+#: a duplicate would drop the cacheManager entry a live invocation
+#: shares.  Evicting an old pin is safe even if some consumer frame
+#: is still lazy: repartitionByRange re-samples with per-partition
+#: deterministic seeds over deterministic inputs, so a recompute
+#: reproduces the identical partitioning the pass-1 offsets assumed.
+_PREFIX_PIN_MAX = 3
+_prefix_pins: "OrderedDict[int, DataFrame]" = OrderedDict()
+_prefix_pin_lock = threading.Lock()
+
+
+def _pin_prefix_frame(nt: DataFrame) -> None:
+    try:
+        key = nt._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # noqa: BLE001 — plan access is best-effort
+        key = id(nt)
+    with _prefix_pin_lock:
+        _prefix_pins.pop(key, None)
+        _prefix_pins[key] = nt
+        while len(_prefix_pins) > _PREFIX_PIN_MAX:
+            _, old = _prefix_pins.popitem(last=False)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — session may be gone
+                pass
+
 
 def distributed_prefix_cum(
     df: DataFrame, order_col: str, val_col: str
@@ -247,6 +281,7 @@ def distributed_prefix_cum(
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
+    _pin_prefix_frame(nt)  # bounded release of older pinned frames
     subtotals = nt.groupBy("pid").agg(F.sum(val_col).alias("tot")).collect()
     offsets, running = [], 0
     for row in sorted(subtotals, key=lambda r: r["pid"]):

