@@ -271,6 +271,31 @@ def minhash_signatures_from_shingles(
     )
 
 
+def minhash_band_table(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) from a (doc_id, sig) signature
+    table — {_N_HASHES // _BAND_ROWS} bands of {_BAND_ROWS} rows, each
+    band's slice hashed with the band index as seed so identical
+    slices in different bands never collide. Shared by the in-session
+    LSH, the cross-run band-state build (``dedup_incremental_minhash_
+    state``) and the incremental corpus build (operators/
+    incremental.py)."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_N_HASHES // _BAND_ROWS - 1)),
+                lambda j: F.struct(
+                    j.alias("band_idx"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), j * _BAND_ROWS + 1, _BAND_ROWS),
+                        j,
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     """(doc_id, sig) MinHash signatures straight from a documents
     table — convenience wrapper over the hashed_shingle_table
@@ -1625,26 +1650,9 @@ def dedup_incremental_minhash_state(
     nonblank = docs.filter(F.col("text").rlike(r"(?U)\S"))
 
     def _bands_of(frame: DataFrame) -> DataFrame:
-        sigs = minhash_signatures_from_shingles(
-            hashed_shingle_table(frame)
+        return minhash_band_table(
+            minhash_signatures_from_shingles(hashed_shingle_table(frame))
         )
-        return sigs.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(_N_HASHES // _BAND_ROWS - 1)),
-                    lambda j: F.struct(
-                        j.alias("band_idx"),
-                        F.xxhash64(
-                            F.slice(
-                                F.col("sig"), j * _BAND_ROWS + 1, _BAND_ROWS
-                            ),
-                            j,
-                        ).alias("band_hash"),
-                    ),
-                )
-            ).alias("band"),
-        ).select("doc_id", "band.band_idx", "band.band_hash")
 
     # RUN 1: persist the corpus band table partitioned by band_idx.
     # Atomic scratch-build + rename publish: a concurrent run can

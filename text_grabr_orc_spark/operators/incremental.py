@@ -1,0 +1,671 @@
+"""Incremental flagship — the daily-shard corpus build (round-8
+verdict "next round" #2): process a NEW shard of documents against
+persisted history state and emit the shard's attrition funnel plus the
+APPENDED corpus manifest, without re-reading history.
+
+This is the operation a 100 TB pipeline runs repeatedly; the batch
+flagship (``operators/flagship.py``) runs once. The reference's whole
+pipeline is a one-document funnel (`main.go:41-97`); this operator is
+that funnel arriving one shard at a time.
+
+Semantics — append-only-consistent by construction
+--------------------------------------------------
+Every stage rule is chosen so that processing the corpus as N
+successive shards produces EXACTLY the same per-doc decisions as one
+batch pass (the two-shard pytest asserts this):
+
+- **clean**: exact-dup keep-FIRST (``copy_rank`` = 1 iff no identical
+  text at a smaller doc_id) — first occurrence lives in the earliest
+  shard, so a probe against the history hash state plus a within-shard
+  window reproduces the batch window exactly. Quality / lang-ID are
+  per-doc expressions.
+- **neardup_incremental**: PAIRWISE keep-first — drop a doc iff it has
+  a verified (exact Jaccard >= 0.5) near-dup partner at a SMALLER
+  doc_id. Deliberately NOT the batch flagship's connected-component
+  keep-best (``dedup_keep_best_canonical``): CC labels and best-member
+  picks can change when a later shard bridges two old clusters, so no
+  append-only pipeline can reproduce them without retracting shipped
+  history — the classic incremental-dedup impossibility. The pairwise
+  rule needs only "does doc d collide with anything earlier", which is
+  exactly a probe of the persisted MinHash band state
+  (``dedup_incremental_minhash_state``'s shape, dedup.py).
+- **decon (ngram / bloom / semantic)**: flags are per-doc against the
+  FIXED held-out benchmark slice (doc_id % {MOD} == 0 — the fixture's
+  stand-in for an external benchmark, known from day 0), so shard
+  flags are the registered operators' outputs with the shard predicate
+  pushed down to the scan (history rows never re-tokenized; the bench
+  structures are benchmark-sized, rebuilt cheaply per run).
+- **train_split**: per-doc md5 hash split (8/10 -> train), not the
+  batch flagship's cluster-aware split — cluster-aware needs corpus-
+  wide CC (same impossibility as keep-best). After pairwise dedup no
+  DIRECT near-dup pair survives, so hash splitting cannot leak a
+  verbatim near-dup across splits; only weaker transitive relatives
+  (Jaccard < threshold) can straddle, which is the accepted residual
+  of every append-only pipeline.
+- **pack_sequences**: packing CONTINUES history's cumulative token
+  offset (the shard's first kept doc lands in history's last partial
+  bin), so the sequence ids are the batch packing's ids and the
+  reported artifact is the cumulative corpus sequence count.
+- **shard_manifest**: the appended manifest — distinct shard count
+  over history-union-shard kept ids and the order-independent additive
+  id checksum, combined from the history summary's residues.
+
+State (published once per (fixture, lo) via ``published_cache_dir``,
+immutable, probe-only afterwards):
+
+- ``hashes/``   distinct sha2(text) of ALL history docs (exact-dup probe)
+- ``bands/``    MinHash band table of history, PARTITIONED BY band_idx
+  (the shard probe prunes to the <=32 band dirs it can collide with —
+  plan-asserted in tests/test_plans.py)
+- ``shingles/`` hashed shingle sets for candidate-bounded exact verify
+  (at 100 TB: bucketed by doc_id so the verify fetch co-locates)
+- ``summary/``  one row of manifest/packing residues (kept docs/tokens,
+  cumulative sequence count, last sequence id, checksum residue)
+- ``shardids/`` distinct manifest shard ids of history's kept docs
+
+A new state generation can be built by APPENDING a processed shard to
+the previous generation (``ensure_state(lo, prev_lo=...)``) — history
+is never re-read; the two-shard pytest asserts the appended state
+equals the batch-built one.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# stage-operator modules MUST be imported before the ORACLES lookups
+# below (each registers its SQL at import time); registry.load_all()
+# imports this module after them for the same reason.
+from text_grabr_orc_spark.operators import curation, similarity  # noqa: F401
+from text_grabr_orc_spark.operators.curation import _DECON_MOD, _N_SHARDS
+from text_grabr_orc_spark.operators.dedup import (
+    _ORACLE_SHINGLES,
+    hashed_shingle_table,
+    minhash_band_table,
+    minhash_signatures_from_shingles,
+)
+from text_grabr_orc_spark.operators.pipeline import (
+    CLEAN_STAGED_BODY,
+    _MIN_QUALITY,
+    _PACK_CAPACITY,
+    distributed_prefix_cum,
+)
+from text_grabr_orc_spark.operators.text_analysis import (
+    lang_id,
+    quality_columns,
+)
+from text_grabr_orc_spark.opcache import cached_frame
+from text_grabr_orc_spark.registry import ORACLES, register
+from text_grabr_orc_spark.tables import load_table, published_cache_dir
+
+#: exact-Jaccard near-dup threshold (same as dedup_minhash_lsh)
+_INC_J = 0.5
+#: the registered query's history fraction: history = doc_id <
+#: (max_id+1)*4//5, new shard = the rest (dynamic so the split scales
+#: with the fixture instead of pinning an absolute id)
+_INC_NUM, _INC_DEN = 4, 5
+
+_STAGES = (
+    "raw",
+    "clean",
+    "neardup_incremental",
+    "holdout_slice",
+    "decon_ngram",
+    "decon_bloom",
+    "decon_semantic",
+    "train_split",
+)
+
+#: DuckDB md5-prefix bigint — the repo's cross-engine hash device
+#: (Spark twin: conv(substring(md5(x), 1, 8), 16, 10)::bigint)
+def _md5_sql(prefix: str, col: str) -> str:
+    return f"('0x' || substr(md5('{prefix}' || {col}::VARCHAR), 1, 8))::BIGINT"
+
+
+def _md5_col(prefix: str, col) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+_J_SQL = """len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles)))"""
+
+_FU_COLS = []
+for _i in range(1, 8):
+    _chain = " AND ".join(f"ok{_j}" for _j in range(1, _i + 1))
+    _FU_COLS.append(
+        f"count(*) FILTER ({_chain} AND doc_id >= lo) AS c{_i},\n"
+        f"CAST(coalesce(sum(n_tok) FILTER ({_chain} AND doc_id >= lo), 0)"
+        f" AS BIGINT) AS t{_i}"
+    )
+
+_INC_ORACLE = f"""
+    WITH {CLEAN_STAGED_BODY},
+    ilo AS (
+        SELECT (max(doc_id) + 1) * {_INC_NUM} // {_INC_DEN} AS lo
+        FROM documents
+    ), ish AS MATERIALIZED (
+        SELECT doc_id, {_ORACLE_SHINGLES} AS shingles FROM tok
+    ), ind AS MATERIALIZED (
+        -- pairwise keep-first: any verified partner at a smaller id
+        SELECT DISTINCT b.doc_id
+        FROM ish a JOIN ish b ON a.doc_id < b.doc_id
+        WHERE {_J_SQL} >= {_INC_J}
+    ), ing AS (
+        SELECT doc_id FROM ({ORACLES["decontaminate_ngram_overlap"]})
+    ), ibl AS (
+        SELECT doc_id FROM ({ORACLES["decontaminate_bloom"]})
+        WHERE flagged = 1
+    ), ism AS (
+        SELECT vec_id AS doc_id FROM ({ORACLES["decontaminate_semantic"]})
+    ), iok AS (
+        SELECT s.doc_id, s.n_tok,
+               (s.copy_rank = 1 AND s.q >= {_MIN_QUALITY}
+                AND s.pred_lang <> 'und') AS ok1,
+               (nd.doc_id IS NULL) AS ok2,
+               (s.doc_id % {_DECON_MOD} <> 0) AS ok3,
+               (g.doc_id IS NULL) AS ok4,
+               (b.doc_id IS NULL) AS ok5,
+               (m.doc_id IS NULL) AS ok6,
+               ({_md5_sql("isplit:", "s.doc_id")} % 10 < 8) AS ok7
+        FROM staged s
+        LEFT JOIN ind nd ON nd.doc_id = s.doc_id
+        LEFT JOIN ing g ON g.doc_id = s.doc_id
+        LEFT JOIN ibl b ON b.doc_id = s.doc_id
+        LEFT JOIN ism m ON m.doc_id = s.doc_id
+    ), ifu AS (
+        SELECT count(*) FILTER (doc_id >= lo) AS c0,
+               CAST(coalesce(sum(n_tok) FILTER (doc_id >= lo), 0)
+                    AS BIGINT) AS t0,
+               {",".join(_FU_COLS)}
+        FROM iok, ilo
+    ), icum AS (
+        -- packing continues across shards: one global prefix sum
+        SELECT n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM iok
+        WHERE ok1 AND ok2 AND ok3 AND ok4 AND ok5 AND ok6 AND ok7
+          AND n_tok > 0
+    ), ipk AS (
+        SELECT CAST(count(DISTINCT (cum - n_tok) // {_PACK_CAPACITY})
+                    AS BIGINT) AS n_seq_total
+        FROM icum
+    ), isv AS (
+        SELECT doc_id FROM iok
+        WHERE ok1 AND ok2 AND ok3 AND ok4 AND ok5 AND ok6 AND ok7
+    ), ims AS (
+        SELECT CAST(count(DISTINCT {_md5_sql("shuf:", "doc_id")}
+                          % {_N_SHARDS}) AS BIGINT) AS n_shards,
+               CAST(coalesce(sum({_md5_sql("ck:", "doc_id")}), 0)
+                    % 4294967296 AS BIGINT) AS id_checksum
+        FROM isv
+    ), iw AS (
+        SELECT * FROM ifu, ipk, ims
+    )
+    SELECT CAST(0 AS BIGINT) AS stage_ord, 'raw' AS stage,
+           c0 AS docs_in, c0 AS docs_out,
+           CAST(0 AS BIGINT) AS docs_removed, t0 AS tokens_out,
+           CAST(-1 AS BIGINT) AS artifacts,
+           CAST(-1 AS BIGINT) AS checksum
+    FROM iw
+    UNION ALL SELECT 1, 'clean', c0, c1, c0 - c1, t1, -1, -1 FROM iw
+    UNION ALL SELECT 2, 'neardup_incremental', c1, c2, c1 - c2, t2, -1, -1
+    FROM iw
+    UNION ALL SELECT 3, 'holdout_slice', c2, c3, c2 - c3, t3, -1, -1
+    FROM iw
+    UNION ALL SELECT 4, 'decon_ngram', c3, c4, c3 - c4, t4, -1, -1 FROM iw
+    UNION ALL SELECT 5, 'decon_bloom', c4, c5, c4 - c5, t5, -1, -1 FROM iw
+    UNION ALL SELECT 6, 'decon_semantic', c5, c6, c5 - c6, t6, -1, -1
+    FROM iw
+    UNION ALL SELECT 7, 'train_split', c6, c7, c6 - c7, t7, -1, -1 FROM iw
+    UNION ALL SELECT 8, 'pack_sequences', c7, c7, 0, t7, n_seq_total, -1
+    FROM iw
+    UNION ALL SELECT 9, 'shard_manifest', c7, c7, 0, t7, n_shards,
+                     id_checksum
+    FROM iw
+    """
+
+#: state-table schemas (the empty-history generation)
+_STATE_SCHEMAS = {
+    "hashes": "tsha string",
+    "bands": "band_hash bigint, corpus_doc bigint, band_idx int",
+    "shingles": "corpus_doc bigint, hs array<bigint>",
+    "shardids": "shard_id bigint",
+    "summary": (
+        "kept_docs bigint, kept_tokens bigint, n_seq_total bigint, "
+        "last_seq_id bigint, ck_residue bigint"
+    ),
+}
+
+
+def _empty_state(spark: SparkSession) -> dict[str, DataFrame]:
+    st = {
+        k: spark.createDataFrame([], s)
+        for k, s in _STATE_SCHEMAS.items()
+        if k != "summary"
+    }
+    st["summary"] = spark.createDataFrame(
+        [(0, 0, 0, -1, 0)], _STATE_SCHEMAS["summary"]
+    )
+    return st
+
+
+def _load_state(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    return {
+        k: spark.read.parquet(f"{path}/{k}") for k in _STATE_SCHEMAS
+    }
+
+
+def ensure_state(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: int,
+    prev_lo: int = 0,
+    ns: str = "main",
+) -> dict[str, DataFrame]:
+    """Publish-once state for history ``doc_id < lo``. ``prev_lo`` > 0
+    builds it by APPENDING shard ``[prev_lo, lo)`` to the previous
+    generation — the already-published rows are copied forward, only
+    the new shard is tokenized/banded. ``ns`` namespaces test fixtures
+    away from the registered query's state."""
+    if lo <= 0:
+        return _empty_state(spark)
+    path = published_cache_dir(
+        f"tgos_inc_state_{ns}_{lo}",
+        sf_dir,
+        lambda p: _write_state(spark, sf_dir, prev_lo, lo, ns, p),
+        marker="summary/_SUCCESS",
+    )
+    return _load_state(spark, path)
+
+
+def _shard_docs(docs: DataFrame, lo: int, hi: int | None) -> DataFrame:
+    cond = F.col("doc_id") >= lo
+    if hi is not None:
+        cond = cond & (F.col("doc_id") < hi)
+    return docs.filter(cond)
+
+
+def _inc_decisions(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: int,
+    hi: int | None,
+    state: dict[str, DataFrame],
+) -> DataFrame:
+    """Per-doc decision frame for the NEW shard ``[lo, hi)`` probed
+    against the history state: (doc_id, n_tok, ok1..ok7). History text
+    is never re-read — exact-dup and near-dup arrive via hash/band
+    state probes; decon flags via the registered operators with the
+    shard predicate pushed to the scan (their bench side is the fixed
+    external benchmark slice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = _shard_docs(docs, lo, hi)
+
+    pred, _hits = lang_id(F.col("text"))
+    q = quality_columns("text")
+    base = shard.select(
+        "doc_id",
+        "text",
+        F.sha2(F.col("text"), 256).alias("tsha"),
+        pred.alias("pred_lang"),
+        q["n_tokens"].alias("n_tok"),
+        q["quality_score"].alias("q"),
+    )
+    # exact-dup keep-first: first-in-shard (window on the 64-hex
+    # digest, the one exchange) AND text hash absent from history.
+    # The hash-state join is a plain equi-join: at 100 TB the state is
+    # bucketed by tsha so the probe co-locates; never broadcast (the
+    # state is corpus-sized).
+    w = Window.partitionBy("tsha").orderBy("doc_id")
+    hist_hash = state["hashes"].select("tsha", F.lit(1).alias("in_hist"))
+    base = (
+        base.withColumn("shard_rank", F.row_number().over(w))
+        .join(hist_hash, "tsha", "left")
+    )
+
+    # pairwise near-dup: band the SHARD only, probe (a) itself for
+    # within-shard smaller partners and (b) the persisted history band
+    # table through a band_idx partition-pruned scan; exact-verify the
+    # candidate set only (candidate-mass-bounded), shingles of history
+    # candidates fetched from the shingle state.
+    nonblank = shard.filter(F.col("text").rlike(r"(?U)\S"))
+    hs = hashed_shingle_table(nonblank).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = minhash_band_table(
+        minhash_signatures_from_shingles(hs)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    touched = [
+        int(r["band_idx"])
+        for r in bands.select("band_idx").distinct().collect()
+    ]
+    hist_bands = state["bands"].filter(F.col("band_idx").isin(touched))
+    within = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_small"),
+            F.col("y.doc_id").alias("doc_big"),
+        )
+    )
+    vs_hist = hist_bands.join(bands, ["band_idx", "band_hash"]).select(
+        F.col("corpus_doc").alias("doc_small"),
+        F.col("doc_id").alias("doc_big"),
+    )
+    cand = within.unionByName(vs_hist).distinct()
+    small_sh = state["shingles"].unionByName(
+        hs.select(F.col("doc_id").alias("corpus_doc"), "hs")
+    ).select(F.col("corpus_doc").alias("doc_small"), F.col("hs").alias("sh_a"))
+    big_sh = hs.select(F.col("doc_id").alias("doc_big"), F.col("hs").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    nd_drop = (
+        cand.join(small_sh, "doc_small")
+        .join(big_sh, "doc_big")
+        .filter(jac >= _INC_J)
+        .select(F.col("doc_big").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("nd_flag"))
+    )
+
+    # decon flags: registered operators, shard predicate pushed down
+    def _rng(df: DataFrame, col: str = "doc_id") -> DataFrame:
+        cond = F.col(col) >= lo
+        if hi is not None:
+            cond = cond & (F.col(col) < hi)
+        return df.filter(cond)
+
+    ng = _rng(curation.decontaminate_ngram_overlap(spark, sf_dir)).select(
+        "doc_id", F.lit(1).alias("ng_flag")
+    )
+    bl = (
+        _rng(curation.decontaminate_bloom(spark, sf_dir))
+        .filter(F.col("flagged") == 1)
+        .select("doc_id", F.lit(1).alias("bl_flag"))
+    )
+    sem = _rng(
+        similarity.decontaminate_semantic(spark, sf_dir), "vec_id"
+    ).select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("sem_flag"))
+
+    dec = (
+        base.join(F.broadcast(nd_drop), "doc_id", "left")
+        .join(F.broadcast(ng), "doc_id", "left")
+        .join(F.broadcast(bl), "doc_id", "left")
+        .join(F.broadcast(sem), "doc_id", "left")
+    )
+    ok1 = (
+        (F.col("shard_rank") == 1)
+        & F.col("in_hist").isNull()
+        & (F.col("q") >= _MIN_QUALITY)
+        & (F.col("pred_lang") != "und")
+    )
+    ok2 = ok1 & F.col("nd_flag").isNull()
+    ok3 = ok2 & (F.col("doc_id") % _DECON_MOD != 0)
+    ok4 = ok3 & F.col("ng_flag").isNull()
+    ok5 = ok4 & F.col("bl_flag").isNull()
+    ok6 = ok5 & F.col("sem_flag").isNull()
+    ok7 = ok6 & (_md5_col("isplit:", F.col("doc_id")) % 10 < 8)
+    return dec.select(
+        "doc_id",
+        "n_tok",
+        ok1.alias("ok1"),
+        ok2.alias("ok2"),
+        ok3.alias("ok3"),
+        ok4.alias("ok4"),
+        ok5.alias("ok5"),
+        ok6.alias("ok6"),
+        ok7.alias("ok7"),
+    )
+
+
+def _inc_wide_from_dec(
+    spark: SparkSession,
+    sf_dir: str,
+    dec: DataFrame,
+    state: dict[str, DataFrame],
+    pack_cache_extras: tuple | None = None,
+) -> DataFrame:
+    """One wide row: shard funnel counts + CUMULATIVE packing/manifest
+    scalars (history residues from the state summary combined with the
+    shard's contribution). Extra columns ``last_seq_id_new`` /
+    ``kept_docs_new`` / ``kept_tokens_new`` ride along for the state
+    writer."""
+    aggs = [
+        F.count(F.lit(1)).alias("c0"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("t0"),
+    ]
+    for i in range(1, 8):
+        aggs.append(F.count(F.when(F.col(f"ok{i}"), 1)).alias(f"c{i}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col(f"ok{i}"), F.col("n_tok"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"t{i}")
+        )
+    funnel = dec.agg(*aggs)
+    surv = dec.filter("ok7").select("doc_id", "n_tok")
+    summary = state["summary"].select(
+        F.col("kept_docs").alias("prev_kept_docs"),
+        F.col("kept_tokens").alias("prev_kept_tokens"),
+        F.col("n_seq_total").alias("prev_n_seq"),
+        F.col("last_seq_id").alias("prev_last_seq"),
+        F.col("ck_residue").alias("prev_ck"),
+    )
+
+    def build_pk() -> DataFrame:
+        packed = distributed_prefix_cum(
+            surv.filter(F.col("n_tok") > 0), "doc_id", "n_tok"
+        ).crossJoin(F.broadcast(summary))
+        seqs = packed.select(
+            F.expr(
+                f"(prev_kept_tokens + cum - n_tok) div {_PACK_CAPACITY}"
+            ).alias("seq"),
+        )
+        sagg = seqs.agg(
+            F.countDistinct("seq").alias("n_new"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+        )
+        # the shard's first bin may CONTINUE history's last partial
+        # bin — that sequence id exists on both sides, count it once
+        return sagg.crossJoin(F.broadcast(summary)).select(
+            (
+                F.col("prev_n_seq")
+                + F.col("n_new")
+                - F.when(F.col("min_seq") == F.col("prev_last_seq"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_seq_total"),
+            F.coalesce(F.col("max_seq"), F.col("prev_last_seq"))
+            .cast("bigint")
+            .alias("last_seq_id_new"),
+        )
+
+    if pack_cache_extras is not None:
+        # the prefix-sum collect is invisible to plan-matched caching
+        # (same rationale as the batch flagship's pack scalar)
+        pk = cached_frame(
+            spark, sf_dir, "inc_pack_scalar", build_pk, *pack_cache_extras
+        )
+    else:
+        pk = build_pk()
+
+    ids_union = (
+        surv.select((_md5_col("shuf:", F.col("doc_id")) % _N_SHARDS).alias(
+            "shard_id"
+        ))
+        .unionByName(state["shardids"])
+        .agg(F.countDistinct("shard_id").cast("bigint").alias("n_shards"))
+    )
+    ck = surv.select(_md5_col("ck:", F.col("doc_id")).alias("ckv")).agg(
+        # DECIMAL(38,0) accumulator: BIGINT sums of 32-bit terms wrap
+        # past ~2^31 rows while the oracle promotes to HUGEINT
+        F.coalesce(
+            F.sum(F.col("ckv").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("ck_shard")
+    )
+    ms = (
+        ids_union.crossJoin(F.broadcast(ck))
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "n_shards",
+            ((F.col("prev_ck") + F.col("ck_shard")) % F.lit(4294967296))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+    )
+    return funnel.crossJoin(F.broadcast(pk)).crossJoin(F.broadcast(ms))
+
+
+def _write_state(
+    spark: SparkSession,
+    sf_dir: str,
+    prev_lo: int,
+    lo: int,
+    ns: str,
+    path: str,
+) -> None:
+    """State-generation writer: previous generation + shard
+    ``[prev_lo, lo)`` processed against it. Only the new shard is
+    tokenized/banded; previous rows are copied forward column-for-
+    column (at 100 TB the copy is a partition-preserving file move)."""
+    prev = (
+        ensure_state(spark, sf_dir, prev_lo, 0, ns)
+        if prev_lo > 0
+        else _empty_state(spark)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    shard = _shard_docs(docs, prev_lo, lo)
+    dec = _inc_decisions(spark, sf_dir, prev_lo, lo, prev).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    wide = _inc_wide_from_dec(spark, sf_dir, dec, prev)
+
+    prev["hashes"].unionByName(
+        shard.select(F.sha2(F.col("text"), 256).alias("tsha"))
+    ).distinct().write.parquet(f"{path}/hashes")
+
+    nonblank = shard.filter(F.col("text").rlike(r"(?U)\S"))
+    hs = hashed_shingle_table(nonblank)
+    bands = minhash_band_table(minhash_signatures_from_shingles(hs))
+    prev["bands"].unionByName(
+        bands.select("band_hash", F.col("doc_id").alias("corpus_doc"), "band_idx")
+    ).write.partitionBy("band_idx").parquet(f"{path}/bands")
+    prev["shingles"].unionByName(
+        hs.select(F.col("doc_id").alias("corpus_doc"), "hs")
+    ).write.parquet(f"{path}/shingles")
+
+    surv_ids = dec.filter("ok7").select(
+        (_md5_col("shuf:", F.col("doc_id")) % _N_SHARDS).alias("shard_id")
+    )
+    prev["shardids"].unionByName(surv_ids).distinct().write.parquet(
+        f"{path}/shardids"
+    )
+
+    prev_summary = prev["summary"].select(
+        F.col("kept_docs").alias("prev_kept_docs"),
+        F.col("kept_tokens").alias("prev_kept_tokens"),
+    )
+    # summary LAST: it carries the publish marker, so a state dir is
+    # complete iff the summary exists
+    wide.crossJoin(F.broadcast(prev_summary)).select(
+        (F.col("prev_kept_docs") + F.col("c7")).cast("bigint").alias(
+            "kept_docs"
+        ),
+        (F.col("prev_kept_tokens") + F.col("t7")).cast("bigint").alias(
+            "kept_tokens"
+        ),
+        F.col("n_seq_total"),
+        F.col("last_seq_id_new").alias("last_seq_id"),
+        F.col("id_checksum").alias("ck_residue"),
+    ).write.parquet(f"{path}/summary")
+    dec.unpersist()
+
+
+def inc_shard_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: int,
+    hi: int | None,
+    state: dict[str, DataFrame],
+    pack_cache_extras: tuple | None = None,
+) -> DataFrame:
+    """The shard's ten-row attrition funnel (same schema as the batch
+    flagship): stages 0-7 report the SHARD's docs in/out/removed and
+    token mass; stage 8's artifact is the CUMULATIVE packed-sequence
+    count and stage 9 carries the appended manifest (union shard count
+    + additive id checksum)."""
+    dec = _inc_decisions(spark, sf_dir, lo, hi, state)
+    wide = _inc_wide_from_dec(
+        spark, sf_dir, dec, state, pack_cache_extras
+    ).persist()
+
+    def row(ord_, stage, c_in, c_out, toks, artifacts, checksum):
+        return wide.select(
+            F.lit(ord_).cast("bigint").alias("stage_ord"),
+            F.lit(stage).alias("stage"),
+            F.col(c_in).cast("bigint").alias("docs_in"),
+            F.col(c_out).cast("bigint").alias("docs_out"),
+            (F.col(c_in) - F.col(c_out)).cast("bigint").alias("docs_removed"),
+            F.col(toks).cast("bigint").alias("tokens_out"),
+            (
+                F.col(artifacts).cast("bigint")
+                if artifacts
+                else F.lit(-1).cast("bigint")
+            ).alias("artifacts"),
+            (
+                F.col(checksum).cast("bigint")
+                if checksum
+                else F.lit(-1).cast("bigint")
+            ).alias("checksum"),
+        )
+
+    rows = [row(0, "raw", "c0", "c0", "t0", None, None)]
+    for i, stage in enumerate(_STAGES[1:], start=1):
+        rows.append(row(i, stage, f"c{i - 1}", f"c{i}", f"t{i}", None, None))
+    rows.append(row(8, "pack_sequences", "c7", "c7", "t7", "n_seq_total", None))
+    rows.append(
+        row(9, "shard_manifest", "c7", "c7", "t7", "n_shards", "id_checksum")
+    )
+    return reduce(DataFrame.unionByName, rows)
+
+
+def _inc_lo(spark: SparkSession, sf_dir: str) -> int:
+    """The registered query's history/shard boundary — a bounded
+    driver-side scalar (one max over a pruned single-column scan); it
+    parameterizes the STATE DIRECTORY path and the band partition
+    IN-list, neither of which can ride a join."""
+    mx = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+    return (int(mx) + 1) * _INC_NUM // _INC_DEN
+
+
+@register("corpus_build_incremental", oracle=_INC_ORACLE)
+def corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-shard corpus build: the newest fifth of the corpus
+    processed as an incoming shard against persisted state of the
+    older four fifths — per-stage attrition for the shard, cumulative
+    packing, appended manifest. See the module docstring for the
+    append-only-consistent stage semantics and the state layout; the
+    two-shard pytest (tests/test_incremental.py) asserts that
+    processing the corpus as successive shards reproduces the batch
+    decisions exactly and that an appended state generation equals a
+    batch-built one."""
+    lo = _inc_lo(spark, sf_dir)
+    state = ensure_state(spark, sf_dir, lo)
+    return inc_shard_funnel(
+        spark, sf_dir, lo, None, state, pack_cache_extras=(lo, -1, 0, "main")
+    )

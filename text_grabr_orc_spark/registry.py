@@ -68,9 +68,10 @@ def load_all() -> None:
         tpch_more,
         unigram_lm,
     )
-    # flagship composes other modules' REGISTERED oracles, so it must
-    # import after every stage module above
+    # flagship + incremental compose other modules' REGISTERED
+    # oracles, so they must import after every stage module above
     from text_grabr_orc_spark.operators import flagship  # noqa: F401
+    from text_grabr_orc_spark.operators import incremental  # noqa: F401
     from text_grabr_orc_spark.sources import orc_io  # noqa: F401
     from text_grabr_orc_spark.streaming import events  # noqa: F401
 
