@@ -263,3 +263,36 @@ def test_curve_entry_retry_fallback_semantics():
     # fresh died on the RE-measure: first fresh entry kept, flagged
     e = bench._curve_entry_for(spec, seq(junk, None), boom)
     assert e["fresh_jvm"] and e["confirm_failed"]
+
+
+def test_fit_entry_reports_spread_and_flags_weather_driven_fits():
+    """Round-8 verdict #2: per-point timed attempts and their spread
+    ride in the curve entry, and a fit whose DRIVING (top) point
+    spread >2x is flagged — never alarmed."""
+    spec = {"expected_max": 1.2}
+    pts = [(5_000, 1.0), (50_000, 3.0), (150_000, 7.0)]
+    e = bench._fit_entry(pts, spec, [[1.0, 1.2], [3.0, 3.4], [7.0, 21.0]])
+    assert e["sec_attempts"][-1] == [7.0, 21.0]
+    assert e["spread"] == [1.2, 1.13, 3.0]
+    assert e["spread_flag"] and not e["alarm"]
+    e2 = bench._fit_entry(pts, spec, [[1.0], [3.0], [7.0, 7.5]])
+    assert not e2["spread_flag"]
+    # points-only callers (attempts unavailable) stay valid
+    e3 = bench._fit_entry(pts, spec)
+    assert "spread" not in e3 and "spread_flag" not in e3
+
+
+def test_fit_entry_time_divisor_normalizes_before_fitting():
+    """A declared analytic factor (e.g. high-sim's r ~ log2 n band
+    bits) divides out of the series before the fit; raw seconds stay
+    reported."""
+    pts = [(5_000, 0.5), (50_000, 50.0), (150_000, 450.0)]  # t = a·n²
+    raw = bench._fit_entry(pts, {"expected_max": 1.2})
+    assert raw["alarm"] and abs(raw["exponent"] - 2.0) < 0.01
+    # divisor exactly n: the quadratic normalizes to a clean linear
+    # family and the alarm clears against the same bound
+    spec = {"expected_max": 1.2, "time_divisor": lambda r: float(r)}
+    e = bench._fit_entry(pts, spec)
+    assert e["sec"] == [0.5, 50.0, 450.0]  # raw stays visible
+    assert e["sec_normalized"] == [0.5, 5.0, 15.0]
+    assert abs(e["exponent"] - 1.0) < 0.05 and not e["alarm"]

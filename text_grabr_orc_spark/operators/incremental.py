@@ -605,7 +605,23 @@ def inc_shard_funnel(
     token mass; stage 8's artifact is the CUMULATIVE packed-sequence
     count and stage 9 carries the appended manifest (union shard count
     + additive id checksum)."""
-    dec = _inc_decisions(spark, sf_dir, lo, hi, state)
+    if pack_cache_extras is not None:
+        # registered path: the decision frame is an INTERMEDIATE with
+        # four consumers (funnel aggregate, packing prefix-sum, shard
+        # ids, checksum) — opcache it like the batch flagship's, so
+        # each consumer scans one materialized frame instead of
+        # re-running the band probe + decon lineage
+        dec = cached_frame(
+            spark,
+            sf_dir,
+            "inc_decisions",
+            lambda: _inc_decisions(spark, sf_dir, lo, hi, state),
+            *pack_cache_extras,
+        )
+    else:
+        dec = _inc_decisions(spark, sf_dir, lo, hi, state).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     wide = _inc_wide_from_dec(
         spark, sf_dir, dec, state, pack_cache_extras
     ).persist()
