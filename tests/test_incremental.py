@@ -91,15 +91,18 @@ def test_incremental_clean_matches_batch_window(spark, sf_dir):
 
 
 def test_incremental_band_probe_is_partition_pruned(spark, sf_dir):
-    """The funnel's history band probe must read the persisted band
-    state through a band_idx partition-pruned scan (only the band
+    """The history band probe must read the persisted band state
+    through a band_idx partition-pruned scan (only the band
     directories the shard can collide with), with no cartesian
-    product anywhere in the composed plan."""
+    product anywhere in the decision plan. Asserted on the DECISION
+    frame — the funnel query itself returns stage rows projected from
+    a collected one-row LocalRelation, so the probe subtree lives in
+    the decision lineage, not the returned plan."""
     from text_grabr_orc_spark.plans import formatted_plan
 
     state = ensure_state(spark, sf_dir, _LO1, 0, ns="tA")
     plan = formatted_plan(
-        inc_shard_funnel(spark, sf_dir, _LO1, None, state)
+        _inc_decisions(spark, sf_dir, _LO1, None, state)
     )
     part_lines = [
         ln for ln in plan.splitlines() if "PartitionFilters" in ln

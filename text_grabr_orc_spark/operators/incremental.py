@@ -499,26 +499,43 @@ def _inc_wide_from_dec(
     else:
         pk = build_pk()
 
-    ids_union = (
-        surv.select((_md5_col("shuf:", F.col("doc_id")) % _N_SHARDS).alias(
-            "shard_id"
-        ))
-        .unionByName(state["shardids"])
-        .agg(F.countDistinct("shard_id").cast("bigint").alias("n_shards"))
-    )
-    ck = surv.select(_md5_col("ck:", F.col("doc_id")).alias("ckv")).agg(
+    # ONE manifest pass over the survivors: the shard-id space is
+    # bounded by _N_SHARDS (16), so a collect_set aggregate merged
+    # with the checksum sum replaces a second survivor scan and a
+    # union-distinct exchange; the state's equally bounded id set
+    # arrives as a broadcast one-row array
+    magg = surv.select(
+        (_md5_col("shuf:", F.col("doc_id")) % _N_SHARDS).alias("shard_id"),
+        _md5_col("ck:", F.col("doc_id")).alias("ckv"),
+    ).agg(
+        F.collect_set("shard_id").alias("shard_ids"),
         # DECIMAL(38,0) accumulator: BIGINT sums of 32-bit terms wrap
         # past ~2^31 rows while the oracle promotes to HUGEINT
         F.coalesce(
             F.sum(F.col("ckv").cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
-        ).alias("ck_shard")
+        ).alias("ck_shard"),
+    )
+    prev_ids = state["shardids"].agg(
+        F.collect_set("shard_id").alias("prev_shard_ids")
     )
     ms = (
-        ids_union.crossJoin(F.broadcast(ck))
-        .crossJoin(F.broadcast(summary))
+        magg.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(prev_ids))
         .select(
-            "n_shards",
+            F.size(
+                F.array_distinct(
+                    F.concat(
+                        F.col("shard_ids"),
+                        F.coalesce(
+                            F.col("prev_shard_ids"),
+                            F.expr("array()").cast("array<bigint>"),
+                        ),
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("n_shards"),
             ((F.col("prev_ck") + F.col("ck_shard")) % F.lit(4294967296))
             .cast("bigint")
             .alias("id_checksum"),
@@ -622,9 +639,14 @@ def inc_shard_funnel(
         dec = _inc_decisions(spark, sf_dir, lo, hi, state).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-    wide = _inc_wide_from_dec(
-        spark, sf_dir, dec, state, pack_cache_extras
-    ).persist()
+    wide_lazy = _inc_wide_from_dec(spark, sf_dir, dec, state, pack_cache_extras)
+    # ONE bounded row — collect it and project the ten stage rows from
+    # a LocalRelation. Returning selects over the lazy wide frame made
+    # every invocation re-ANALYZE ten copies of the full probe+decon
+    # lineage (measured 6.4 s of driver-side planning per steady run
+    # against <1 s of execution); the aggregates themselves still run
+    # per invocation, so steady timing keeps measuring the real work.
+    wide = spark.createDataFrame([wide_lazy.collect()[0]], wide_lazy.schema)
 
     def row(ord_, stage, c_in, c_out, toks, artifacts, checksum):
         return wide.select(
