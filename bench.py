@@ -404,6 +404,22 @@ SCALE_FAMILIES = {
         "mults": (3, 10),
         "base_mult": 1,
     },
+    # Incremental shard funnel: shard (~20% of ids) probed against the
+    # persisted history state — the operation a 100 TB pipeline runs
+    # daily. Both shard and history grow ×mult (the state is
+    # /tmp-published once per tier content; the untimed warm run pays
+    # any first build), so the curve measures probe + within-shard
+    # LSH + decon scaling. Same x3/x10 + uniform-layout base and the
+    # same 1.8 bound rationale as the batch flagship (the semantic
+    # decon's corpus x benchmark term is quadratic by the fixture's
+    # %23 convention, linear in production where benchmarks are
+    # fixed-size).
+    "corpus_build_incremental": {
+        "table": "documents",
+        "expected_max": 1.8,
+        "mults": (3, 10),
+        "base_mult": 1,
+    },
 }
 
 
