@@ -119,3 +119,39 @@ def test_build_seconds_attributes_nested_builds_once(spark, sf_dir):
     assert attributed <= wall + 0.05
     assert attributed >= 0.4  # both sleeps are inside the outer build
     cache_clear()
+
+
+def test_prefix_pin_set_is_bounded_and_plan_deduped(spark):
+    """distributed_prefix_cum's range-partitioned persist goes through
+    a bounded pin-set (round-8 ADVICE: it previously leaked one
+    corpus-sized storage entry per distinct input): distinct inputs
+    evict oldest-first past the cap, and a re-invocation of the SAME
+    logical plan dedupes onto one entry instead of appending a
+    duplicate handle (unpersisting a duplicate would drop the shared
+    cacheManager entry)."""
+    from pyspark.sql import functions as F
+
+    from text_grabr_orc_spark.operators import pipeline as pl
+
+    with pl._prefix_pin_lock:
+        pl._prefix_pins.clear()
+    for i in range(pl._PREFIX_PIN_MAX + 3):
+        src = spark.range(40 + i).select(
+            F.col("id").alias("k"), F.lit(1).alias("v")
+        )
+        pl.distributed_prefix_cum(src, "k", "v").count()
+    assert len(pl._prefix_pins) == pl._PREFIX_PIN_MAX
+
+    with pl._prefix_pin_lock:
+        pl._prefix_pins.clear()
+    src = spark.range(50).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    out1 = pl.distributed_prefix_cum(src, "k", "v")
+    assert out1.count() == 50
+    n1 = len(pl._prefix_pins)
+    out2 = pl.distributed_prefix_cum(src, "k", "v")
+    assert out2.count() == 50
+    assert len(pl._prefix_pins) == n1 == 1
+    # and the running sum stays correct after dedupe
+    assert [r.cum for r in out2.orderBy("k").collect()] == list(
+        range(1, 51)
+    )
