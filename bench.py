@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     # round-8 additions
     "dedup_embedding_rhp_highsim",
     "corpus_build_flagship",
+    # round-9 additions
+    "corpus_build_incremental",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation

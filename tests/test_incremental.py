@@ -124,3 +124,40 @@ def test_empty_history_processes_whole_corpus(spark, sf_dir):
         assert f[i].docs_removed == f[i].docs_in - f[i].docs_out >= 0
     assert f[8].artifacts > 0 and f[9].artifacts > 0
     assert 0 <= f[9].checksum < 2**32
+
+
+def test_streaming_ingest_batches_cover_shard(spark, sf_dir):
+    """The streamed per-batch attrition rows cover the whole shard
+    exactly once (ntile buckets partition it, batch ids are the
+    contiguous replay order) and every batch's funnel chain is
+    monotone non-increasing."""
+    from text_grabr_orc_spark.operators.incremental import _inc_lo
+    from text_grabr_orc_spark.streaming.ingest import (
+        streaming_corpus_ingest,
+    )
+    from text_grabr_orc_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        streaming_corpus_ingest(spark, sf_dir).collect(),
+        key=lambda r: r.batch_id,
+    )
+    lo = _inc_lo(spark, sf_dir)
+    shard_n = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= lo)
+        .count()
+    )
+    assert [r.batch_id for r in rows] == list(range(len(rows)))
+    assert sum(r.docs_in for r in rows) == shard_n > 0
+    for r in rows:
+        assert (
+            r.docs_in
+            >= r.clean_kept
+            >= r.neardup_kept
+            >= r.holdout_kept
+            >= r.decon_kept
+            >= r.kept_docs
+            >= 0
+        )
+        assert r.kept_tokens >= 0

@@ -72,6 +72,7 @@ def load_all() -> None:
     # oracles, so they must import after every stage module above
     from text_grabr_orc_spark.operators import flagship  # noqa: F401
     from text_grabr_orc_spark.operators import incremental  # noqa: F401
+    from text_grabr_orc_spark.streaming import ingest  # noqa: F401
     from text_grabr_orc_spark.sources import orc_io  # noqa: F401
     from text_grabr_orc_spark.streaming import events  # noqa: F401
 
