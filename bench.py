@@ -734,7 +734,9 @@ def _curve_suspicious(
     )
 
 
-def _measure_family_fresh_jvm(name: str) -> list[tuple[int, float]] | None:
+def _measure_family_fresh_jvm(
+    name: str,
+) -> tuple[list[tuple[int, float]], list[list[float]]] | None:
     """Measure one family's curve points in a FRESH subprocess JVM —
     the primary curve path (round-7 verdict item 1: in-process points
     taken after the ~70-query timed pass read 2-9× their standalone
@@ -881,13 +883,31 @@ def _curve_entry_for(spec, measure_fresh, measure_inprocess) -> dict:
             # earlier suspect attempts stay visible in the entry
             entry["sec_suspect_attempts"] = list(suspect_secs)
             entry["remeasured"] = len(suspect_secs)
+        # plausibility checks run on the SAME series the fit used:
+        # for time_divisor families the exponent comes from the
+        # normalized seconds, and correlating it with raw points
+        # would mis-fire the clamped-low rule exactly when the
+        # divided-out factor produces raw-but-not-normalized growth
+        # (round-9 review)
+        fit_series = (
+            list(zip(entry["rows"], entry["sec_normalized"]))
+            if "sec_normalized" in entry
+            else pts
+        )
         if not entry.get("alarm") and not _curve_suspicious(
-            pts, entry.get("exponent"), entry.get("fit")
+            fit_series, entry.get("exponent"), entry.get("fit")
         ):
             break
         suspect_secs.append(entry["sec"])
     else:
-        if _curve_suspicious(pts, entry.get("exponent"), entry.get("fit")):
+        fit_series = (
+            list(zip(entry["rows"], entry["sec_normalized"]))
+            if "sec_normalized" in entry
+            else pts
+        )
+        if _curve_suspicious(
+            fit_series, entry.get("exponent"), entry.get("fit")
+        ):
             entry["unstable"] = True
     if entry is None:
         pts, atts = _split(measure_inprocess())

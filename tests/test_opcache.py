@@ -122,36 +122,67 @@ def test_build_seconds_attributes_nested_builds_once(spark, sf_dir):
 
 
 def test_prefix_pin_set_is_bounded_and_plan_deduped(spark):
-    """distributed_prefix_cum's range-partitioned persist goes through
-    a bounded pin-set (round-8 ADVICE: it previously leaked one
+    """distributed_prefix_cum's bucketed persist goes through the
+    shared bounded pin-set (round-8 ADVICE: it previously leaked one
     corpus-sized storage entry per distinct input): distinct inputs
     evict oldest-first past the cap, and a re-invocation of the SAME
     logical plan dedupes onto one entry instead of appending a
     duplicate handle (unpersisting a duplicate would drop the shared
-    cacheManager entry)."""
+    cacheManager entry). Eviction is recompute-safe because the
+    bucket id is computed from collected boundary VALUES, never from
+    a sampled partitioner (round-9 review)."""
     from pyspark.sql import functions as F
 
+    from text_grabr_orc_spark import pins
     from text_grabr_orc_spark.operators import pipeline as pl
 
-    with pl._prefix_pin_lock:
-        pl._prefix_pins.clear()
-    for i in range(pl._PREFIX_PIN_MAX + 3):
+    with pins._LOCK:
+        pins._PINS.pop("prefix_cum", None)
+    for i in range(6):
         src = spark.range(40 + i).select(
             F.col("id").alias("k"), F.lit(1).alias("v")
         )
         pl.distributed_prefix_cum(src, "k", "v").count()
-    assert len(pl._prefix_pins) == pl._PREFIX_PIN_MAX
+    assert len(pins._PINS["prefix_cum"]) == 3
 
-    with pl._prefix_pin_lock:
-        pl._prefix_pins.clear()
+    with pins._LOCK:
+        pins._PINS.pop("prefix_cum", None)
     src = spark.range(50).select(F.col("id").alias("k"), F.lit(1).alias("v"))
     out1 = pl.distributed_prefix_cum(src, "k", "v")
     assert out1.count() == 50
-    n1 = len(pl._prefix_pins)
     out2 = pl.distributed_prefix_cum(src, "k", "v")
     assert out2.count() == 50
-    assert len(pl._prefix_pins) == n1 == 1
+    assert len(pins._PINS["prefix_cum"]) == 1
     # and the running sum stays correct after dedupe
     assert [r.cum for r in out2.orderBy("k").collect()] == list(
         range(1, 51)
     )
+
+
+def test_prefix_cum_correct_after_pin_eviction(spark):
+    """A consumer whose pinned bucket frame was EVICTED must still
+    compute the correct running sum on recompute — the value-derived
+    bucket id guarantees the collected offsets stay valid (the
+    round-9 review scenario: repartitionByRange would re-sample with
+    a fresh rdd.id here and could mis-assign offsets)."""
+    from pyspark.sql import functions as F
+
+    from text_grabr_orc_spark import pins
+    from text_grabr_orc_spark.operators import pipeline as pl
+
+    src = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("v")
+    )
+    lazy = pl.distributed_prefix_cum(src, "k", "v")  # NOT materialized
+    # evict its pin by pushing the group past its cap
+    for i in range(4):
+        other = spark.range(30 + i).select(
+            F.col("id").alias("k"), F.lit(1).alias("v")
+        )
+        pl.distributed_prefix_cum(other, "k", "v").count()
+    rows = {r.k: r.cum for r in lazy.collect()}  # recompute after evict
+    expect, run = {}, 0
+    for k in range(200):
+        run += k % 7 + 1
+        expect[k] = run
+    assert rows == expect

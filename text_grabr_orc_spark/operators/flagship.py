@@ -387,7 +387,7 @@ def _flagship_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("id_checksum"),
     )
-    # one wide single-row frame; the caller persists it (plan-matched
-    # cache — deliberately NOT opcache, see corpus_build_flagship) so
-    # the ten stage-row branches scan a materialized row
+    # one wide single-row frame; the caller COLLECTS it and projects
+    # the ten stage rows from a LocalRelation (deliberately NOT
+    # opcache — see corpus_build_flagship)
     return funnel.crossJoin(F.broadcast(pk)).crossJoin(F.broadcast(sh))

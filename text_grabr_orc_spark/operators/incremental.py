@@ -99,6 +99,7 @@ from text_grabr_orc_spark.operators.text_analysis import (
     quality_columns,
 )
 from text_grabr_orc_spark.opcache import cached_frame
+from text_grabr_orc_spark.pins import pin_frame
 from text_grabr_orc_spark.registry import ORACLES, register
 from text_grabr_orc_spark.tables import load_table, published_cache_dir
 
@@ -339,10 +340,16 @@ def _inc_decisions(
     # candidate set only (candidate-mass-bounded), shingles of history
     # candidates fetched from the shingle state.
     nonblank = shard.filter(F.col("text").rlike(r"(?U)\S"))
+    # persisted for the multi-consumer probe below; registered in the
+    # bounded pin-set so repeated builds release older entries
+    # (round-9 review — the leak class fixed in distributed_prefix_cum;
+    # both frames recompute deterministically, so eviction is safe)
     hs = hashed_shingle_table(nonblank).persist(StorageLevel.MEMORY_AND_DISK)
+    pin_frame(hs, "inc_probe", max_n=4)
     bands = minhash_band_table(
         minhash_signatures_from_shingles(hs)
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    pin_frame(bands, "inc_probe", max_n=4)
     touched = [
         int(r["band_idx"])
         for r in bands.select("band_idx").distinct().collect()
@@ -639,6 +646,7 @@ def inc_shard_funnel(
         dec = _inc_decisions(spark, sf_dir, lo, hi, state).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        pin_frame(dec, "inc_dec", max_n=2)
     wide_lazy = _inc_wide_from_dec(spark, sf_dir, dec, state, pack_cache_extras)
     # ONE bounded row — collect it and project the ten stage rows from
     # a LocalRelation. Returning selects over the lazy wide frame made

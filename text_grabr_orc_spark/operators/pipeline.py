@@ -12,9 +12,6 @@ canonical copies, and the attrition rollup rides the same exchange.
 
 from __future__ import annotations
 
-import threading
-from collections import OrderedDict
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -225,63 +222,53 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tokens per packed training sequence (bin capacity)
 _PACK_CAPACITY = 256
 
-#: bounded pin-set for the range-partitioned frames persisted by
-#: ``distributed_prefix_cum`` (round-8 ADVICE: the persist was
-#: never released, so long sessions accumulated one corpus-sized
-#: storage entry per distinct input).  Keyed by the ANALYZED plan's
-#: semanticHash so a re-invocation of the same query moves its entry
-#: to the back instead of appending a duplicate handle — unpersisting
-#: a duplicate would drop the cacheManager entry a live invocation
-#: shares.  Evicting an old pin is safe even if some consumer frame
-#: is still lazy: repartitionByRange re-samples with per-partition
-#: deterministic seeds over deterministic inputs, so a recompute
-#: reproduces the identical partitioning the pass-1 offsets assumed.
-_PREFIX_PIN_MAX = 3
-_prefix_pins: "OrderedDict[int, DataFrame]" = OrderedDict()
-_prefix_pin_lock = threading.Lock()
-
-
-def _pin_prefix_frame(nt: DataFrame) -> None:
-    try:
-        key = nt._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:  # noqa: BLE001 — plan access is best-effort
-        key = id(nt)
-    with _prefix_pin_lock:
-        _prefix_pins.pop(key, None)
-        _prefix_pins[key] = nt
-        while len(_prefix_pins) > _PREFIX_PIN_MAX:
-            _, old = _prefix_pins.popitem(last=False)
-            try:
-                old.unpersist(blocking=False)
-            except Exception:  # noqa: BLE001 — session may be gone
-                pass
-
-
 def distributed_prefix_cum(
     df: DataFrame, order_col: str, val_col: str
 ) -> DataFrame:
     """``df`` + inclusive running sum ``cum`` of ``val_col`` in global
     ``order_col`` order — the two-pass distributed prefix-sum shared by
-    ``pack_training_sequences`` and the flagship funnel's packing
-    stage (a bare ``Window.orderBy`` with no partitionBy would funnel
+    ``pack_training_sequences`` and both corpus funnels' packing
+    stages (a bare ``Window.orderBy`` with no partitionBy would funnel
     the whole corpus through ONE task):
 
-    1. range-partition by ``order_col`` (partition i holds strictly
-       smaller keys than i+1) and persist, pinning ONE sampled
-       partitioning for both passes;
-    2. pass 1 — per-partition subtotals, collected to the driver (a
+    1. derive range boundaries ONCE via approxQuantile and compute a
+       per-row bucket id FROM THE VALUES (``pid`` = number of
+       boundaries below the key) — partition i holds keys ≤ partition
+       i+1's by construction; persist the bucketed frame and register
+       it in a bounded pin-set (round-8 ADVICE: the persist was never
+       released; round-9 review: the pin must be VALUE-derived,
+       because ``repartitionByRange`` seeds its reservoir sample with
+       ``rdd.id``, which changes on every re-execution — an evicted
+       pin recomputing under a different sampled partitioning would
+       silently break the collected pass-1 offsets. With pid computed
+       from collected boundary constants, a recompute reproduces the
+       identical bucketing);
+    2. pass 1 — per-bucket subtotals, collected to the driver (a
        numPartitions-length int vector — the documented legitimate
        collect) and turned into exclusive prefix offsets;
-    3. pass 2 — partition-local running sums (window partitioned by
-       the range-partition id, fully parallel) + broadcast offset."""
+    3. pass 2 — bucket-local running sums (window partitioned by the
+       bucket id, fully parallel) + broadcast offset.
+
+    ``order_col`` must be numeric (both users order by ``doc_id``);
+    boundary comparisons happen in double, exact for keys below 2^53.
+    """
+    from text_grabr_orc_spark.pins import pin_frame
+
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = sorted(
+        set(df.stat.approxQuantile(order_col, probs, 0.001))
+    )
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col(order_col) > F.lit(b)).cast("int")
     nt = (
-        df.repartitionByRange(n_parts, order_col)
-        .withColumn("pid", F.spark_partition_id())
+        df.withColumn("pid", pid)
+        .repartition(max(1, len(bounds) + 1), "pid")
         .persist()
     )
-    _pin_prefix_frame(nt)  # bounded release of older pinned frames
+    pin_frame(nt, "prefix_cum", max_n=3)
     subtotals = nt.groupBy("pid").agg(F.sum(val_col).alias("tot")).collect()
     offsets, running = [], 0
     for row in sorted(subtotals, key=lambda r: r["pid"]):

@@ -62,7 +62,9 @@ from text_grabr_orc_spark.operators.dedup import (
     minhash_signatures_from_shingles,
 )
 from text_grabr_orc_spark.operators.incremental import (
+    _INC_DEN,
     _INC_J,
+    _INC_NUM,
     _J_SQL,
     _inc_lo,
     _md5_col,
@@ -90,7 +92,8 @@ _N_BATCHES = 4
 _INGEST_ORACLE = f"""
     WITH {CLEAN_STAGED_BODY},
     glo AS (
-        SELECT (max(doc_id) + 1) * 4 // 5 AS lo FROM documents
+        SELECT (max(doc_id) + 1) * {_INC_NUM} // {_INC_DEN} AS lo
+        FROM documents
     ), gsh AS (
         SELECT st.doc_id, st.n_tok, st.q, st.pred_lang, t.text,
                CAST(ntile({_N_BATCHES}) OVER (ORDER BY st.doc_id) - 1
@@ -190,8 +193,7 @@ def _docs_batch_dir(
         open(os.path.join(tmp, "_SPLIT_OK"), "w").write("ok")
 
     return published_cache_dir(
-        f"tgos_ingest_split_{_N_BATCHES}_{lo}", sf_dir, build,
-        marker="_SPLIT_OK",
+        f"tgos_ingest_split_{n}_{lo}", sf_dir, build, marker="_SPLIT_OK"
     )
 
 
@@ -222,7 +224,10 @@ def _batch_attrition_row(
     )
 
     nonblank = batch_df.filter(F.col("text").rlike(r"(?U)\S"))
-    hs = hashed_shingle_table(nonblank)
+    # both persisted for the duration of THIS batch (hs feeds the
+    # bands and the verify join; bands feed the touched-band collect
+    # and the candidate join) and released after the row is collected
+    hs = hashed_shingle_table(nonblank).persist()
     bands = minhash_band_table(minhash_signatures_from_shingles(hs)).persist()
     touched = [
         int(r["band_idx"])
@@ -329,8 +334,14 @@ def _batch_attrition_row(
         .cast("bigint")
         .alias("kept_tokens"),
     )
+    # materialize the ONE row while the persisted frames are live,
+    # THEN release them (round-9 review: an unpersist before the
+    # consumer executes caches nothing — the whole shingle+MinHash
+    # lineage would recompute during the sink write)
+    row = out.collect()[0]
     bands.unpersist(blocking=False)
-    return out
+    hs.unpersist(blocking=False)
+    return batch_df.sparkSession.createDataFrame([row], out.schema)
 
 
 @register("streaming_corpus_ingest", oracle=_INGEST_ORACLE)
