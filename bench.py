@@ -354,7 +354,15 @@ SCALE_FAMILIES = {
         "expected_max": 1.9,
         "mults": (3, 10),
     },
-    "events_hourly_rollup": {"table": "events", "expected_max": 1.1},
+    # Linear scan + windowed agg; its points are sub-second (0.3-0.9 s)
+    # where the differenced fit swings wildly with noise: same-code
+    # idle-box fits measured 0.05 / 0.33 / 0.83 / 1.08 across four
+    # r8/r9 runs. The old 1.1 bound left 0.02 headroom against the
+    # last of those — a flap waiting for the next driver run (the
+    # high-sim lesson: bounds sit OUTSIDE the fit's own variance
+    # band). 1.4 keeps the guarded failure mode (a per-window shuffle
+    # or keyspace explosion measures ≥1.9) cleanly separable.
+    "events_hourly_rollup": {"table": "events", "expected_max": 1.4},
     "unigram_lm_train": {"table": "documents", "expected_max": 1.3},
     # ExactSubstr span mask (Lee et al. 2021 contract): one gram
     # explode, one gram-keyed count, one postings semi-join, per-doc
