@@ -332,7 +332,16 @@ def main() -> None:
 #: assignment term alongside its linear per-cell joins.
 SCALE_FAMILIES = {
     "dedup_minhash_lsh": {"table": "documents", "expected_max": 1.2},
-    "dedup_embedding_gemm": {"table": "embeddings", "expected_max": 2.25},
+    # The exact kernel's true exponent is 2.0 by design; observed fits
+    # span 0.87-2.16 across driver/judge/builder runs because the ×30
+    # point swings 3-7× with JVM allocator/BLAS weather (attempts
+    # 9.0/33.3/24.3 s inside ONE run — now visible via sec_attempts/
+    # spread_flag). 2.25 left 0.09 headroom against the observed worst
+    # fit; 2.5 sits outside the weather band while still bounding the
+    # family to "no worse than its by-design quadratic" (an exponent
+    # regression past quadratic, e.g. accidental re-materialization
+    # per tile, measures ≥2.6 on this span).
+    "dedup_embedding_gemm": {"table": "embeddings", "expected_max": 2.5},
     # CC itself is ~O(E log n), but on the synthetic tier its INPUT
     # edge set grows ~n²·tail_rate (threshold 0.4 sits in the
     # fixture's background cosine tail — measured 10.4× edges at ×10;
@@ -647,7 +656,13 @@ def _measure_family(
             _timed(lambda: fn(spark, d).count()),
             _timed(lambda: fn(spark, d).count()),
         ]
-        if warm < 10.0:
+        if warm < 10.0 or max(tries) > 1.5 * min(tries):
+            # third attempt: always for cheap points (±1 s of noise
+            # there swings the differenced fit ±0.3), and adaptively
+            # for an expensive point whose two attempts disagree >1.5×
+            # — the GEMM ×30 weather mode (attempts 9.0/33.3/24.3 s in
+            # one run) flaps the fitted exponent across the bound
+            # unless the min gets another chance to be real
             tries.append(_timed(lambda: fn(spark, d).count()))
         # the fit uses min-of-attempts, but the per-point SPREAD is
         # reported alongside (round-8 verdict #2: the GEMM ×30 point
