@@ -138,6 +138,38 @@ STREAMING_QUERIES = {
 }
 
 
+def _calibration_probe(spark) -> float:
+    """Median-of-three seconds for a FIXED deterministic shuffle+agg
+    micro-job (8M rows → hash shuffle on ~10k keys → two aggregates).
+    The job never changes across rounds, so its wall time measures the
+    BOX, not the code: rounds 7–9 each concluded "broad-band
+    environment drift" from per-query ratios on untouched queries
+    (r9: median 1.20–1.24 uniformly, including code untouched since
+    round 5); this probe turns that inference into recorded data. Run
+    before and after the timed pass (``calib_sec_pre`` /
+    ``calib_sec_post`` in the JSON): cross-round per-query ratios can
+    be divided by the calibration ratio to separate code effects from
+    weather (round-9 verdict #2)."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 8_000_000, 1, 16)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                ((F.col("id") * 2654435761) % 2147483647).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+        return time.time() - t0
+
+    runs = sorted(once() for _ in range(3))
+    return round(runs[1], 3)
+
+
 def _warmup(spark, names, warm_dir: str) -> list[str]:
     """Run every query once at the warm-up sf; a failure is retried
     once (transient state-store/tempdir races) and, if it persists,
@@ -187,6 +219,11 @@ def main() -> None:
     ):
         warmup_failed = _warmup(spark, BENCH_QUERIES, warm_dir)
 
+    # calibration bracket: the same pinned micro-job before and after
+    # the timed pass records the box's speed alongside the query
+    # numbers (see _calibration_probe)
+    calib_pre = _calibration_probe(spark)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     # opcache builds are one-time costs front-loaded into whichever
@@ -230,6 +267,8 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    calib_post = _calibration_probe(spark)
+
     breakdown = _streaming_breakdown(spark, sf_dir)
     curve = {} if "--no-scale-curve" in sys.argv else _scale_curve(spark)
 
@@ -254,6 +293,8 @@ def main() -> None:
         "streaming_sec": round(stream_wall, 3),
         "streaming_breakdown": breakdown,
         "scale_curve": curve,
+        "calib_sec_pre": calib_pre,
+        "calib_sec_post": calib_post,
         "warmup_failed": warmup_failed,
         "sf": sf_val,
     }
@@ -301,6 +342,8 @@ def main() -> None:
         "curve_spread_flags": [
             k for k, v in curve.items() if v.get("spread_flag")
         ],
+        "calib_sec_pre": calib_pre,
+        "calib_sec_post": calib_post,
         "warmup_failed": warmup_failed,
         "sf": sf_val,
         "note": "compact tail summary; full per-query JSON is the previous stdout line",
@@ -330,8 +373,22 @@ def main() -> None:
 #: this entry exists to time the exact kernel honestly, so its bound
 #: is quadratic) — and knn_graph_ivf carries an n²/stride centroid
 #: assignment term alongside its linear per-cell joins.
+#: Every family also carries ``bound_evidence`` — the recorded
+#: same-code fits its bound was derived from (round-9 verdict #4: a
+#: bound change must argue from recorded runs, not comment prose).
+#: Keys: r{N}_driver = BENCH_r{N}.json, r{N}_judge = the judge's solo
+#: rerun quoted in VERDICT round N, r{N}_close = the builder's
+#: closing official run (SURVEY §16). The evidence rides into the
+#: bench JSON verbatim via _fit_entry.
 SCALE_FAMILIES = {
-    "dedup_minhash_lsh": {"table": "documents", "expected_max": 1.2},
+    "dedup_minhash_lsh": {
+        "table": "documents",
+        "expected_max": 1.2,
+        "bound_evidence": {
+            "r8_driver": 0.53, "r9_driver": 0.45,
+            "r9_close": 0.21, "r9_judge": 0.50,
+        },
+    },
     # The exact kernel's true exponent is 2.0 by design; observed fits
     # span 0.87-2.16 across driver/judge/builder runs because the ×30
     # point swings 3-7× with JVM allocator/BLAS weather (attempts
@@ -341,14 +398,32 @@ SCALE_FAMILIES = {
     # family to "no worse than its by-design quadratic" (an exponent
     # regression past quadratic, e.g. accidental re-materialization
     # per tile, measures ≥2.6 on this span).
-    "dedup_embedding_gemm": {"table": "embeddings", "expected_max": 2.5},
+    "dedup_embedding_gemm": {
+        "table": "embeddings",
+        "expected_max": 2.5,
+        # the 0.87→2.16 span IS the weather band the 2.5 bound sits
+        # outside of; failure mode (re-materialization per tile)
+        # measures ≥2.6 on this span
+        "bound_evidence": {
+            "r8_driver": 0.87, "r8_judge": 1.13, "r9_driver": 1.06,
+            "r9_close_run1": 1.49, "r9_close_run2": 1.96,
+            "r9_judge": 1.29, "r8_close": 2.16,
+        },
+    },
     # CC itself is ~O(E log n), but on the synthetic tier its INPUT
     # edge set grows ~n²·tail_rate (threshold 0.4 sits in the
     # fixture's background cosine tail — measured 10.4× edges at ×10;
     # see scale_tier.py). The bound is declared against that edge
     # mass: wall-time growing faster than ~n^1.8 would mean CC is
     # doing worse than linear-in-edges work.
-    "dedup_clusters_twophase": {"table": "embeddings", "expected_max": 1.8},
+    "dedup_clusters_twophase": {
+        "table": "embeddings",
+        "expected_max": 1.8,
+        "bound_evidence": {
+            "r8_driver": 0.11, "r9_driver": 1.38,
+            "r9_close": 0.05, "r9_judge": 0.0,
+        },
+    },
     # sqrt-stride flat IVF: O(n^1.5) by construction (the round-7
     # decade curve caught the previous fixed-stride variant at ~n²,
     # measured 2.19). Bound = theory 1.5 + noise margin; a true
@@ -362,6 +437,12 @@ SCALE_FAMILIES = {
         "table": "embeddings",
         "expected_max": 1.9,
         "mults": (3, 10),
+        # the r7 fixed-stride bug fit 2.19 — the failure mode the 1.9
+        # bound separates from
+        "bound_evidence": {
+            "r8_driver": 0.25, "r9_driver": 0.77,
+            "r9_close": 0.49, "r9_judge": 0.67, "r7_bug": 2.19,
+        },
     },
     # Linear scan + windowed agg; its points are sub-second (0.3-0.9 s)
     # where the differenced fit swings wildly with noise: same-code
@@ -371,8 +452,25 @@ SCALE_FAMILIES = {
     # high-sim lesson: bounds sit OUTSIDE the fit's own variance
     # band). 1.4 keeps the guarded failure mode (a per-window shuffle
     # or keyspace explosion measures ≥1.9) cleanly separable.
-    "events_hourly_rollup": {"table": "events", "expected_max": 1.4},
-    "unigram_lm_train": {"table": "documents", "expected_max": 1.3},
+    "events_hourly_rollup": {
+        "table": "events",
+        "expected_max": 1.4,
+        # sub-second points: the differenced fit swings 0.05→1.08 on
+        # the same code — 1.4 sits outside that band, the guarded
+        # failure mode (per-window shuffle) measures ≥1.9
+        "bound_evidence": {
+            "r8_driver": 0.83, "r8_judge": 0.05, "r9_driver": 0.12,
+            "r9_close": 1.08, "r9_judge": 0.63, "r8_close": 0.33,
+        },
+    },
+    "unigram_lm_train": {
+        "table": "documents",
+        "expected_max": 1.3,
+        "bound_evidence": {
+            "r8_driver": 0.03, "r9_driver": 0.02,
+            "r9_close": 0.0, "r9_judge": 0.0,
+        },
+    },
     # ExactSubstr span mask (Lee et al. 2021 contract): one gram
     # explode, one gram-keyed count, one postings semi-join, per-doc
     # windows — linear in postings at any duplication skew (the
@@ -385,7 +483,14 @@ SCALE_FAMILIES = {
     # grow super-linearly while absolute seconds are still small), so
     # 1.25 sits inside the family's own noise band and would flap; a
     # true quadratic measures >= 1.9 and still separates cleanly.
-    "dedup_exact_substr_spans": {"table": "documents", "expected_max": 1.5},
+    "dedup_exact_substr_spans": {
+        "table": "documents",
+        "expected_max": 1.5,
+        "bound_evidence": {
+            "r8_driver": 1.02, "r9_driver": 1.18,
+            "r9_close": 1.06, "r9_judge": 1.18,
+        },
+    },
     # High-threshold banded RHP: banding n·bands·r dots with r ~ log n,
     # band-keyed candidates O(n·bands) by the r sizing, linear verify —
     # the measured sub-quadratic operating point next to the exact-GEMM
@@ -415,6 +520,13 @@ SCALE_FAMILIES = {
         "time_divisor": lambda rows: float(_hs_divisor(rows)),
         "mults": (10, 30),
         "base_mult": 3,
+        # normalized fits; the 2.22 entry is the confirmed false alarm
+        # from a drifted window that motivated the ×3 base point
+        "bound_evidence": {
+            "r8_driver_raw": 1.35, "r9_driver": 1.38,
+            "r9_close_run2": 1.48, "r9_judge": 0.93,
+            "r8_drifted_false_alarm": 2.22,
+        },
     },
     # Composed end-to-end funnel (round-8 verdict #4): catches
     # stage-interaction blowups no single-stage family can — the
@@ -431,6 +543,9 @@ SCALE_FAMILIES = {
         "expected_max": 1.8,
         "mults": (3, 10),
         "base_mult": 1,
+        "bound_evidence": {
+            "r9_driver": 0.0, "r9_close": 0.0, "r9_judge": 0.0,
+        },
     },
     # Incremental shard funnel: shard (~20% of ids) probed against the
     # persisted history state — the operation a 100 TB pipeline runs
@@ -447,6 +562,9 @@ SCALE_FAMILIES = {
         "expected_max": 1.8,
         "mults": (3, 10),
         "base_mult": 1,
+        "bound_evidence": {
+            "r9_driver": 0.0, "r9_close": 0.0, "r9_judge": 0.0,
+        },
     },
 }
 
@@ -696,6 +814,11 @@ def _fit_entry(
         "sec": [round(t, 3) for _, t in pts],
         "expected_max": spec["expected_max"],
     }
+    if "bound_evidence" in spec:
+        # recorded same-code fits the declared bound derives from —
+        # rides into the bench JSON so a future bound change argues
+        # from data (round-9 verdict #4)
+        entry["bound_evidence"] = spec["bound_evidence"]
     if attempts:
         entry["sec_attempts"] = attempts
         entry["spread"] = [

@@ -273,7 +273,8 @@ def minhash_signatures_from_shingles(
 
 def minhash_band_table(sigs: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_hash) from a (doc_id, sig) signature
-    table — {_N_HASHES // _BAND_ROWS} bands of {_BAND_ROWS} rows, each
+    table — ``_N_HASHES // _BAND_ROWS`` bands of ``_BAND_ROWS`` rows
+    each (32 bands of 2 with the module defaults), each
     band's slice hashed with the band index as seed so identical
     slices in different bands never collide. Shared by the in-session
     LSH, the cross-run band-state build (``dedup_incremental_minhash_

@@ -186,9 +186,11 @@ def _flagship_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc decision frame: one narrow row per document carrying
     every stage's verdict — built ONCE (opcache) and scanned by the
     funnel aggregate, the packing pass and the shard pass. The drop
-    sets are small next to the corpus (duplicate / contaminated mass),
-    so their joins broadcast; the split table is corpus-sized and
-    joins co-partitioned on doc_id."""
+    sets are small next to the corpus (duplicate / contaminated mass)
+    and AQE broadcasts them at their measured runtime size — no
+    unconditional hint, because they are O(corpus) in the worst case;
+    the split table is corpus-sized and joins co-partitioned on
+    doc_id."""
     base = clean_doc_decisions(spark, sf_dir)
     kb = (
         corpus_filters.dedup_keep_best_canonical(spark, sf_dir)
@@ -207,11 +209,17 @@ def _flagship_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), F.lit(1).alias("sem_flag")
     )
     sp = sampling.split_by_cluster(spark, sf_dir).select("doc_id", "split")
+    # NO broadcast hints on the drop-set joins: kb/ng/bl/sem are
+    # flagged-doc-id subsets of the CORPUS (duplicate / contaminated
+    # mass) — small on clean data, O(corpus) in the worst case, so an
+    # unconditional hint would force a driver-sized broadcast exactly
+    # on the day the pipeline is stressed. AQE broadcasts them at
+    # runtime while they measure small (round-9 verdict #1).
     dec = (
-        base.join(F.broadcast(kb), "doc_id", "left")
-        .join(F.broadcast(ng), "doc_id", "left")
-        .join(F.broadcast(bl), "doc_id", "left")
-        .join(F.broadcast(sem), "doc_id", "left")
+        base.join(kb, "doc_id", "left")
+        .join(ng, "doc_id", "left")
+        .join(bl, "doc_id", "left")
+        .join(sem, "doc_id", "left")
         .join(sp, "doc_id", "left")
     )
     ok1 = (

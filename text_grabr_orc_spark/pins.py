@@ -24,15 +24,24 @@ from collections import OrderedDict
 
 from pyspark.sql import DataFrame
 
-_PINS: dict[str, "OrderedDict[int, DataFrame]"] = {}
+_PINS: dict[str, "OrderedDict[tuple, DataFrame]"] = {}
 _LOCK = threading.Lock()
 
+#: fallback key counter for frames whose plan access fails — id(df) is
+#: reusable after GC, so two distinct frames could alias one pin key
+#: and the dedupe move would drop the older frame's handle WITHOUT
+#: unpersisting it (the exact leak class this module bounds). A
+#: monotonic counter never aliases; such frames simply never dedupe.
+_FALLBACK_SEQ = [0]
 
-def _plan_key(df: DataFrame) -> int:
+
+def _plan_key(df: DataFrame) -> tuple:
     try:
-        return df._jdf.queryExecution().analyzed().semanticHash()
+        return ("plan", df._jdf.queryExecution().analyzed().semanticHash())
     except Exception:  # noqa: BLE001 — plan access is best-effort
-        return id(df)
+        with _LOCK:
+            _FALLBACK_SEQ[0] += 1
+            return ("seq", _FALLBACK_SEQ[0])
 
 
 def pin_frame(df: DataFrame, group: str, max_n: int = 3) -> None:

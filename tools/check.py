@@ -18,13 +18,35 @@ Modes:
   --vanilla   plain local[4] session + hostile TZ (driver rehearsal);
               composes with --exact.
 
-Usage:  python tools/check.py [--exact] [--vanilla] [sf_dir] [query ...]
+Artifact mode (round-9 verdict #1):
+  --json-out PATH   write a machine-readable per-query record
+                    {"pass": bool, "rows": int, "seconds": float,
+                     "oracle": "exact"|"rows_only", "error": ...}
+                    for every query run, plus run metadata (mode,
+                    sf dir, git commit, totals) — the committed
+                    SWEEP_r{N}.json full-registry evidence the judge
+                    can diff without re-running.
+
+Sampling mode (round-9 verdict #7 — cheap randomized out-of-sample
+spot-checks):
+  --sample N --seed R   run a seeded random subset of N queries drawn
+                    from the full registry (deterministic for a given
+                    (N, R, registry contents): names are sorted before
+                    random.Random(R).sample). Composes with --exact /
+                    --vanilla / --json-out.
+
+Usage:  python tools/check.py [--exact] [--vanilla]
+                              [--json-out PATH] [--sample N --seed R]
+                              [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
+import random
+import subprocess
 import sys
 import time
 
@@ -105,6 +127,16 @@ def value_hash(cols: list[str], rows: list[tuple], canon=_canon) -> str:
     return h.hexdigest()
 
 
+def _pop_opt(args: list[str], flag: str) -> str | None:
+    """Remove ``flag VALUE`` from args, returning VALUE (or None)."""
+    if flag not in args:
+        return None
+    i = args.index(flag)
+    val = args[i + 1]
+    del args[i : i + 2]
+    return val
+
+
 def main() -> int:
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
@@ -113,6 +145,9 @@ def main() -> int:
     exact = "--exact" in args
     if exact:
         args.remove("--exact")
+    json_out = _pop_opt(args, "--json-out")
+    sample_n = _pop_opt(args, "--sample")
+    seed = _pop_opt(args, "--seed")
     canon = _canon_exact if exact else _canon
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     if args and os.path.isdir(args[0]):
@@ -143,9 +178,21 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     selected = args or sorted(qs)
+    if sample_n is not None:
+        # seeded random subset over the (sorted) selection —
+        # deterministic for a given (N, seed, registry contents)
+        rng = random.Random(int(seed) if seed is not None else 0)
+        selected = sorted(rng.sample(sorted(selected), int(sample_n)))
     failures = []
+    records: dict[str, dict] = {}
     for name in selected:
         t0 = time.time()
+        rec = records[name] = {
+            "pass": False,
+            "rows": -1,
+            "seconds": -1.0,
+            "oracle": "exact" if name in oracles else "rows_only",
+        }
         try:
             sdf = qs[name](spark, sf_dir)
             if exact:
@@ -155,11 +202,15 @@ def main() -> int:
                 srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            rec["error"] = f"spark: {e}"[:500]
             failures.append(name)
             continue
+        rec["rows"] = len(srows)
         if name not in oracles:
+            rec["pass"] = True
+            rec["seconds"] = round(time.time() - t0, 3)
             print(f"ok?   {name}: rows-only check, {len(srows)} rows "
-                  f"({time.time()-t0:.1f}s)")
+                  f"({rec['seconds']}s)")
             continue
         try:
             rel = con.execute(oracles[name])
@@ -170,6 +221,7 @@ def main() -> int:
                 orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            rec["error"] = f"duckdb: {e}"[:500]
             failures.append(name)
             continue
         problems = []
@@ -188,12 +240,43 @@ def main() -> int:
             diffs = [(a, b) for a, b in zip(so, oo) if a != b][:3]
             for a, b in diffs:
                 problems.append(f"  spark={a!r}\n  duck ={b!r}")
+        rec["seconds"] = round(time.time() - t0, 3)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            rec["error"] = "; ".join(problems)[:500]
             failures.append(name)
         else:
-            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            rec["pass"] = True
+            print(f"PASS  {name}: {len(srows)} rows ({rec['seconds']}s)")
     print(f"\n{len(selected)-len(failures)}/{len(selected)} passed")
+    if json_out:
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ).stdout.strip()
+        except Exception:  # noqa: BLE001
+            commit = "unknown"
+        payload = {
+            "mode": ("exact" if exact else "default")
+            + ("+vanilla" if vanilla else ""),
+            "sf_dir": sf_dir,
+            "commit": commit,
+            "n_selected": len(selected),
+            "n_passed": len(selected) - len(failures),
+            "failures": failures,
+            "sample": (
+                {"n": int(sample_n), "seed": int(seed or 0)}
+                if sample_n is not None
+                else None
+            ),
+            "queries": records,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 

@@ -45,11 +45,38 @@ def main() -> None:
             " > PLANS.md  (see tools/explain.py docstring for the"
             " streaming/iterative caveat)"
         )
+    # funnel queries collect ONE wide row and project their stage rows
+    # from a LocalRelation, so their registered plan is join-free by
+    # design — the REAL probe/decon lineage is the pre-collect wide
+    # frame, explained as an extra section so the zero-cartesian /
+    # no-BatchEvalPython sweep covers the funnels' build path too
+    # (round-9 verdict "What's missing" #4). Imported here, after
+    # load_all: the funnel modules nest other queries' oracle SQL via
+    # registry.ORACLES at import time.
+    from text_grabr_orc_spark.operators import flagship, incremental
+
+    pre_collect = {
+        "corpus_build_flagship": flagship._flagship_wide,
+        "corpus_build_incremental": incremental.inc_wide_plan_frame,
+    }
     for name in names:
         fn = registry.QUERIES[name]
         print(f"\n{'=' * 72}\n{name}\n{'=' * 72}")
         try:
             print(formatted_plan(fn(spark, sf_dir)))
+        except Exception as exc:  # noqa: BLE001
+            print(f"(explain failed: {exc})")
+        aux = pre_collect.get(name)
+        if aux is None:
+            continue
+        print(
+            f"\n--- {name} [pre-collect wide frame: the real"
+            " probe/decon/packing lineage; the registered query"
+            " collects this one row and projects stage rows from a"
+            " LocalRelation] ---"
+        )
+        try:
+            print(formatted_plan(aux(spark, sf_dir)))
         except Exception as exc:  # noqa: BLE001
             print(f"(explain failed: {exc})")
 
