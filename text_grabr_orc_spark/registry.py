@@ -73,6 +73,7 @@ def load_all() -> None:
     from text_grabr_orc_spark.operators import flagship  # noqa: F401
     from text_grabr_orc_spark.operators import incremental  # noqa: F401
     from text_grabr_orc_spark.streaming import ingest  # noqa: F401
+    from text_grabr_orc_spark.sources import avro_io  # noqa: F401
     from text_grabr_orc_spark.sources import orc_io  # noqa: F401
     from text_grabr_orc_spark.streaming import events  # noqa: F401
 
