@@ -154,6 +154,11 @@ def _calibration_probe(spark) -> float:
 
     def once() -> float:
         t0 = time.time()
+        # consume the aggregates (global re-sum + collect): a bare
+        # .count() over the groupBy lets the optimizer prune BOTH
+        # aggregates and the hash column, reducing the probe to a
+        # distinct-count (round-10 review — confirmed on the
+        # optimized plan)
         (
             spark.range(0, 8_000_000, 1, 16)
             .select(
@@ -162,7 +167,8 @@ def _calibration_probe(spark) -> float:
             )
             .groupBy("k")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .count()
+            .agg(F.sum("s"), F.sum("n"))
+            .collect()
         )
         return time.time() - t0
 

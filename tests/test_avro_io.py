@@ -118,6 +118,35 @@ def test_spark_datasource_roundtrip(spark, tmp_path):
     assert back.rdd.getNumPartitions() == 4
 
 
+def test_spark_datasource_append_and_overwrite(spark, tmp_path):
+    from text_grabr_orc_spark.sources.avro_io import register_avro_source
+
+    register_avro_source(spark)
+    out = str(tmp_path / "avro_modes")
+    a = spark.createDataFrame([(i, float(i)) for i in range(10)],
+                              "id bigint, v double")
+    b = spark.createDataFrame([(i, float(i)) for i in range(10, 16)],
+                              "id bigint, v double")
+    a.repartition(4).write.format("tgos_avro").option("path", out).mode(
+        "append"
+    ).save()
+    # append with a DIFFERENT partition count: job-unique file names
+    # mean no collision with the first write's part files
+    b.repartition(2).write.format("tgos_avro").option("path", out).mode(
+        "append"
+    ).save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    assert sorted(r["id"] for r in back.collect()) == list(range(16))
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 6
+    # overwrite clears ALL prior part files, not just colliding names
+    b.repartition(2).write.format("tgos_avro").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back2 = spark.read.format("tgos_avro").option("path", out).load()
+    assert sorted(r["id"] for r in back2.collect()) == list(range(10, 16))
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 2
+
+
 def test_avro_roundtrip_stats_registered(spark, sf_dir):
     from text_grabr_orc_spark import registry
 

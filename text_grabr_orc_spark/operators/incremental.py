@@ -695,6 +695,14 @@ def inc_shard_funnel(
     return reduce(DataFrame.unionByName, rows)
 
 
+def _main_pack_extras(lo: int) -> tuple:
+    """The registered query's opcache key extras — shared by
+    ``corpus_build_incremental`` and ``inc_wide_plan_frame`` so the
+    plan-audit frame reuses (not duplicates) the registered query's
+    cached decision frame."""
+    return (lo, -1, 0, "main")
+
+
 def inc_wide_plan_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registered query's PRE-COLLECT wide frame — the full
     probe + decon + packing lineage as one lazy plan. The registered
@@ -706,7 +714,7 @@ def inc_wide_plan_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round-9 verdict "What's missing" #4)."""
     lo = _inc_lo(spark, sf_dir)
     state = ensure_state(spark, sf_dir, lo)
-    extras = (lo, -1, 0, "main")
+    extras = _main_pack_extras(lo)
     dec = cached_frame(
         spark,
         sf_dir,
@@ -744,5 +752,5 @@ def corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = _inc_lo(spark, sf_dir)
     state = ensure_state(spark, sf_dir, lo)
     return inc_shard_funnel(
-        spark, sf_dir, lo, None, state, pack_cache_extras=(lo, -1, 0, "main")
+        spark, sf_dir, lo, None, state, pack_cache_extras=_main_pack_extras(lo)
     )

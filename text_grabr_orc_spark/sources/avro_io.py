@@ -198,17 +198,22 @@ def write_container(
     name: str = "row",
     sync: bytes | None = None,
     block_rows: int = 4096,
+    sync_name: str | None = None,
 ) -> int:
     """Write ``rows`` (iterable of tuples in field order) as one Avro
     object-container file; returns the row count. ``sync`` defaults to
-    a deterministic per-path marker (md5 of the basename) so repeated
-    builds byte-equal — the marker only needs to be unlikely INSIDE
-    one file, not globally random (spec: 'randomly-generated' is a
-    convenience, any 16 bytes are valid)."""
+    a deterministic marker (md5 of ``sync_name`` or the basename) so
+    repeated builds byte-equal — the marker only needs to be unlikely
+    INSIDE one file, not globally random (spec: 'randomly-generated'
+    is a convenience, any 16 bytes are valid). ``sync_name`` lets a
+    caller writing through an attempt-unique tmp path keep the marker
+    keyed to the FINAL name."""
     import hashlib
 
     if sync is None:
-        sync = hashlib.md5(os.path.basename(path).encode()).digest()
+        sync = hashlib.md5(
+            os.path.basename(sync_name or path).encode()
+        ).digest()
     assert len(sync) == 16
     header = bytearray(_MAGIC)
     meta = {
@@ -375,7 +380,9 @@ def make_avro_datasource():
             self.n_rows = n_rows
 
     class _AvroWriter(DataSourceWriter):
-        def __init__(self, options, schema):
+        def __init__(self, options, schema, overwrite):
+            import uuid
+
             self.path = options["path"]
             self.fields = [
                 (
@@ -385,25 +392,48 @@ def make_avro_datasource():
                 )
                 for f in schema.fields
             ]
+            # one token per WRITE JOB (constructed on the driver,
+            # pickled to every task): file names are unique across
+            # jobs, so append-to-nonempty never clobbers or mixes with
+            # an earlier write's part files (round-10 review)
+            self.job = uuid.uuid4().hex[:12]
+            if overwrite and os.path.isdir(self.path):
+                # overwrite clears prior data driver-side at plan time
+                for f in os.listdir(self.path):
+                    if f.endswith(".avro") or f == "_SUCCESS":
+                        os.remove(os.path.join(self.path, f))
 
         def write(self, rows):
+            import uuid
+
             from pyspark import TaskContext
 
             from text_grabr_orc_spark.sources.avro_io import write_container
 
             pid = TaskContext.get().partitionId()
             os.makedirs(self.path, exist_ok=True)
-            tmp = os.path.join(self.path, f".part-{pid:05d}.avro.tmp")
+            final = f"part-{self.job}-{pid:05d}.avro"
+            # attempt-unique tmp name: two attempts of one partition
+            # (speculation / zombie task) must never interleave into
+            # one tmp file; each writes its own and the os.replace is
+            # atomic, so the published file is always one complete
+            # container (round-10 review)
+            tmp = os.path.join(
+                self.path, f".{final}.{uuid.uuid4().hex[:8]}.tmp"
+            )
             n = write_container(
-                tmp, self.fields, (tuple(r) for r in rows)
+                tmp,
+                self.fields,
+                (tuple(r) for r in rows),
+                sync=None,
+                sync_name=final,
             )
-            os.replace(
-                tmp, os.path.join(self.path, f"part-{pid:05d}.avro")
-            )
+            os.replace(tmp, os.path.join(self.path, final))
             return _Commit(pid, n)
 
         def commit(self, messages):
             manifest = {
+                "job": self.job,
                 "n_files": len(messages),
                 "n_rows": sum(m.n_rows for m in messages),
             }
@@ -422,9 +452,14 @@ def make_avro_datasource():
             # planning-time inference from the first file's embedded
             # schema (driver-side, one header read)
             path = self.options["path"]
-            first = sorted(
-                f for f in os.listdir(path) if f.endswith(".avro")
-            )[0]
+            try:
+                first = sorted(
+                    f for f in os.listdir(path) if f.endswith(".avro")
+                )[0]
+            except (FileNotFoundError, IndexError):
+                raise ValueError(
+                    f"tgos_avro: no .avro container files at {path!r}"
+                ) from None
             fields = container_fields(os.path.join(path, first))
             return ", ".join(
                 f"{n} {_AVRO_TO_DDL[t]}" for n, t, _ in fields
@@ -434,7 +469,7 @@ def make_avro_datasource():
             return _AvroReader(self.options)
 
         def writer(self, schema, overwrite):
-            return _AvroWriter(self.options, schema)
+            return _AvroWriter(self.options, schema, overwrite)
 
     return AvroSource
 

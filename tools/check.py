@@ -30,10 +30,11 @@ Artifact mode (round-9 verdict #1):
 Sampling mode (round-9 verdict #7 — cheap randomized out-of-sample
 spot-checks):
   --sample N --seed R   run a seeded random subset of N queries drawn
-                    from the full registry (deterministic for a given
-                    (N, R, registry contents): names are sorted before
-                    random.Random(R).sample). Composes with --exact /
-                    --vanilla / --json-out.
+                    from the selection (the full registry unless
+                    query names were given; N clamped to its size).
+                    Deterministic for a given (N, R, selection):
+                    names are sorted before random.Random(R).sample.
+                    Composes with --exact / --vanilla / --json-out.
 
 Usage:  python tools/check.py [--exact] [--vanilla]
                               [--json-out PATH] [--sample N --seed R]
@@ -132,6 +133,8 @@ def _pop_opt(args: list[str], flag: str) -> str | None:
     if flag not in args:
         return None
     i = args.index(flag)
+    if i + 1 >= len(args) or args[i + 1].startswith("--"):
+        raise SystemExit(f"{flag} requires a value")
     val = args[i + 1]
     del args[i : i + 2]
     return val
@@ -179,10 +182,13 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     selected = args or sorted(qs)
     if sample_n is not None:
-        # seeded random subset over the (sorted) selection —
-        # deterministic for a given (N, seed, registry contents)
+        # seeded random subset over the (sorted) selection — the full
+        # registry unless queries were named explicitly — clamped to
+        # the selection size; deterministic for a given (N, seed,
+        # selection contents)
         rng = random.Random(int(seed) if seed is not None else 0)
-        selected = sorted(rng.sample(sorted(selected), int(sample_n)))
+        n = min(int(sample_n), len(selected))
+        selected = sorted(rng.sample(sorted(selected), n))
     failures = []
     records: dict[str, dict] = {}
     for name in selected:
