@@ -124,6 +124,10 @@ BENCH_QUERIES = [
     "corpus_build_flagship",
     # round-9 additions
     "corpus_build_incremental",
+    # round-10 additions: the from-scratch Avro container source/sink
+    # (Python DataSource path — timed so a regression in the pure-
+    # Python codec or the per-file partition planning stays visible)
+    "avro_roundtrip_stats",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation
