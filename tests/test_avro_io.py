@@ -94,6 +94,42 @@ def test_torn_block_detected(tmp_path):
         assert "sync" in str(e)
 
 
+def test_container_roundtrip_property():
+    """Property test: any row set in the supported type lattice
+    round-trips bit-exactly (longs at the int64 extremes, any unicode
+    text, ±inf doubles, empty bytes, NULL union branches)."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    fields = [
+        ("a", "long", False),
+        ("b", "string", True),
+        ("c", "double", False),
+        ("d", "boolean", False),
+        ("e", "bytes", True),
+    ]
+    row_st = st.tuples(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.one_of(st.none(), st.text(max_size=40)),
+        st.floats(allow_nan=False, width=64),
+        st.booleans(),
+        st.one_of(st.none(), st.binary(max_size=24)),
+    )
+
+    @given(st.lists(row_st, max_size=40))
+    @settings(max_examples=60, deadline=None)
+    def check(rows):
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "p.avro")
+            n = write_container(p, fields, iter(rows), block_rows=7)
+            assert n == len(rows)
+            assert list(read_container(p)) == rows
+
+    check()
+
+
 def test_spark_datasource_roundtrip(spark, tmp_path):
     from text_grabr_orc_spark.sources.avro_io import register_avro_source
 
