@@ -81,6 +81,21 @@ def test_container_write_is_deterministic(tmp_path):
         assert fa.read() == ba
 
 
+def test_deflate_codec_roundtrip_and_compresses(tmp_path):
+    rows = [(i, "lorem ipsum " * 20, 1.0, True, b"\x01" * 64)
+            for i in range(200)]
+    pn = str(tmp_path / "n.avro")
+    pd_ = str(tmp_path / "d.avro")
+    write_container(pn, _FIELDS, iter(rows), block_rows=64)
+    n = write_container(pd_, _FIELDS, iter(rows), block_rows=64,
+                        codec="deflate")
+    assert n == 200
+    assert list(read_container(pd_)) == rows
+    # repetitive payload: deflate must be materially smaller
+    assert os.path.getsize(pd_) < os.path.getsize(pn) / 4
+    assert container_fields(pd_) == [tuple(f) for f in _FIELDS]
+
+
 def test_torn_block_detected(tmp_path):
     p = str(tmp_path / "t.avro")
     write_container(p, _FIELDS, iter(_ROWS), block_rows=2)
@@ -152,6 +167,15 @@ def test_spark_datasource_roundtrip(spark, tmp_path):
     )
     # split planning: one input partition per file
     assert back.rdd.getNumPartitions() == 4
+    # deflate through the datasource option: same rows back
+    out2 = str(tmp_path / "avro_out_deflate")
+    df.repartition(2).write.format("tgos_avro").option("path", out2).option(
+        "codec", "deflate"
+    ).mode("append").save()
+    back2 = spark.read.format("tgos_avro").option("path", out2).load()
+    assert sorted(map(tuple, back2.collect())) == sorted(
+        map(tuple, df.collect())
+    )
 
 
 def test_spark_datasource_append_and_overwrite(spark, tmp_path):

@@ -23,8 +23,9 @@ Format per the Apache Avro 1.12 specification (public):
 Schema subset: a top-level record of boolean / int / long / float /
 double / string / bytes fields, each optionally nullable as the
 two-branch union ``["null", T]`` — the shapes this engine's tables
-use. Files written here are byte-compatible with any Avro reader
-(the golden-bytes pytest pins the spec encodings).
+use. Codecs: ``null`` and ``deflate`` (RFC 1951 raw deflate per
+block, via stdlib zlib). Files written here are byte-compatible with
+any Avro reader (the golden-bytes pytest pins the spec encodings).
 
 Scale design: the READER plans one InputPartition per ``.avro`` file
 (container files are also splittable at sync-marker boundaries;
@@ -199,6 +200,7 @@ def write_container(
     sync: bytes | None = None,
     block_rows: int = 4096,
     sync_name: str | None = None,
+    codec: str = "null",
 ) -> int:
     """Write ``rows`` (iterable of tuples in field order) as one Avro
     object-container file; returns the row count. ``sync`` defaults to
@@ -207,9 +209,14 @@ def write_container(
     INSIDE one file, not globally random (spec: 'randomly-generated'
     is a convenience, any 16 bytes are valid). ``sync_name`` lets a
     caller writing through an attempt-unique tmp path keep the marker
-    keyed to the FINAL name."""
+    keyed to the FINAL name. ``codec`` is ``null`` or ``deflate``
+    (spec: RFC 1951 raw deflate per block — zlib wbits=-15, no
+    wrapper/checksum; zlib level 6 output is deterministic for a
+    given input, so deflate files stay byte-reproducible too)."""
     import hashlib
 
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
     if sync is None:
         sync = hashlib.md5(
             os.path.basename(sync_name or path).encode()
@@ -218,7 +225,7 @@ def write_container(
     header = bytearray(_MAGIC)
     meta = {
         "avro.schema": _schema_json(name, fields).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     write_long(header, len(meta))
     for k, v in sorted(meta.items()):
@@ -237,11 +244,17 @@ def write_container(
             nonlocal block, n_block, n_total
             if not n_block:
                 return
+            payload = bytes(block)
+            if codec == "deflate":
+                import zlib
+
+                co = zlib.compressobj(6, zlib.DEFLATED, -15)
+                payload = co.compress(payload) + co.flush()
             head = bytearray()
             write_long(head, n_block)
-            write_long(head, len(block))
+            write_long(head, len(payload))
             fh.write(bytes(head))
-            fh.write(bytes(block))
+            fh.write(payload)
             fh.write(sync)
             n_total += n_block
             block, n_block = bytearray(), 0
@@ -263,10 +276,10 @@ def write_container(
     return n_total
 
 
-def _parse_header(mv: memoryview) -> tuple[Fields, bytes, int]:
-    """(fields, sync, bytes consumed) from a buffer starting at the
-    magic; raises IndexError if the buffer is too short (caller reads
-    more)."""
+def _parse_header(mv: memoryview) -> tuple[Fields, bytes, str, int]:
+    """(fields, sync, codec, bytes consumed) from a buffer starting at
+    the magic; raises IndexError if the buffer is too short (caller
+    reads more)."""
     if bytes(mv[:4]) != _MAGIC:
         raise ValueError("not an Avro object container file")
     pos = 4
@@ -282,23 +295,24 @@ def _parse_header(mv: memoryview) -> tuple[Fields, bytes, int]:
             k, pos = _read_value(mv, pos, "string")
             v, pos = _read_value(mv, pos, "bytes")
             meta[k] = v
-    codec = meta.get("avro.codec", b"null")
-    if codec != b"null":
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
     sync = bytes(mv[pos : pos + 16])
     if len(sync) != 16:
         raise IndexError("short read")
-    return _parse_schema(meta["avro.schema"].decode()), sync, pos + 16
+    return _parse_schema(meta["avro.schema"].decode()), sync, codec, pos + 16
 
 
-def read_header(fh) -> tuple[Fields, bytes]:
-    """(fields, sync marker) from an open container file positioned at
-    0; leaves the handle at the first block. Reads a bounded prefix —
-    metadata is small — growing it only if the schema JSON is huge."""
+def read_header(fh) -> tuple[Fields, bytes, str]:
+    """(fields, sync marker, codec) from an open container file
+    positioned at 0; leaves the handle at the first block. Reads a
+    bounded prefix — metadata is small — growing it only if the schema
+    JSON is huge."""
     buf = fh.read(1 << 16)
     while True:
         try:
-            fields, sync, consumed = _parse_header(memoryview(buf))
+            fields, sync, codec, consumed = _parse_header(memoryview(buf))
             break
         except IndexError:
             more = fh.read(1 << 20)
@@ -306,30 +320,51 @@ def read_header(fh) -> tuple[Fields, bytes]:
                 raise ValueError("truncated Avro header") from None
             buf += more
     fh.seek(consumed)
-    return fields, sync
+    return fields, sync, codec
+
+
+def _decode_rows(mv: memoryview, pos: int, n_rows: int, fields: Fields):
+    """Decode ``n_rows`` records starting at ``pos``; returns
+    ``(rows, new_pos)``."""
+    out_rows = []
+    for _ in range(n_rows):
+        out = []
+        for _, typ, nul in fields:
+            if nul:
+                branch, pos = read_long(mv, pos)
+                if branch == 0:
+                    out.append(None)
+                    continue
+            val, pos = _read_value(mv, pos, typ)
+            out.append(val)
+        out_rows.append(tuple(out))
+    return out_rows, pos
 
 
 def read_container(path: str):
-    """Yield tuples (field order) from one container file."""
+    """Yield tuples (field order) from one container file; blocks are
+    inflated per-block for the ``deflate`` codec (the compressed byte
+    size framing each block is what makes container files splittable
+    without decompressing the whole file)."""
     with open(path, "rb") as fh:
-        fields, sync = read_header(fh)
+        fields, sync, codec = read_header(fh)
         raw = fh.read()
     mv = memoryview(raw)
     pos = 0
     while pos < len(mv):
         n_rows, pos = read_long(mv, pos)
-        _size, pos = read_long(mv, pos)
-        for _ in range(n_rows):
-            out = []
-            for _, typ, nul in fields:
-                if nul:
-                    branch, pos = read_long(mv, pos)
-                    if branch == 0:
-                        out.append(None)
-                        continue
-                val, pos = _read_value(mv, pos, typ)
-                out.append(val)
-            yield tuple(out)
+        size, pos = read_long(mv, pos)
+        if codec == "deflate":
+            import zlib
+
+            inflated = zlib.decompress(bytes(mv[pos : pos + size]), -15)
+            rows, used = _decode_rows(memoryview(inflated), 0, n_rows, fields)
+            if used != len(inflated):
+                raise ValueError("deflate block decoded short/long")
+            pos += size
+        else:
+            rows, pos = _decode_rows(mv, pos, n_rows, fields)
+        yield from rows
         if bytes(mv[pos : pos + 16]) != sync:
             raise ValueError("sync marker mismatch (torn block)")
         pos += 16
@@ -337,7 +372,7 @@ def read_container(path: str):
 
 def container_fields(path: str) -> Fields:
     with open(path, "rb") as fh:
-        fields, _ = read_header(fh)
+        fields, _, _ = read_header(fh)
     return fields
 
 
@@ -384,6 +419,7 @@ def make_avro_datasource():
             import uuid
 
             self.path = options["path"]
+            self.codec = options.get("codec", "null")
             self.fields = [
                 (
                     f.name,
@@ -427,6 +463,7 @@ def make_avro_datasource():
                 (tuple(r) for r in rows),
                 sync=None,
                 sync_name=final,
+                codec=self.codec,
             )
             os.replace(tmp, os.path.join(self.path, final))
             return _Commit(pid, n)
