@@ -207,6 +207,72 @@ def test_spark_datasource_append_and_overwrite(spark, tmp_path):
     assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 2
 
 
+_ARR_FIELDS = [
+    ("id", "long", False),
+    ("vec", "array:float", False),
+    ("tags", "array:long", True),
+]
+
+_ARR_ROWS = [
+    (1, [1.5, -2.25, 0.0], [7, -8]),
+    (2, [], None),
+    (3, [3.5], [0]),
+]
+
+
+def test_array_columns_roundtrip(tmp_path):
+    p = str(tmp_path / "arr.avro")
+    n = write_container(p, _ARR_FIELDS, iter(_ARR_ROWS), block_rows=2,
+                        codec="deflate")
+    assert n == 3
+    assert container_fields(p) == [tuple(f) for f in _ARR_FIELDS]
+    assert list(read_container(p)) == _ARR_ROWS
+
+
+def test_jvm_avro_reads_python_written_arrays(spark, tmp_path):
+    import json as _json
+
+    p = str(tmp_path / "arr_jvm.avro")
+    write_container(p, _ARR_FIELDS, iter(_ARR_ROWS), codec="deflate")
+    jvm = spark._jvm
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while rdr.hasNext():
+        rec = _json.loads(str(rdr.next()))
+        got.append((rec["id"], rec["vec"], rec["tags"]))
+    rdr.close()
+    assert got == [(i, v, t) for i, v, t in _ARR_ROWS]
+
+
+def test_spark_datasource_embeddings_roundtrip(spark, sf_dir, tmp_path):
+    """The vector-shard shape end-to-end: the embeddings table
+    (vec_id bigint, embedding array<float>, label int) through the
+    deflate Avro sink and back, row-for-row equal — float32 components
+    survive exactly because they originate as float32."""
+    from text_grabr_orc_spark.sources.avro_io import register_avro_source
+    from text_grabr_orc_spark.tables import load_table
+
+    register_avro_source(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = str(tmp_path / "emb_avro")
+    emb.repartition(3, "vec_id").write.format("tgos_avro").option(
+        "path", out
+    ).option("codec", "deflate").mode("append").save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    assert back.schema.simpleString() == emb.schema.simpleString()
+    a = sorted(
+        (r["vec_id"], tuple(r["embedding"]), r["label"])
+        for r in emb.collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["embedding"]), r["label"])
+        for r in back.collect()
+    )
+    assert a == b
+
+
 def test_jvm_avro_reads_python_written_file(spark, tmp_path):
     """Reference-implementation parity, write side: the REAL Apache
     Avro library (avro-1.12.1.jar on Spark's classpath) must read a

@@ -21,11 +21,14 @@ Format per the Apache Avro 1.12 specification (public):
   the value; record = fields in declaration order.
 
 Schema subset: a top-level record of boolean / int / long / float /
-double / string / bytes fields, each optionally nullable as the
-two-branch union ``["null", T]`` — the shapes this engine's tables
-use. Codecs: ``null`` and ``deflate`` (RFC 1951 raw deflate per
-block, via stdlib zlib). Files written here are byte-compatible with
-any Avro reader (the golden-bytes pytest pins the spec encodings).
+double / string / bytes fields plus single-level arrays of those
+primitives (``array<float>`` is how vector shards actually ship —
+the embeddings-table roundtrip is pytest-pinned), each field
+optionally nullable as the two-branch union ``["null", T]``. Codecs:
+``null`` and ``deflate`` (RFC 1951 raw deflate per block, via stdlib
+zlib). Files written here are byte-compatible with any Avro reader
+(the golden-bytes pytest pins the spec encodings; duplex parity with
+the JVM reference implementation is pytest-pinned too).
 
 Scale design: the READER plans one InputPartition per ``.avro`` file
 (container files are also splittable at sync-marker boundaries;
@@ -58,7 +61,10 @@ from text_grabr_orc_spark.tables import load_table
 
 _MAGIC = b"Obj\x01"
 
-#: avro primitive <-> Spark DDL (the supported subset)
+#: avro primitive <-> Spark DDL (the supported subset). Arrays of a
+#: primitive use the internal token ``array:<prim>`` (avro schema
+#: {"type": "array", "items": prim} <-> Spark ``array<ddl>``) — the
+#: shape vector shards actually ship in (embeddings as array<float>).
 _AVRO_TO_DDL = {
     "boolean": "boolean",
     "int": "int",
@@ -77,6 +83,24 @@ _SPARK_TO_AVRO = {
     "string": "string",
     "binary": "bytes",
 }
+
+
+def _ddl_of(token: str) -> str:
+    if token.startswith("array:"):
+        return f"array<{_AVRO_TO_DDL[token[6:]]}>"
+    return _AVRO_TO_DDL[token]
+
+
+def _token_of_spark(simple: str) -> str:
+    if simple.startswith("array<") and simple.endswith(">"):
+        return f"array:{_SPARK_TO_AVRO[simple[6:-1]]}"
+    return _SPARK_TO_AVRO[simple]
+
+
+def _token_valid(token: str) -> bool:
+    if token.startswith("array:"):
+        return token[6:] in _AVRO_TO_DDL
+    return token in _AVRO_TO_DDL
 
 
 # ---------------------------------------------------------------------------
@@ -128,6 +152,16 @@ def _write_value(buf: bytearray, typ: str, v) -> None:
         buf += raw
     elif typ == "boolean":
         buf.append(1 if v else 0)
+    elif typ.startswith("array:"):
+        # spec: arrays are a series of blocks (count then items),
+        # terminated by a zero count; one block is enough on write
+        items = list(v)
+        if items:
+            write_long(buf, len(items))
+            it = typ[6:]
+            for x in items:
+                _write_value(buf, it, x)
+        write_long(buf, 0)
     else:  # pragma: no cover - schema validated at build
         raise ValueError(f"unsupported avro type {typ}")
 
@@ -147,6 +181,19 @@ def _read_value(mv: memoryview, pos: int, typ: str):
         return bytes(mv[pos : pos + n]), pos + n
     if typ == "boolean":
         return mv[pos] == 1, pos + 1
+    if typ.startswith("array:"):
+        it = typ[6:]
+        out = []
+        while True:
+            n, pos = read_long(mv, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:  # negative count: a byte size follows (spec)
+                _, pos = read_long(mv, pos)
+                n = -n
+            for _ in range(n):
+                x, pos = _read_value(mv, pos, it)
+                out.append(x)
     raise ValueError(f"unsupported avro type {typ}")
 
 
@@ -159,13 +206,32 @@ def _read_value(mv: memoryview, pos: int, typ: str):
 Fields = list
 
 
+def _avro_type(token: str):
+    if token.startswith("array:"):
+        return {"type": "array", "items": token[6:]}
+    return token
+
+
+def _token_of_avro(t) -> str:
+    if isinstance(t, dict):
+        if t.get("type") != "array" or not isinstance(t.get("items"), str):
+            raise ValueError(f"unsupported avro type {t}")
+        return f"array:{t['items']}"
+    return t
+
+
 def _schema_json(name: str, fields: Fields) -> str:
     return json.dumps(
         {
             "type": "record",
             "name": name,
             "fields": [
-                {"name": n, "type": (["null", t] if nul else t)}
+                {
+                    "name": n,
+                    "type": (
+                        ["null", _avro_type(t)] if nul else _avro_type(t)
+                    ),
+                }
                 for n, t, nul in fields
             ],
         }
@@ -183,11 +249,11 @@ def _parse_schema(schema_json: str) -> Fields:
             if len(t) != 2 or "null" not in t:
                 raise ValueError(f"unsupported union {t}")
             real = t[0] if t[1] == "null" else t[1]
-            fields.append((f["name"], real, True))
+            fields.append((f["name"], _token_of_avro(real), True))
         else:
-            fields.append((f["name"], t, False))
+            fields.append((f["name"], _token_of_avro(t), False))
     for _, t, _ in fields:
-        if t not in _AVRO_TO_DDL:
+        if not _token_valid(t):
             raise ValueError(f"unsupported avro type {t}")
     return fields
 
@@ -423,7 +489,7 @@ def make_avro_datasource():
             self.fields = [
                 (
                     f.name,
-                    _SPARK_TO_AVRO[f.dataType.simpleString()],
+                    _token_of_spark(f.dataType.simpleString()),
                     bool(f.nullable),
                 )
                 for f in schema.fields
@@ -499,7 +565,7 @@ def make_avro_datasource():
                 ) from None
             fields = container_fields(os.path.join(path, first))
             return ", ".join(
-                f"{n} {_AVRO_TO_DDL[t]}" for n, t, _ in fields
+                f"{n} {_ddl_of(t)}" for n, t, _ in fields
             )
 
         def reader(self, schema):
