@@ -356,3 +356,90 @@ def test_avro_roundtrip_stats_registered(spark, sf_dir):
     want = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     for r in want:
         assert rows[r["lang"]]["n_docs"] == r["n"]
+
+
+def test_union_value_first_order_roundtrip(tmp_path):
+    """[T, "null"] union order (legal per spec, produced by other
+    writers): branch 0 carries the VALUE — the codec must honor the
+    declared order in both directions, not silently normalize it
+    (round-10 ADVICE: the old parser decoded these shifted)."""
+    import json as _json
+
+    from text_grabr_orc_spark.sources.avro_io import NULL_SECOND, _schema_json
+
+    fields = [("id", "long", False), ("name", "string", NULL_SECOND)]
+    # the emitted schema preserves the declared branch order
+    sch = _json.loads(_schema_json("row", fields))
+    assert sch["fields"][1]["type"] == ["string", "null"]
+    rows = [(1, "alpha"), (2, None), (3, "gamma")]
+    p = str(tmp_path / "vf.avro")
+    write_container(p, fields, iter(rows), block_rows=2)
+    assert container_fields(p) == fields
+    assert list(read_container(p)) == rows
+
+
+def test_python_reads_jvm_value_first_union(spark, tmp_path):
+    """The real Apache Avro library writing a [T,"null"] schema: this
+    codec must decode branch indices per the DECLARED order."""
+    import json as _json
+
+    schema_json = _json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": ["string", "null"]},
+            ],
+        }
+    )
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    p = str(tmp_path / "jvm_vf.avro")
+    dfw.create(schema, jvm.java.io.File(p))
+    want = [(5, "hello"), (6, None), (7, "é中")]
+    for idv, nm in want:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", jvm.java.lang.Long.valueOf(idv))
+        rec.put("name", nm)
+        dfw.append(rec)
+    dfw.close()
+    assert list(read_container(p)) == want
+    # and the JVM reads back what this codec re-writes in that order
+    fields = container_fields(p)
+    p2 = str(tmp_path / "py_vf.avro")
+    write_container(p2, fields, iter(want))
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p2), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while rdr.hasNext():
+        rec = _json.loads(str(rdr.next()))
+        got.append((rec["id"], rec["name"]))
+    rdr.close()
+    assert got == want
+
+
+def test_abort_removes_this_jobs_part_files(tmp_path):
+    """A failed job must not leave eagerly-published part files for
+    later reads to pick up (round-10 ADVICE: append mode would
+    silently duplicate rows from the failed job)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from text_grabr_orc_spark.sources.avro_io import make_avro_datasource
+
+    src_cls = make_avro_datasource()
+    ds = src_cls(options={"path": str(tmp_path)})
+    schema = StructType([StructField("id", LongType(), False)])
+    w = ds.writer(schema, False)
+    mine = tmp_path / f"part-{w.job}-00000.avro"
+    mine2 = tmp_path / f"part-{w.job}-00003.avro"
+    other = tmp_path / "part-feedc0ffee12-00000.avro"
+    for f in (mine, mine2, other):
+        f.write_bytes(b"placeholder")
+    w.abort([])
+    assert not mine.exists() and not mine2.exists()
+    assert other.exists()  # an EARLIER job's data is untouched

@@ -297,8 +297,15 @@ def distributed_prefix_cum(
     # expression tree is O(1) (the boundary literals live in one
     # constant array object, not in code) and the per-row cost is a
     # tight O(P) loop over doubles — negligible next to the shuffle
-    # it feeds. Comparison semantics are IDENTICAL to the old chain:
-    # order_col promoted to double against each boundary literal.
+    # it feeds. Comparison semantics match the old chain for non-null
+    # keys (order_col promoted to double against each boundary
+    # literal); a NULL order_col lands in bucket 0 here (the
+    # when/otherwise absorbs the null) where the old chain propagated
+    # a NULL pid — an intentional change (round-10 ADVICE): both
+    # callers order by doc_id, non-null by construction, and bucket 0
+    # is where the pass-2 window's NULLS FIRST ordering would place a
+    # null key anyway, so a hypothetical null keeps a stable home
+    # instead of a null partition id.
     if bounds:
         pid = F.aggregate(
             F.array(*[F.lit(float(b)) for b in bounds]),

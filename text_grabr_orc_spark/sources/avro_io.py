@@ -202,8 +202,23 @@ def _read_value(mv: memoryview, pos: int, typ: str):
 # ---------------------------------------------------------------------------
 
 #: fields: list of (name, avro primitive type, nullable) — nullable is
-#: encoded as the union ["null", type] with branch 1 = value
+#: encoded as the union ["null", type] with branch 1 = value. The spec
+#: also allows the reversed declaration [type, "null"] (branch 0 =
+#: value); other writers produce it, so _parse_schema preserves that
+#: order as the marker NULL_SECOND (truthy, so `if nul:` still means
+#: "nullable") and the codec honors it in BOTH directions — a foreign
+#: file is decoded with the branch indices it declared, and re-writing
+#: fields parsed from one keeps its declared order (round-10 ADVICE:
+#: the old parser silently reordered, shifting every value one branch).
 Fields = list
+
+#: nullable marker for the [type, "null"] union order (value=0, null=1)
+NULL_SECOND = "null_second"
+
+
+def _null_branch(nul) -> int:
+    """Branch index carrying NULL for a nullable field."""
+    return 1 if nul == NULL_SECOND else 0
 
 
 def _avro_type(token: str):
@@ -229,7 +244,13 @@ def _schema_json(name: str, fields: Fields) -> str:
                 {
                     "name": n,
                     "type": (
-                        ["null", _avro_type(t)] if nul else _avro_type(t)
+                        (
+                            [_avro_type(t), "null"]
+                            if nul == NULL_SECOND
+                            else ["null", _avro_type(t)]
+                        )
+                        if nul
+                        else _avro_type(t)
                     ),
                 }
                 for n, t, nul in fields
@@ -248,8 +269,15 @@ def _parse_schema(schema_json: str) -> Fields:
         if isinstance(t, list):
             if len(t) != 2 or "null" not in t:
                 raise ValueError(f"unsupported union {t}")
-            real = t[0] if t[1] == "null" else t[1]
-            fields.append((f["name"], _token_of_avro(real), True))
+            # record WHICH branch is null: [T,"null"] is legal and
+            # produced by other writers; decoding it with the default
+            # branch-0=null assumption would shift every value
+            if t[1] == "null" and t[0] != "null":
+                fields.append(
+                    (f["name"], _token_of_avro(t[0]), NULL_SECOND)
+                )
+            else:
+                fields.append((f["name"], _token_of_avro(t[1]), True))
         else:
             fields.append((f["name"], _token_of_avro(t), False))
     for _, t, _ in fields:
@@ -328,10 +356,11 @@ def write_container(
         for row in rows:
             for (fname, typ, nul), v in zip(fields, row):
                 if nul:
+                    nb = _null_branch(nul)
                     if v is None:
-                        write_long(block, 0)
+                        write_long(block, nb)
                         continue
-                    write_long(block, 1)
+                    write_long(block, 1 - nb)
                 elif v is None:
                     raise ValueError(f"null in non-nullable field {fname}")
                 _write_value(block, typ, v)
@@ -392,13 +421,17 @@ def read_header(fh) -> tuple[Fields, bytes, str]:
 def _decode_rows(mv: memoryview, pos: int, n_rows: int, fields: Fields):
     """Decode ``n_rows`` records starting at ``pos``; returns
     ``(rows, new_pos)``."""
+    # hoist per-field null-branch indices out of the per-row loop
+    plan = [
+        (typ, _null_branch(nul) if nul else None) for _, typ, nul in fields
+    ]
     out_rows = []
     for _ in range(n_rows):
         out = []
-        for _, typ, nul in fields:
-            if nul:
+        for typ, nb in plan:
+            if nb is not None:
                 branch, pos = read_long(mv, pos)
-                if branch == 0:
+                if branch == nb:
                     out.append(None)
                     continue
             val, pos = _read_value(mv, pos, typ)
@@ -544,7 +577,20 @@ def make_avro_datasource():
                 json.dump(manifest, f)
 
         def abort(self, messages):
-            pass
+            # tasks publish part files eagerly via os.replace in
+            # write(); if the JOB then fails, those orphans would be
+            # picked up by every later read (silent duplication in
+            # append mode — round-10 ADVICE). The job token scopes the
+            # cleanup to exactly this job's output.
+            import glob
+
+            for f in glob.glob(
+                os.path.join(self.path, f"part-{self.job}-*.avro")
+            ):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
 
     class AvroSource(DataSource):
         @classmethod
@@ -619,9 +665,17 @@ def avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact pass proves the wire format round-trips every value —
     no row lost or duplicated across file splits, unions included.
 
+    Scratch layout: a FIXED per-sf_dir path under the system tmp dir,
+    cleared at the START of each invocation — mkdtemp here leaked one
+    corpus-sized directory per bench/check/sweep run (round-10
+    ADVICE); the returned DataFrame is lazy, so cleanup must happen on
+    the next run, not after this function returns.
+
     Cites reference main.go:41-97 only by contrast: the reference has
     a single JSON sink; Avro is part of this engine's wider
     source/sink inventory (SURVEY §2b)."""
+    import hashlib
+    import shutil
     import tempfile
 
     register_avro_source(spark)
@@ -631,7 +685,9 @@ def avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("nullif(source, 'src7')").alias("source"),
         "n_chars",
     )
-    out = tempfile.mkdtemp(prefix="tgos_avro_rt_")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"tgos_avro_rt_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
     docs.repartition(4, "doc_id").write.format("tgos_avro").option(
         "path", out
     ).mode("append").save()
