@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     # (Python DataSource path — timed so a regression in the pure-
     # Python codec or the per-file partition planning stays visible)
     "avro_roundtrip_stats",
+    # round-11: the logical-type path (local-timestamp-micros + map
+    # columns) plus block-split reads of the written containers
+    "avro_events_roundtrip",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation

@@ -510,3 +510,162 @@ def test_datasource_splits_single_large_file(spark, tmp_path):
     # default split_bytes (32 MiB) keeps a small file in one partition
     back1 = spark.read.format("tgos_avro").option("path", out).load()
     assert back1.rdd.getNumPartitions() == 1
+
+
+def test_timestamp_and_map_roundtrip(tmp_path):
+    """Logical types + maps through the pure-Python codec: instant
+    (timestamp-micros, tz-aware UTC out), wall clock
+    (local-timestamp-micros, naive), and string-keyed int maps."""
+    import datetime as dt
+
+    UTC = dt.timezone.utc
+    fields = [
+        ("id", "long", False),
+        ("at", "tsmicros", False),
+        ("wall", "ltsmicros", True),
+        ("props", "map:int", False),
+    ]
+    rows = [
+        (
+            1,
+            dt.datetime(2024, 1, 1, 0, 9, 58, 778549, tzinfo=UTC),
+            dt.datetime(2024, 1, 1, 0, 9, 58, 778549),
+            {"k": 87, "j": -3},
+        ),
+        (2, dt.datetime(1969, 12, 31, 23, 59, 59, 999999, tzinfo=UTC),
+         None, {}),
+        (3, dt.datetime(2262, 4, 11, 23, 47, 16, 854775, tzinfo=UTC),
+         dt.datetime(1, 1, 1), {"z": 0}),
+    ]
+    p = str(tmp_path / "lt.avro")
+    assert write_container(p, fields, iter(rows), block_rows=2) == 3
+    assert container_fields(p) == fields
+    assert list(read_container(p)) == rows
+    # naive instants encode via process-local time, the exact inverse
+    # of what Spark's worker hands over — spot-pin one value
+    from text_grabr_orc_spark.sources.avro_io import (
+        _instant_to_micros,
+        _micros_to_instant,
+    )
+
+    m = 1704067200123456
+    assert _instant_to_micros(_micros_to_instant(m)) == m
+    local_naive = dt.datetime.fromtimestamp(m / 1e6)
+    assert abs(_instant_to_micros(local_naive) - m) < 1000  # float µs
+
+
+def test_jvm_duplex_parity_logical_types(spark, tmp_path):
+    """The real Apache Avro library must agree with this codec on
+    timestamp-micros / local-timestamp-micros / map encodings — both
+    directions."""
+    import datetime as dt
+    import json as _json
+
+    from text_grabr_orc_spark.sources.avro_io import _schema_json
+
+    UTC = dt.timezone.utc
+    fields = [
+        ("id", "long", False),
+        ("at", "tsmicros", False),
+        ("wall", "ltsmicros", False),
+        ("props", "map:long", False),
+    ]
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0, 123456, tzinfo=UTC),
+         dt.datetime(2024, 6, 1, 12, 30), {"k": 87}),
+        (2, dt.datetime(1970, 1, 1, tzinfo=UTC),
+         dt.datetime(1970, 1, 1), {"a": -1, "b": 2}),
+    ]
+    # python writes -> JVM reads (GenericDatumReader yields raw longs
+    # for logical types; its JSON renders maps as objects)
+    p = str(tmp_path / "py_lt.avro")
+    write_container(p, fields, iter(rows), codec="deflate")
+    jvm = spark._jvm
+    sch = _json.loads(_schema_json("row", fields))
+    assert sch["fields"][1]["type"]["logicalType"] == "timestamp-micros"
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while rdr.hasNext():
+        rec = _json.loads(str(rdr.next()))
+        got.append((rec["id"], rec["at"], rec["wall"], rec["props"]))
+    rdr.close()
+    assert got == [
+        (1, 1704067200123456, 1717245000000000, {"k": 87}),
+        (2, 0, 0, {"a": -1, "b": 2}),
+    ]
+    # JVM writes raw longs under the logical-type schema -> python
+    # reads them back as datetimes
+    schema = jvm.org.apache.avro.Schema.Parser().parse(
+        _schema_json("row", fields)
+    )
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    p2 = str(tmp_path / "jvm_lt.avro")
+    dfw.create(schema, jvm.java.io.File(p2))
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("id", jvm.java.lang.Long.valueOf(9))
+    rec.put("at", jvm.java.lang.Long.valueOf(1704067200123456))
+    rec.put("wall", jvm.java.lang.Long.valueOf(1717245000000000))
+    m = jvm.java.util.HashMap()
+    m.put("k", jvm.java.lang.Long.valueOf(5))
+    rec.put("props", m)
+    dfw.append(rec)
+    dfw.close()
+    assert container_fields(p2) == fields
+    assert list(read_container(p2)) == [
+        (9, dt.datetime(2024, 1, 1, 0, 0, 0, 123456, tzinfo=UTC),
+         dt.datetime(2024, 6, 1, 12, 30), {"k": 5})
+    ]
+
+
+def test_spark_datasource_timestamp_instant_roundtrip(spark, tmp_path):
+    """TIMESTAMP (instant) columns through the datasource: internal
+    epoch micros must survive the write/read detour exactly."""
+    import pyspark.sql.functions as F
+
+    from text_grabr_orc_spark.sources.avro_io import register_avro_source
+
+    register_avro_source(spark)
+    df = spark.sql(
+        """
+        SELECT id,
+               timestampadd(
+                   SECOND, CAST(id * 3601.5 AS INT),
+                   timestamp'2024-03-09 23:30:00'
+               ) AS at
+        FROM range(200) -- spans a US DST spring-forward wall-clock gap
+        """
+    )
+    out = str(tmp_path / "ts_avro")
+    df.write.format("tgos_avro").option("path", out).mode("append").save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    assert dict(back.dtypes)["at"] == "timestamp"
+    a = sorted(map(tuple, df.select("id", F.unix_micros("at")).collect()))
+    b = sorted(map(tuple, back.select("id", F.unix_micros("at")).collect()))
+    assert a == b
+
+
+def test_avro_events_roundtrip_registered(spark, sf_dir):
+    from text_grabr_orc_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["avro_events_roundtrip"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    import pyspark.sql.functions as F
+
+    from text_grabr_orc_spark.sources.events import load_events
+
+    want = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {}
+    for r in rows:
+        got[r["event_type"]] = got.get(r["event_type"], 0) + r["n"]
+    assert got == {r["event_type"]: r["n"] for r in want}
