@@ -312,6 +312,35 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(full))
+    # Per-query bench HISTORY (round-10 verdict #1): the driver's
+    # artifact keeps only a 2000-char stdout tail, which truncates the
+    # full line above — so every run also APPENDS its complete payload
+    # (commit-stamped) to BENCH_FULL.jsonl. Cross-round per-query
+    # diffs (tools/compare_bench.py) read this file; nothing depends
+    # on stdout surviving.
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        commit = ""
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_FULL.jsonl",
+            ),
+            "a",
+        ) as fh:
+            fh.write(json.dumps({"commit": commit, **full}) + "\n")
+    except OSError as exc:
+        print(f"# BENCH_FULL.jsonl append failed: {exc}", file=sys.stderr)
     # Compact summary as the LAST stdout line: the driver's artifact
     # keeps the TAIL of stdout and the full per-query line above has
     # been truncated past parseability three rounds running

@@ -296,3 +296,79 @@ def test_fit_entry_time_divisor_normalizes_before_fitting():
     assert e["sec"] == [0.5, 50.0, 450.0]  # raw stays visible
     assert e["sec_normalized"] == [0.5, 5.0, 15.0]
     assert abs(e["exponent"] - 1.0) < 0.05 and not e["alarm"]
+
+
+def _payload(queries, calib, **over):
+    base = {
+        "metric": "headline_queries_total_wall",
+        "value": sum(queries.values()),
+        "unit": "sec",
+        "queries": queries,
+        "queries_cold": {k: v * 2 for k, v in queries.items()},
+        "calib_sec_pre": calib,
+        "calib_sec_post": calib,
+        "sf": 0.1,
+    }
+    base.update(over)
+    return base
+
+
+def test_compare_bench_normalizes_and_flags(tmp_path):
+    """tools/compare_bench.py: multi-run collapse (min seconds, median
+    calib), calibration-normalized ratios, >threshold movers flagged,
+    added/removed queries listed."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    import compare_bench
+
+    # OLD: two runs in a jsonl history; q_fast best-of is run 2's 1.0
+    old = tmp_path / "old.jsonl"
+    old.write_text(
+        json.dumps(_payload({"q_fast": 1.2, "q_slow": 4.0, "gone": 1.0},
+                            0.30)) + "\n"
+        + json.dumps(_payload({"q_fast": 1.0, "q_slow": 4.4, "gone": 1.1},
+                              0.30)) + "\n"
+    )
+    # NEW: one run on a box measured 2x slower (calib 0.60): q_slow's
+    # raw 2x regression normalizes away; q_fast's raw 4x stays a 2x
+    # mover after normalization
+    new = tmp_path / "new.json"
+    new.write_text(
+        json.dumps(
+            {"run1": _payload({"q_fast": 4.0, "q_slow": 8.0, "added": 0.5},
+                              0.60)}
+        )
+    )
+    old_runs = compare_bench.load_runs(str(old))
+    assert len(old_runs) == 2
+    oq, oc, _ = compare_bench.collapse(old_runs, "queries")
+    assert oq == {"q_fast": 1.0, "q_slow": 4.0, "gone": 1.0}
+    assert oc == 0.30
+    nq, nc, _ = compare_bench.collapse(
+        compare_bench.load_runs(str(new)), "queries"
+    )
+    assert nc == 0.60
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = compare_bench.main([str(old), str(new), "--json"])
+    assert rc == 0
+    out = json.loads(buf.getvalue())
+    assert out["box_speed_ratio"] == 2.0
+    by_q = {r["query"]: r for r in out["queries"]}
+    assert by_q["q_slow"]["ratio"] == 2.0
+    assert by_q["q_slow"]["norm_ratio"] == 1.0  # box weather, not code
+    assert not by_q["q_slow"]["flag"]
+    assert by_q["q_fast"]["norm_ratio"] == 2.0  # a real mover
+    assert by_q["q_fast"]["flag"]
+    assert out["only_old"] == ["gone"] and out["only_new"] == ["added"]
+    # a summary file with the payload nested under "full" loads ONCE
+    summ = tmp_path / "summary.json"
+    summ.write_text(json.dumps({"note": "x", "full": _payload({"a": 1.0},
+                                                              0.3)}))
+    assert len(compare_bench.load_runs(str(summ))) == 1
