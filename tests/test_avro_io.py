@@ -669,3 +669,50 @@ def test_avro_events_roundtrip_registered(spark, sf_dir):
     for r in rows:
         got[r["event_type"]] = got.get(r["event_type"], 0) + r["n"]
     assert got == {r["event_type"]: r["n"] for r in want}
+
+
+def test_date_logical_type_roundtrip(spark, tmp_path):
+    """date logical type (epoch days on int): pure-python roundtrip,
+    Spark DATE column through the datasource, and JVM read parity."""
+    import datetime as dt
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from text_grabr_orc_spark.sources.avro_io import register_avro_source
+
+    fields = [("id", "long", False), ("d", "date", True)]
+    rows = [
+        (1, dt.date(2024, 2, 29)),
+        (2, None),
+        (3, dt.date(1969, 12, 31)),
+        (4, dt.date(1970, 1, 1)),
+    ]
+    p = str(tmp_path / "d.avro")
+    write_container(p, fields, iter(rows), block_rows=3)
+    assert container_fields(p) == fields
+    assert list(read_container(p)) == rows
+    # JVM reads epoch days under the logical-type schema
+    jvm = spark._jvm
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while rdr.hasNext():
+        rec = _json.loads(str(rdr.next()))
+        got.append((rec["id"], rec["d"]))
+    rdr.close()
+    assert got == [(1, 19782), (2, None), (3, -1), (4, 0)]
+    # Spark DATE column end-to-end
+    register_avro_source(spark)
+    df = spark.sql(
+        "SELECT id, date_add(date'2024-01-01', CAST(id AS INT)) AS d "
+        "FROM range(400)"
+    )
+    out = str(tmp_path / "date_ds")
+    df.write.format("tgos_avro").option("path", out).mode("append").save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    assert dict(back.dtypes)["d"] == "date"
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )

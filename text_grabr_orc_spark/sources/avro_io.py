@@ -25,10 +25,13 @@ double / string / bytes fields, single-level arrays of those
 primitives (``array<float>`` is how vector shards actually ship —
 the embeddings-table roundtrip is pytest-pinned), string-keyed maps
 of those primitives (``map<string,int>`` — the events ``props``
-shape), and the two timestamp logical types on long —
-``timestamp-micros`` (instant, Spark TIMESTAMP) and
-``local-timestamp-micros`` (wall clock, Spark TIMESTAMP_NTZ — what
-the events fixture's parquet actually carries); each field optionally
+shape), and three logical types — ``timestamp-micros`` on long
+(instant, Spark TIMESTAMP), ``local-timestamp-micros`` on long (wall
+clock, Spark TIMESTAMP_NTZ — what the events fixture's parquet
+actually carries), and ``date`` on int (epoch days, Spark DATE);
+still unsupported: nested records, enums, fixed, decimals (a real
+user's nested dataset hits records first — documented, not silently
+misread: _parse_schema raises). Each field optionally
 nullable as a two-branch union with ``"null"`` in either declared
 order. Codecs:
 ``null`` and ``deflate`` (RFC 1951 raw deflate per block, via stdlib
@@ -108,6 +111,8 @@ def _ddl_of(token: str) -> str:
         return "timestamp"
     if token == "ltsmicros":
         return "timestamp_ntz"
+    if token == "date":
+        return "date"
     return _AVRO_TO_DDL[token]
 
 
@@ -120,6 +125,8 @@ def _token_of_spark(simple: str) -> str:
         return "tsmicros"
     if simple == "timestamp_ntz":
         return "ltsmicros"
+    if simple == "date":
+        return "date"
     return _SPARK_TO_AVRO[simple]
 
 
@@ -128,7 +135,7 @@ def _token_valid(token: str) -> bool:
         return token[6:] in _AVRO_TO_DDL
     if token.startswith("map:"):
         return token[4:] in _AVRO_TO_DDL
-    if token in ("tsmicros", "ltsmicros"):
+    if token in ("tsmicros", "ltsmicros", "date"):
         return True
     return token in _AVRO_TO_DDL
 
@@ -167,6 +174,7 @@ def read_long(mv: memoryview, pos: int) -> tuple[int, int]:
 
 _EPOCH_NAIVE = datetime.datetime(1970, 1, 1)
 _EPOCH_UTC = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+_EPOCH_DATE = datetime.date(1970, 1, 1)
 
 
 def _instant_to_micros(dt: datetime.datetime) -> int:
@@ -243,6 +251,8 @@ def _write_value(buf: bytearray, typ: str, v) -> None:
         write_long(buf, _instant_to_micros(v))
     elif typ == "ltsmicros":
         write_long(buf, _local_to_micros(v))
+    elif typ == "date":
+        write_long(buf, (v - _EPOCH_DATE).days)
     else:  # pragma: no cover - schema validated at build
         raise ValueError(f"unsupported avro type {typ}")
 
@@ -295,6 +305,9 @@ def _read_value(mv: memoryview, pos: int, typ: str):
     if typ == "ltsmicros":
         m, pos = read_long(mv, pos)
         return _micros_to_local(m), pos
+    if typ == "date":
+        n, pos = read_long(mv, pos)
+        return _EPOCH_DATE + datetime.timedelta(days=n), pos
     raise ValueError(f"unsupported avro type {typ}")
 
 
@@ -331,6 +344,8 @@ def _avro_type(token: str):
         return {"type": "long", "logicalType": "timestamp-micros"}
     if token == "ltsmicros":
         return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if token == "date":
+        return {"type": "int", "logicalType": "date"}
     return token
 
 
@@ -348,6 +363,8 @@ def _token_of_avro(t) -> str:
             and t.get("logicalType") == "local-timestamp-micros"
         ):
             return "ltsmicros"
+        if kind == "int" and t.get("logicalType") == "date":
+            return "date"
         raise ValueError(f"unsupported avro type {t}")
     return t
 
