@@ -716,3 +716,75 @@ def test_date_logical_type_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_nullable_map_values(spark, tmp_path):
+    """Spark maps always carry valueContainsNull — a None value must
+    round-trip as the ["null",T] value union, not crash (int) or
+    corrupt ('None' string) (round-11 review)."""
+    import json as _json
+
+    from text_grabr_orc_spark.sources.avro_io import (
+        _schema_json,
+        register_avro_source,
+    )
+
+    # pure-python: mapn token, including null-valued and empty maps
+    fields = [("id", "long", False), ("m", "mapn:string", False)]
+    rows = [
+        (1, {"a": "x", "b": None}),
+        (2, {}),
+        (3, {"c": None}),
+    ]
+    p = str(tmp_path / "mn.avro")
+    write_container(p, fields, iter(rows), block_rows=2)
+    assert container_fields(p) == fields
+    assert list(read_container(p)) == rows
+    sch = _json.loads(_schema_json("row", fields))
+    assert sch["fields"][1]["type"]["values"] == ["null", "string"]
+    # a PLAIN map refuses nulls loudly instead of writing 'None'
+    try:
+        write_container(
+            str(tmp_path / "bad.avro"),
+            [("id", "long", False), ("m", "map:string", False)],
+            iter([(1, {"a": None})]),
+        )
+        raise AssertionError("null in plain map not rejected")
+    except ValueError as e:
+        assert "non-nullable map" in str(e)
+    # Spark end-to-end: from_json with an explicit null value
+    register_avro_source(spark)
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "z": null}'), (2, '{"k": null}'), (3, "{}")],
+        "id bigint, props string",
+    ).select("id", __import__("pyspark.sql.functions", fromlist=["F"])
+             .from_json("props", "map<string,int>").alias("props"))
+    out = str(tmp_path / "mn_ds")
+    df.write.format("tgos_avro").option("path", out).mode("append").save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    got = {r["id"]: r["props"] for r in back.collect()}
+    assert got == {1: {"k": 7, "z": None}, 2: {"k": None}, 3: {}}
+
+
+def test_corrupt_block_header_fails_fast(tmp_path):
+    """A corrupt varint in a block header must raise at plan time,
+    never loop (a negative decoded size would stall pos forever —
+    round-11 review)."""
+    from text_grabr_orc_spark.sources.avro_io import (
+        enumerate_block_ranges,
+        read_header,
+    )
+
+    p = str(tmp_path / "c.avro")
+    write_container(p, _FIELDS, iter(_ROWS), block_rows=2)
+    with open(p, "rb") as fh:
+        read_header(fh)
+        first_block = fh.tell()
+    raw = bytearray(open(p, "rb").read())
+    raw[first_block] = 0x01  # zigzag 0x01 = -1 row count
+    open(p, "wb").write(bytes(raw))
+    try:
+        enumerate_block_ranges(p, 1)
+        raise AssertionError("corrupt header not detected")
+    except ValueError as e:
+        assert "corrupt block header" in str(e)

@@ -318,9 +318,14 @@ def test_compare_bench_normalizes_and_flags(tmp_path):
     calib), calibration-normalized ratios, >threshold movers flagged,
     added/removed queries listed."""
     import json
+    import os
     import sys
 
-    sys.path.insert(0, "tools")
+    tools_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
     import compare_bench
 
     # OLD: two runs in a jsonl history; q_fast best-of is run 2's 1.0

@@ -107,6 +107,8 @@ def _ddl_of(token: str) -> str:
         return f"array<{_AVRO_TO_DDL[token[6:]]}>"
     if token.startswith("map:"):
         return f"map<string,{_AVRO_TO_DDL[token[4:]]}>"
+    if token.startswith("mapn:"):
+        return f"map<string,{_AVRO_TO_DDL[token[5:]]}>"
     if token == "tsmicros":
         return "timestamp"
     if token == "ltsmicros":
@@ -120,7 +122,12 @@ def _token_of_spark(simple: str) -> str:
     if simple.startswith("array<") and simple.endswith(">"):
         return f"array:{_SPARK_TO_AVRO[simple[6:-1]]}"
     if simple.startswith("map<string,") and simple.endswith(">"):
-        return f"map:{_SPARK_TO_AVRO[simple[11:-1]]}"
+        # Spark's simpleString drops valueContainsNull (true for any
+        # from_json-built map), so Spark maps always ship with the
+        # nullable-value wire shape — encoding a None into a plain
+        # prim would crash for numerics and SILENTLY corrupt strings
+        # ('None') / booleans (False) (round-11 review)
+        return f"mapn:{_SPARK_TO_AVRO[simple[11:-1]]}"
     if simple == "timestamp":
         return "tsmicros"
     if simple == "timestamp_ntz":
@@ -135,6 +142,8 @@ def _token_valid(token: str) -> bool:
         return token[6:] in _AVRO_TO_DDL
     if token.startswith("map:"):
         return token[4:] in _AVRO_TO_DDL
+    if token.startswith("mapn:"):
+        return token[5:] in _AVRO_TO_DDL
     if token in ("tsmicros", "ltsmicros", "date"):
         return True
     return token in _AVRO_TO_DDL
@@ -244,8 +253,29 @@ def _write_value(buf: bytearray, typ: str, v) -> None:
             write_long(buf, len(items))
             vt = typ[4:]
             for k, x in items:
+                if x is None:
+                    # a plain-prim value slot cannot hold null: fail
+                    # loudly (str(None) would silently write 'None')
+                    raise ValueError(
+                        f"null value for key {k!r} in non-nullable map"
+                    )
                 _write_value(buf, "string", k)
                 _write_value(buf, vt, x)
+        write_long(buf, 0)
+    elif typ.startswith("mapn:"):
+        # nullable-value map: each value is the two-branch union
+        # ["null", T] (branch 1 = value) — what Spark maps ship as
+        items = sorted(v.items())
+        if items:
+            write_long(buf, len(items))
+            vt = typ[5:]
+            for k, x in items:
+                _write_value(buf, "string", k)
+                if x is None:
+                    write_long(buf, 0)
+                else:
+                    write_long(buf, 1)
+                    _write_value(buf, vt, x)
         write_long(buf, 0)
     elif typ == "tsmicros":
         write_long(buf, _instant_to_micros(v))
@@ -285,8 +315,9 @@ def _read_value(mv: memoryview, pos: int, typ: str):
             for _ in range(n):
                 x, pos = _read_value(mv, pos, it)
                 out.append(x)
-    if typ.startswith("map:"):
-        vt = typ[4:]
+    if typ.startswith("map:") or typ.startswith("mapn:"):
+        nullable = typ[3] == "n"
+        vt = typ[5:] if nullable else typ[4:]
         m = {}
         while True:
             n, pos = read_long(mv, pos)
@@ -297,6 +328,11 @@ def _read_value(mv: memoryview, pos: int, typ: str):
                 n = -n
             for _ in range(n):
                 k, pos = _read_value(mv, pos, "string")
+                if nullable:
+                    branch, pos = read_long(mv, pos)
+                    if branch == 0:
+                        m[k] = None
+                        continue
                 x, pos = _read_value(mv, pos, vt)
                 m[k] = x
     if typ == "tsmicros":
@@ -340,6 +376,8 @@ def _avro_type(token: str):
         return {"type": "array", "items": token[6:]}
     if token.startswith("map:"):
         return {"type": "map", "values": token[4:]}
+    if token.startswith("mapn:"):
+        return {"type": "map", "values": ["null", token[5:]]}
     if token == "tsmicros":
         return {"type": "long", "logicalType": "timestamp-micros"}
     if token == "ltsmicros":
@@ -356,6 +394,14 @@ def _token_of_avro(t) -> str:
             return f"array:{t['items']}"
         if kind == "map" and isinstance(t.get("values"), str):
             return f"map:{t['values']}"
+        if (
+            kind == "map"
+            and isinstance(t.get("values"), list)
+            and len(t["values"]) == 2
+            and t["values"][0] == "null"
+            and isinstance(t["values"][1], str)
+        ):
+            return f"mapn:{t['values'][1]}"
         if kind == "long" and t.get("logicalType") == "timestamp-micros":
             return "tsmicros"
         if (
@@ -637,12 +683,21 @@ def enumerate_block_ranges(
             fh.seek(pos)
             head = memoryview(fh.read(24))  # 2 varints, ≤10 bytes each
             try:
-                _, p1 = read_long(head, 0)
+                n_rows, p1 = read_long(head, 0)
                 size, p2 = read_long(head, p1)
             except IndexError:
                 raise ValueError(
                     f"truncated block header at {pos} in {path}"
                 ) from None
+            if n_rows < 0 or size < 0:
+                # a corrupt varint decoding negative would otherwise
+                # stall or rewind `pos` — an INFINITE planning loop on
+                # the driver, worse than the executor-side error the
+                # pre-split reader raised (round-11 review)
+                raise ValueError(
+                    f"corrupt block header at {pos} in {path}"
+                    f" (count={n_rows}, size={size})"
+                )
             pos += p2 + size + 16  # header + payload + sync marker
             if pos > file_end:
                 raise ValueError(f"block at {start} overruns {path}")
@@ -774,6 +829,18 @@ def make_avro_datasource():
             return _Commit(pid, n)
 
         def commit(self, messages):
+            import glob
+
+            # a speculated/retried attempt that lost the os.replace
+            # race leaves its attempt-unique tmp behind even on a
+            # successful job — sweep them before publishing
+            for f in glob.glob(
+                os.path.join(self.path, f".part-{self.job}-*.tmp")
+            ):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
             manifest = {
                 "job": self.job,
                 "n_files": len(messages),
@@ -790,13 +857,17 @@ def make_avro_datasource():
             # cleanup to exactly this job's output.
             import glob
 
-            for f in glob.glob(
-                os.path.join(self.path, f"part-{self.job}-*.avro")
+            for pat in (
+                f"part-{self.job}-*.avro",
+                # attempt-unique tmp files a crashed/zombie task left
+                # between open and os.replace
+                f".part-{self.job}-*.tmp",
             ):
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+                for f in glob.glob(os.path.join(self.path, pat)):
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
 
     class AvroSource(DataSource):
         @classmethod
@@ -837,8 +908,40 @@ def register_avro_source(spark: SparkSession) -> None:
 
 
 # ---------------------------------------------------------------------------
-# registered round-trip query
+# registered round-trip queries
 # ---------------------------------------------------------------------------
+
+
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Fixed per-(user, fixture-content) scratch path under the system
+    tmp dir; every same-prefix sibling for this user is CLEARED here —
+    i.e. at the start of each invocation. mkdtemp leaked one
+    corpus-sized directory per bench/check/sweep run (round-10
+    ADVICE); the returned DataFrame is lazy, so cleanup can only
+    happen on the NEXT run. The uid keeps users on a shared box out of
+    each other's paths; ``cache_tag`` (per-table mtime+size
+    fingerprint — the repo-wide rule for fixture-derived tmp paths)
+    keys the dir to the fixture GENERATION, so a concurrent reader of
+    a just-regenerated fixture never collides with this writer. Known
+    trade-off (accepted with the fixed path): two concurrent runs of
+    the same query at the same fixture would race — this repo's gates
+    (pytest, check.py, bench.py) run the registry serially per
+    process."""
+    import glob as _glob
+    import hashlib
+    import shutil
+    import tempfile
+
+    from text_grabr_orc_spark.tables import cache_tag
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    tag = hashlib.md5(
+        f"{uid}:{cache_tag(sf_dir)}".encode()
+    ).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"{prefix}_u{uid}")
+    for old in _glob.glob(f"{base}_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    return f"{base}_{tag}"
 
 
 @register(
@@ -871,19 +974,12 @@ def avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact pass proves the wire format round-trips every value —
     no row lost or duplicated across file splits, unions included.
 
-    Scratch layout: a FIXED per-sf_dir path under the system tmp dir,
-    cleared at the START of each invocation — mkdtemp here leaked one
-    corpus-sized directory per bench/check/sweep run (round-10
-    ADVICE); the returned DataFrame is lazy, so cleanup must happen on
-    the next run, not after this function returns.
+    Scratch layout: see _scratch_dir (fixed per-(user, sf_dir) path,
+    cleared at the START of each invocation — round-10 ADVICE).
 
     Cites reference main.go:41-97 only by contrast: the reference has
     a single JSON sink; Avro is part of this engine's wider
     source/sink inventory (SURVEY §2b)."""
-    import hashlib
-    import shutil
-    import tempfile
-
     register_avro_source(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -891,9 +987,7 @@ def avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("nullif(source, 'src7')").alias("source"),
         "n_chars",
     )
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"tgos_avro_rt_{tag}")
-    shutil.rmtree(out, ignore_errors=True)
+    out = _scratch_dir("tgos_avro_rt", sf_dir)
     docs.repartition(4, "doc_id").write.format("tgos_avro").option(
         "path", out
     ).mode("append").save()
@@ -944,10 +1038,6 @@ def avro_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_hourly_rollup). Round-9/10 verdicts flagged exactly this
     gap: 'any second real dataset hits timestamps first'
     (avro_io.py:24-30, now closed)."""
-    import hashlib
-    import shutil
-    import tempfile
-
     from text_grabr_orc_spark.sources.events import (
         EPOCH_US_EXPR,
         load_events,
@@ -961,9 +1051,7 @@ def avro_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.from_json("props", "map<string,int>").alias("props"),
     )
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"tgos_avro_ev_{tag}")
-    shutil.rmtree(out, ignore_errors=True)
+    out = _scratch_dir("tgos_avro_ev", sf_dir)
     ev.repartition(4, "event_id").write.format("tgos_avro").option(
         "path", out
     ).option("codec", "deflate").mode("append").save()

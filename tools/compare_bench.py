@@ -93,13 +93,23 @@ def collapse(runs: list[dict], kind: str) -> tuple[dict, float, int]:
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv if not a.startswith("--")]
     as_json = "--json" in argv
     kind = "queries_cold" if "--cold" in argv else "queries"
     threshold = 1.5
-    if "--threshold" in argv:
-        threshold = float(argv[argv.index("--threshold") + 1])
-        args = [a for a in args if a != str(threshold)]
+    # single left-to-right pass: --threshold consumes its OPERAND by
+    # position (matching by re-stringified float dropped the wrong or
+    # no token — round-11 review)
+    args: list[str] = []
+    it = iter(argv)
+    for a in it:
+        if a == "--threshold":
+            try:
+                threshold = float(next(it))
+            except (StopIteration, ValueError):
+                print("--threshold needs a number")
+                return 2
+        elif not a.startswith("--"):
+            args.append(a)
     if len(args) != 2:
         print(__doc__)
         return 2
@@ -109,9 +119,11 @@ def main(argv: list[str]) -> int:
 
     rows = []
     for q in sorted(set(old_q) & set(new_q)):
-        if old_q[q] <= 0:
-            continue
-        raw = new_q[q] / old_q[q]
+        # bench.py rounds to 3 decimals, so a sub-ms measurement can
+        # reach us as 0.0 — clamp to half the rounding quantum rather
+        # than silently dropping the query (a 0 -> seconds regression
+        # must still flag; round-11 review)
+        raw = new_q[q] / max(old_q[q], 0.0005)
         norm = raw / box if box else raw
         rows.append(
             {
