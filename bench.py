@@ -129,8 +129,10 @@ BENCH_QUERIES = [
     # Python codec or the per-file partition planning stays visible)
     "avro_roundtrip_stats",
     # round-11: the logical-type path (local-timestamp-micros + map
-    # columns) plus block-split reads of the written containers
+    # columns) plus block-split reads of the written containers, and
+    # the recursive nested-record (struct) path
     "avro_events_roundtrip",
+    "avro_nested_roundtrip",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation

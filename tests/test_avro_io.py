@@ -788,3 +788,143 @@ def test_corrupt_block_header_fails_fast(tmp_path):
         raise AssertionError("corrupt header not detected")
     except ValueError as e:
         assert "corrupt block header" in str(e)
+
+
+_NEST_FIELDS = [
+    ("id", "long", False),
+    (
+        "meta",
+        [
+            ("status", "string", False),
+            (
+                "detail",
+                [
+                    ("price", "double", True),
+                    ("placed", "ltsmicros", False),
+                ],
+                True,
+            ),
+        ],
+        True,
+    ),
+]
+
+
+def test_nested_record_roundtrip(tmp_path):
+    """Two-level nested records with nullable inner records, logical
+    types at the bottom, and union order preserved through nesting."""
+    import datetime as dt
+
+    rows = [
+        (1, ("O", (12.5, dt.datetime(2024, 1, 2, 3, 4, 5, 6)))),
+        (2, None),
+        (3, ("F", None)),
+        (4, ("P", (None, dt.datetime(1999, 12, 31, 23, 59, 59)))),
+    ]
+    p = str(tmp_path / "n.avro")
+    assert write_container(p, _NEST_FIELDS, iter(rows), block_rows=2) == 4
+    assert container_fields(p) == _NEST_FIELDS
+    assert list(read_container(p)) == rows
+
+
+def test_jvm_duplex_parity_nested_records(spark, tmp_path):
+    """The real Apache Avro library agrees with this codec on nested
+    record encodings — both directions, nullable inner record
+    included."""
+    import datetime as dt
+    import json as _json
+
+    from text_grabr_orc_spark.sources.avro_io import _schema_json
+
+    rows = [
+        (1, ("O", (12.5, dt.datetime(2024, 1, 2, 3, 4, 5, 6)))),
+        (2, ("F", None)),
+    ]
+    p = str(tmp_path / "py_nest.avro")
+    write_container(p, _NEST_FIELDS, iter(rows), codec="deflate")
+    jvm = spark._jvm
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while rdr.hasNext():
+        rec = _json.loads(str(rdr.next()))
+        m = rec["meta"]
+        d = m.get("detail")
+        got.append(
+            (rec["id"],
+             (m["status"],
+              None if d is None else (d["price"], d["placed"])))
+        )
+    rdr.close()
+    assert got == [
+        (1, ("O", (12.5, 1704164645000006))),
+        (2, ("F", None)),
+    ]
+    # JVM writes the same nested schema -> python reads it back
+    schema = jvm.org.apache.avro.Schema.Parser().parse(
+        _schema_json("row", _NEST_FIELDS)
+    )
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    p2 = str(tmp_path / "jvm_nest.avro")
+    dfw.create(schema, jvm.java.io.File(p2))
+    meta_s = schema.getField("meta").schema().getTypes().get(1)
+    det_s = meta_s.getField("detail").schema().getTypes().get(1)
+    det = jvm.org.apache.avro.generic.GenericData.Record(det_s)
+    det.put("price", jvm.java.lang.Double.valueOf(7.25))
+    det.put("placed", jvm.java.lang.Long.valueOf(123456789))
+    meta = jvm.org.apache.avro.generic.GenericData.Record(meta_s)
+    meta.put("status", "Z")
+    meta.put("detail", det)
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("id", jvm.java.lang.Long.valueOf(9))
+    rec.put("meta", meta)
+    dfw.append(rec)
+    dfw.close()
+    assert container_fields(p2) == _NEST_FIELDS
+    got2 = list(read_container(p2))
+    import datetime as dt2
+
+    assert got2 == [
+        (9, ("Z", (7.25,
+                   dt2.datetime(1970, 1, 1, 0, 2, 3, 456789))))
+    ]
+
+
+def test_spark_datasource_struct_roundtrip(spark, tmp_path):
+    """Struct columns end-to-end through the datasource: nested Row
+    values, a null inner struct, schema inference back to struct
+    DDL."""
+    from text_grabr_orc_spark.sources.avro_io import register_avro_source
+
+    register_avro_source(spark)
+    df = spark.sql(
+        """
+        SELECT id,
+               named_struct(
+                   'status', CASE WHEN id % 3 = 0 THEN 'A' ELSE 'B' END,
+                   'fin', CASE WHEN id % 5 = 0 THEN NULL
+                          ELSE named_struct('total',
+                                            CAST(id AS DOUBLE) * 1.5d,
+                                            'n', CAST(id AS INT)) END
+               ) AS detail
+        FROM range(300)
+        """
+    )
+    out = str(tmp_path / "nest_ds")
+    df.repartition(3).write.format("tgos_avro").option("path", out).mode(
+        "append"
+    ).save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    assert dict(back.dtypes)["detail"] == (
+        "struct<status:string,fin:struct<total:double,n:int>>"
+    )
+    canon = lambda rows: sorted(
+        (r["id"], r["detail"]["status"],
+         None if r["detail"]["fin"] is None
+         else (r["detail"]["fin"]["total"], r["detail"]["fin"]["n"]))
+        for r in rows
+    )
+    assert canon(back.collect()) == canon(df.collect())

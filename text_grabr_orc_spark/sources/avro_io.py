@@ -25,13 +25,14 @@ double / string / bytes fields, single-level arrays of those
 primitives (``array<float>`` is how vector shards actually ship —
 the embeddings-table roundtrip is pytest-pinned), string-keyed maps
 of those primitives (``map<string,int>`` — the events ``props``
-shape), and three logical types — ``timestamp-micros`` on long
-(instant, Spark TIMESTAMP), ``local-timestamp-micros`` on long (wall
-clock, Spark TIMESTAMP_NTZ — what the events fixture's parquet
-actually carries), and ``date`` on int (epoch days, Spark DATE);
-still unsupported: nested records, enums, fixed, decimals (a real
-user's nested dataset hits records first — documented, not silently
-misread: _parse_schema raises). Each field optionally
+shape), NESTED RECORDS to any depth (Spark struct columns — a field's
+type token may itself be a Fields list), and three logical types —
+``timestamp-micros`` on long (instant, Spark TIMESTAMP),
+``local-timestamp-micros`` on long (wall clock, Spark TIMESTAMP_NTZ —
+what the events fixture's parquet actually carries), and ``date`` on
+int (epoch days, Spark DATE); still unsupported: enums, fixed,
+decimals, and composites nested inside arrays/maps (documented, not
+silently misread: _parse_schema raises). Each field optionally
 nullable as a two-branch union with ``"null"`` in either declared
 order. Codecs:
 ``null`` and ``deflate`` (RFC 1951 raw deflate per block, via stdlib
@@ -102,7 +103,10 @@ _SPARK_TO_AVRO = {
 }
 
 
-def _ddl_of(token: str) -> str:
+def _ddl_of(token) -> str:
+    if isinstance(token, (list, tuple)):  # nested record -> struct
+        inner = ",".join(f"{n}:{_ddl_of(t)}" for n, t, _ in token)
+        return f"struct<{inner}>"
     if token.startswith("array:"):
         return f"array<{_AVRO_TO_DDL[token[6:]]}>"
     if token.startswith("map:"):
@@ -118,16 +122,39 @@ def _ddl_of(token: str) -> str:
     return _AVRO_TO_DDL[token]
 
 
+def _token_of_spark_type(dt):
+    """Token for a pyspark DataType object — the writer-side mapping.
+    Built from the TYPE TREE, not simpleString: struct DDL strings
+    don't parse cleanly past one nesting level, and MapType's
+    valueContainsNull / StructField nullability only exist on the
+    objects."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return [
+            (f.name, _token_of_spark_type(f.dataType), bool(f.nullable))
+            for f in dt.fields
+        ]
+    if isinstance(dt, T.ArrayType):
+        return f"array:{_SPARK_TO_AVRO[dt.elementType.simpleString()]}"
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise ValueError(f"unsupported avro map key type {dt.keyType}")
+        prim = _SPARK_TO_AVRO[dt.valueType.simpleString()]
+        return (
+            f"mapn:{prim}" if dt.valueContainsNull else f"map:{prim}"
+        )
+    return _token_of_spark(dt.simpleString())
+
+
 def _token_of_spark(simple: str) -> str:
-    if simple.startswith("array<") and simple.endswith(">"):
-        return f"array:{_SPARK_TO_AVRO[simple[6:-1]]}"
-    if simple.startswith("map<string,") and simple.endswith(">"):
-        # Spark's simpleString drops valueContainsNull (true for any
-        # from_json-built map), so Spark maps always ship with the
-        # nullable-value wire shape — encoding a None into a plain
-        # prim would crash for numerics and SILENTLY corrupt strings
-        # ('None') / booleans (False) (round-11 review)
-        return f"mapn:{_SPARK_TO_AVRO[simple[11:-1]]}"
+    """Scalar simpleString -> token. Composite types (struct / array /
+    map) are resolved from the DataType OBJECTS in
+    _token_of_spark_type — simpleString drops valueContainsNull
+    (true for any from_json-built map: encoding a None into a plain
+    prim would crash for numerics and SILENTLY corrupt strings to
+    'None' — round-11 review) and struct DDL doesn't parse cleanly
+    past one nesting level."""
     if simple == "timestamp":
         return "tsmicros"
     if simple == "timestamp_ntz":
@@ -137,7 +164,14 @@ def _token_of_spark(simple: str) -> str:
     return _SPARK_TO_AVRO[simple]
 
 
-def _token_valid(token: str) -> bool:
+def _token_valid(token) -> bool:
+    if isinstance(token, (list, tuple)):  # nested record
+        return all(
+            isinstance(f, (list, tuple))
+            and len(f) == 3
+            and _token_valid(f[1])
+            for f in token
+        )
     if token.startswith("array:"):
         return token[6:] in _AVRO_TO_DDL
     if token.startswith("map:"):
@@ -218,7 +252,27 @@ def _micros_to_local(m: int) -> datetime.datetime:
     return _EPOCH_NAIVE + datetime.timedelta(microseconds=m)
 
 
-def _write_value(buf: bytearray, typ: str, v) -> None:
+def _write_record(buf: bytearray, fields, row) -> None:
+    """Encode one record's fields in declaration order (the row loop
+    shared by the container writer and nested-record values)."""
+    for (fname, typ, nul), v in zip(fields, row):
+        if nul:
+            nb = _null_branch(nul)
+            if v is None:
+                write_long(buf, nb)
+                continue
+            write_long(buf, 1 - nb)
+        elif v is None:
+            raise ValueError(f"null in non-nullable field {fname}")
+        _write_value(buf, typ, v)
+
+
+def _write_value(buf: bytearray, typ, v) -> None:
+    if isinstance(typ, (list, tuple)):  # nested record
+        if isinstance(v, dict):
+            v = tuple(v[n] for n, _, _ in typ)
+        _write_record(buf, typ, v)
+        return
     if typ == "long" or typ == "int":
         write_long(buf, int(v))
     elif typ == "double":
@@ -287,7 +341,18 @@ def _write_value(buf: bytearray, typ: str, v) -> None:
         raise ValueError(f"unsupported avro type {typ}")
 
 
-def _read_value(mv: memoryview, pos: int, typ: str):
+def _read_value(mv: memoryview, pos: int, typ):
+    if isinstance(typ, (list, tuple)):  # nested record -> tuple
+        out = []
+        for _, t2, nul in typ:
+            if nul:
+                branch, pos = read_long(mv, pos)
+                if branch == _null_branch(nul):
+                    out.append(None)
+                    continue
+            x, pos = _read_value(mv, pos, t2)
+            out.append(x)
+        return tuple(out), pos
     if typ == "long" or typ == "int":
         return read_long(mv, pos)
     if typ == "double":
@@ -371,7 +436,29 @@ def _null_branch(nul) -> int:
     return 1 if nul == NULL_SECOND else 0
 
 
-def _avro_type(token: str):
+def _field_json(n, t, nul, path: str):
+    """One field's schema-JSON type, union-wrapped per its declared
+    null branch order."""
+    at = _avro_type(t, f"{path}_{n}")
+    if nul == NULL_SECOND:
+        return [at, "null"]
+    if nul:
+        return ["null", at]
+    return at
+
+
+def _avro_type(token, path: str = "rec"):
+    if isinstance(token, (list, tuple)):  # nested record
+        # named types must be unique within a schema: derive the name
+        # from the field PATH so sibling/nested records never collide
+        return {
+            "type": "record",
+            "name": f"{path}_rec",
+            "fields": [
+                {"name": n, "type": _field_json(n, t, nul, path)}
+                for n, t, nul in token
+            ],
+        }
     if token.startswith("array:"):
         return {"type": "array", "items": token[6:]}
     if token.startswith("map:"):
@@ -387,9 +474,11 @@ def _avro_type(token: str):
     return token
 
 
-def _token_of_avro(t) -> str:
+def _token_of_avro(t):
     if isinstance(t, dict):
         kind = t.get("type")
+        if kind == "record":
+            return _parse_fields(t["fields"])
         if kind == "array" and isinstance(t.get("items"), str):
             return f"array:{t['items']}"
         if kind == "map" and isinstance(t.get("values"), str):
@@ -421,30 +510,18 @@ def _schema_json(name: str, fields: Fields) -> str:
             "type": "record",
             "name": name,
             "fields": [
-                {
-                    "name": n,
-                    "type": (
-                        (
-                            [_avro_type(t), "null"]
-                            if nul == NULL_SECOND
-                            else ["null", _avro_type(t)]
-                        )
-                        if nul
-                        else _avro_type(t)
-                    ),
-                }
+                {"name": n, "type": _field_json(n, t, nul, name)}
                 for n, t, nul in fields
             ],
         }
     )
 
 
-def _parse_schema(schema_json: str) -> Fields:
-    sch = json.loads(schema_json)
-    if sch.get("type") != "record":
-        raise ValueError("only record schemas supported")
+def _parse_fields(field_list) -> Fields:
+    """Record-field schema JSON -> Fields (recursive: nested records
+    become nested Fields lists)."""
     fields: Fields = []
-    for f in sch["fields"]:
+    for f in field_list:
         t = f["type"]
         if isinstance(t, list):
             if len(t) != 2 or "null" not in t:
@@ -464,6 +541,13 @@ def _parse_schema(schema_json: str) -> Fields:
         if not _token_valid(t):
             raise ValueError(f"unsupported avro type {t}")
     return fields
+
+
+def _parse_schema(schema_json: str) -> Fields:
+    sch = json.loads(schema_json)
+    if sch.get("type") != "record":
+        raise ValueError("only record schemas supported")
+    return _parse_fields(sch["fields"])
 
 
 def write_container(
@@ -534,16 +618,7 @@ def write_container(
             block, n_block = bytearray(), 0
 
         for row in rows:
-            for (fname, typ, nul), v in zip(fields, row):
-                if nul:
-                    nb = _null_branch(nul)
-                    if v is None:
-                        write_long(block, nb)
-                        continue
-                    write_long(block, 1 - nb)
-                elif v is None:
-                    raise ValueError(f"null in non-nullable field {fname}")
-                _write_value(block, typ, v)
+            _write_record(block, fields, row)
             n_block += 1
             if n_block >= block_rows:
                 flush()
@@ -779,14 +854,9 @@ def make_avro_datasource():
             # the read-side split granularity (blocks are the atomic
             # split unit)
             self.block_rows = int(options.get("block_rows", 4096))
-            self.fields = [
-                (
-                    f.name,
-                    _token_of_spark(f.dataType.simpleString()),
-                    bool(f.nullable),
-                )
-                for f in schema.fields
-            ]
+            # built from the TYPE TREE: a StructType maps straight to
+            # this codec's recursive Fields shape
+            self.fields = _token_of_spark_type(schema)
             # one token per WRITE JOB (constructed on the driver,
             # pickled to every task): file names are unique across
             # jobs, so append-to-nonempty never clobbers or mixes with
@@ -1072,5 +1142,80 @@ def avro_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sum_k"),
             F.min("ts_us").cast("bigint").alias("first_us"),
+        )
+    )
+
+
+@register(
+    "avro_nested_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS sum_total,
+           CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS first_us,
+           CAST(sum(CASE WHEN o_totalprice > 100000
+                         THEN o_orderkey END) AS BIGINT) AS big_key_sum
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def avro_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders through the codec's NESTED-RECORD path: each row ships
+    as ``(o_orderkey, detail struct<status, fin struct<total,
+    placed>>)`` — a two-level Avro record with a logical type
+    (local-timestamp-micros) and a nullable inner record at the
+    bottom. The inner ``fin`` struct is planted NULL for cheap orders
+    (< 1000), so the record-level union branch encoding is exercised
+    with real data, and the read-back aggregate reconstructs the
+    per-status totals the oracle computes straight from parquet.
+
+    ``first_us`` pins exact epoch micros THROUGH two record nesting
+    levels; ``big_key_sum`` pins key association (a field-order slip
+    anywhere in the recursive encode/decode would shuffle values
+    across rows or fields and break the hash)."""
+    from text_grabr_orc_spark.tables import load_table
+
+    register_avro_source(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.when(
+                F.col("o_totalprice") >= 1000,
+                F.struct(
+                    F.col("o_totalprice").alias("total"),
+                    F.col("o_orderdate").alias("placed"),
+                ),
+            ).alias("fin"),
+        ).alias("detail"),
+        # the flat copies ride along ONLY for rows where fin is null,
+        # so the aggregate below never needs a second source scan
+        F.col("o_totalprice").alias("flat_total"),
+        F.col("o_orderdate").alias("flat_placed"),
+    )
+    out = _scratch_dir("tgos_avro_nest", sf_dir)
+    orders.repartition(4, "o_orderkey").write.format("tgos_avro").option(
+        "path", out
+    ).option("codec", "deflate").mode("append").save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    total = F.coalesce(F.col("detail.fin.total"), F.col("flat_total"))
+    placed_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+        " coalesce(detail.fin.placed, flat_placed))"
+    )
+    return (
+        back.groupBy(F.col("detail.status").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(total.cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_total"),
+            F.min(placed_us).cast("bigint").alias("first_us"),
+            F.sum(
+                F.when(total > 100000, F.col("o_orderkey"))
+            )
+            .cast("bigint")
+            .alias("big_key_sum"),
         )
     )
