@@ -928,3 +928,93 @@ def test_spark_datasource_struct_roundtrip(spark, tmp_path):
         for r in rows
     )
     assert canon(back.collect()) == canon(df.collect())
+
+
+def test_decimal_logical_type_roundtrip(spark, tmp_path):
+    """decimal on bytes (unscaled two's-complement big-endian): exact
+    at full DECIMAL(38,18) width, negative, zero, and through the
+    Spark datasource; JVM duplex parity via Avro's own
+    DecimalConversion."""
+    from decimal import Decimal
+
+    fields = [("id", "long", False), ("v", "dec:38:18", True)]
+    rows = [
+        (1, Decimal("12345.670000000000000001")),
+        (2, Decimal("-0.000000000000000001")),
+        (3, Decimal("0E-18")),
+        (4, None),
+        (5, Decimal("99999999999999999999.999999999999999999")),
+    ]
+    p = str(tmp_path / "dec.avro")
+    write_container(p, fields, iter(rows), block_rows=2)
+    assert container_fields(p) == fields
+    assert list(read_container(p)) == rows
+    # a value with more fractional digits than the scale fails loudly
+    try:
+        write_container(
+            str(tmp_path / "bad.avro"),
+            [("v", "dec:10:2", False)],
+            iter([(Decimal("1.005"),)]),
+        )
+        raise AssertionError("scale overflow not rejected")
+    except ValueError as e:
+        assert "scale" in str(e)
+    # JVM parity, both directions, via the reference DecimalConversion
+    import json as _json
+
+    from text_grabr_orc_spark.sources.avro_io import _schema_json
+
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(
+        _schema_json("row", [("v", "dec:12:2", False)])
+    )
+    vschema = schema.getField("v").schema()
+    conv = jvm.org.apache.avro.Conversions.DecimalConversion()
+    ltype = jvm.org.apache.avro.LogicalTypes.fromSchema(vschema)
+    p2 = str(tmp_path / "jvm_dec.avro")
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    dfw.create(schema, jvm.java.io.File(p2))
+    for s in ("12345.67", "-0.01", "0.00"):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put(
+            "v",
+            conv.toBytes(jvm.java.math.BigDecimal(s), vschema, ltype),
+        )
+        dfw.append(rec)
+    dfw.close()
+    assert list(read_container(p2)) == [
+        (Decimal("12345.67"),), (Decimal("-0.01"),), (Decimal("0.00"),)
+    ]
+    # python-written bytes read back through the JVM conversion
+    p3 = str(tmp_path / "py_dec.avro")
+    write_container(
+        p3,
+        [("v", "dec:12:2", False)],
+        iter([(Decimal("999.99"),), (Decimal("-123.45"),)]),
+    )
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p3), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while rdr.hasNext():
+        buf = rdr.next().get("v")
+        got.append(str(conv.fromBytes(buf, vschema, ltype)))
+    rdr.close()
+    assert got == ["999.99", "-123.45"]
+    # Spark datasource end-to-end
+    from text_grabr_orc_spark.sources.avro_io import register_avro_source
+
+    register_avro_source(spark)
+    df = spark.sql(
+        "SELECT id, CAST(CAST(id AS DOUBLE) * 1.01 AS DECIMAL(14,4)) AS v"
+        " FROM range(500)"
+    )
+    out = str(tmp_path / "dec_ds")
+    df.write.format("tgos_avro").option("path", out).mode("append").save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    assert dict(back.dtypes)["v"] == "decimal(14,4)"
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )

@@ -30,9 +30,11 @@ type token may itself be a Fields list), and three logical types —
 ``timestamp-micros`` on long (instant, Spark TIMESTAMP),
 ``local-timestamp-micros`` on long (wall clock, Spark TIMESTAMP_NTZ —
 what the events fixture's parquet actually carries), and ``date`` on
-int (epoch days, Spark DATE); still unsupported: enums, fixed,
-decimals, and composites nested inside arrays/maps (documented, not
-silently misread: _parse_schema raises). Each field optionally
+int (epoch days, Spark DATE), and ``decimal`` on bytes (unscaled
+two's-complement big-endian int per the spec, Spark DECIMAL(p,s) —
+exact arithmetic survives the wire); still unsupported: enums, fixed,
+and composites nested inside arrays/maps (documented, not silently
+misread: _parse_schema raises). Each field optionally
 nullable as a two-branch union with ``"null"`` in either declared
 order. Codecs:
 ``null`` and ``deflate`` (RFC 1951 raw deflate per block, via stdlib
@@ -119,6 +121,9 @@ def _ddl_of(token) -> str:
         return "timestamp_ntz"
     if token == "date":
         return "date"
+    if token.startswith("dec:"):
+        p, s = token[4:].split(":")
+        return f"decimal({p},{s})"
     return _AVRO_TO_DDL[token]
 
 
@@ -161,6 +166,9 @@ def _token_of_spark(simple: str) -> str:
         return "ltsmicros"
     if simple == "date":
         return "date"
+    if simple.startswith("decimal(") and simple.endswith(")"):
+        p, s = simple[8:-1].split(",")
+        return f"dec:{int(p)}:{int(s)}"
     return _SPARK_TO_AVRO[simple]
 
 
@@ -180,6 +188,13 @@ def _token_valid(token) -> bool:
         return token[5:] in _AVRO_TO_DDL
     if token in ("tsmicros", "ltsmicros", "date"):
         return True
+    if token.startswith("dec:"):
+        parts = token[4:].split(":")
+        return (
+            len(parts) == 2
+            and all(p.isdigit() for p in parts)
+            and int(parts[0]) >= int(parts[1])
+        )
     return token in _AVRO_TO_DDL
 
 
@@ -337,6 +352,25 @@ def _write_value(buf: bytearray, typ, v) -> None:
         write_long(buf, _local_to_micros(v))
     elif typ == "date":
         write_long(buf, (v - _EPOCH_DATE).days)
+    elif typ.startswith("dec:"):
+        # spec: unscaled two's-complement big-endian int, as bytes.
+        # scaleb is EXACT for Decimal (base-10 exponent shift); a
+        # value with more fractional digits than the declared scale is
+        # a schema violation — fail, don't round silently
+        scale = int(typ.rsplit(":", 1)[1])
+        import decimal as _d
+
+        # explicit wide context: the default 28-digit context would
+        # silently ROUND a decimal(38,*) value during the shift
+        unscaled_d = v.scaleb(scale, _d.Context(prec=99))
+        unscaled = int(unscaled_d)
+        if unscaled != unscaled_d:
+            raise ValueError(f"decimal {v} does not fit scale {scale}")
+        raw = unscaled.to_bytes(
+            max(1, (unscaled.bit_length() + 8) // 8), "big", signed=True
+        )
+        write_long(buf, len(raw))
+        buf += raw
     else:  # pragma: no cover - schema validated at build
         raise ValueError(f"unsupported avro type {typ}")
 
@@ -409,6 +443,16 @@ def _read_value(mv: memoryview, pos: int, typ):
     if typ == "date":
         n, pos = read_long(mv, pos)
         return _EPOCH_DATE + datetime.timedelta(days=n), pos
+    if typ.startswith("dec:"):
+        import decimal as _d
+
+        scale = int(typ.rsplit(":", 1)[1])
+        n, pos = read_long(mv, pos)
+        unscaled = int.from_bytes(mv[pos : pos + n], "big", signed=True)
+        return (
+            _d.Decimal(unscaled).scaleb(-scale, _d.Context(prec=99)),
+            pos + n,
+        )
     raise ValueError(f"unsupported avro type {typ}")
 
 
@@ -471,6 +515,14 @@ def _avro_type(token, path: str = "rec"):
         return {"type": "long", "logicalType": "local-timestamp-micros"}
     if token == "date":
         return {"type": "int", "logicalType": "date"}
+    if token.startswith("dec:"):
+        p, s = token[4:].split(":")
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": int(p),
+            "scale": int(s),
+        }
     return token
 
 
@@ -500,6 +552,8 @@ def _token_of_avro(t):
             return "ltsmicros"
         if kind == "int" and t.get("logicalType") == "date":
             return "date"
+        if kind == "bytes" and t.get("logicalType") == "decimal":
+            return f"dec:{int(t['precision'])}:{int(t.get('scale', 0))}"
         raise ValueError(f"unsupported avro type {t}")
     return t
 
@@ -1218,4 +1272,45 @@ def avro_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("big_key_sum"),
         )
+    )
+
+
+@register(
+    "avro_decimal_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                AS VARCHAR) AS sum_price,
+           CAST(max(CAST(o_totalprice AS DECIMAL(12,2)))
+                AS VARCHAR) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def avro_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders' prices as DECIMAL(12,2) through the codec's decimal
+    logical type (unscaled two's-complement big-endian bytes per the
+    spec). The aggregate SUM runs in exact decimal arithmetic on both
+    engines and is rendered as a STRING — a single cent lost (or a
+    float detour introduced) anywhere in the scaleb/two's-complement
+    path breaks the hash, which is exactly the property a billing or
+    TPC-H-shaped dataset needs from an interchange format."""
+    from text_grabr_orc_spark.tables import load_table
+
+    register_avro_source(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    out = _scratch_dir("tgos_avro_dec", sf_dir)
+    orders.repartition(4, "o_orderkey").write.format("tgos_avro").option(
+        "path", out
+    ).option("codec", "deflate").mode("append").save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("string").alias("sum_price"),
+        F.max("price").cast("string").alias("max_price"),
     )
