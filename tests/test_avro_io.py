@@ -1018,3 +1018,94 @@ def test_decimal_logical_type_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_generalized_arrays_roundtrip(spark, tmp_path):
+    """Arrays past the legacy non-null-prim subset: record items,
+    NULL elements (Spark's containsNull), logical types inside —
+    written as ["null", item] unions per the spec; JVM parity and the
+    datasource end-to-end."""
+    import datetime as dt
+    import json as _json
+
+    item = [("s", "ltsmicros", False), ("v", "double", True)]
+    fields = [("id", "long", False), ("evs", ("arr", item, True), True)]
+    rows = [
+        (1, [(dt.datetime(2024, 1, 1), 1.5), None,
+             (dt.datetime(2024, 1, 2), None)]),
+        (2, []),
+        (3, None),
+        (4, [(dt.datetime(1999, 12, 31, 23, 59, 59, 999999), -2.0)]),
+    ]
+    p = str(tmp_path / "as.avro")
+    assert write_container(p, fields, iter(rows), block_rows=2,
+                           codec="deflate") == 4
+    assert container_fields(p) == fields
+    assert list(read_container(p)) == rows
+    # nullable primitive array (what Spark's default containsNull is)
+    f2 = [("id", "long", False), ("xs", ("arr", "long", True), False)]
+    r2 = [(1, [1, None, 3]), (2, [])]
+    p2 = str(tmp_path / "np.avro")
+    write_container(p2, f2, iter(r2))
+    assert list(read_container(p2)) == r2
+    # a null element in a non-null array fails loudly
+    try:
+        write_container(
+            str(tmp_path / "bad.avro"),
+            [("xs", ("arr", "long", False), False)],
+            iter([([1, None],)]),
+        )
+        raise AssertionError("null element not rejected")
+    except ValueError as e:
+        assert "non-null array" in str(e)
+    # JVM reads the array-of-records file this codec wrote
+    jvm = spark._jvm
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while rdr.hasNext():
+        rec = _json.loads(str(rdr.next()))
+        evs = rec["evs"]
+        got.append(
+            (rec["id"],
+             None if evs is None else [
+                 None if e is None else (e["s"], e["v"]) for e in evs
+             ])
+        )
+    rdr.close()
+    us = lambda d: (d - __import__("datetime").datetime(1970, 1, 1))
+    to_us = lambda d: (us(d).days * 86400 + us(d).seconds) * 10**6 + us(d).microseconds
+    want = [
+        (i, None if evs is None else [
+            None if e is None else (to_us(e[0]), e[1]) for e in evs
+        ])
+        for i, evs in rows
+    ]
+    assert got == want
+    # Spark datasource end-to-end: array<struct> with null elements
+    from text_grabr_orc_spark.sources.avro_io import register_avro_source
+
+    register_avro_source(spark)
+    df = spark.sql(
+        """
+        SELECT id, array(
+                 named_struct('a', id, 'b', concat('x', id)),
+                 CASE WHEN id % 3 = 0 THEN NULL
+                      ELSE named_struct('a', id * 2, 'b', 'y') END
+               ) AS evs
+        FROM range(200)
+        """
+    )
+    out = str(tmp_path / "as_ds")
+    df.repartition(2).write.format("tgos_avro").option("path", out).mode(
+        "append"
+    ).save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    assert dict(back.dtypes)["evs"] == "array<struct<a:bigint,b:string>>"
+    canon = lambda rows_: sorted(
+        (r["id"],
+         tuple(None if e is None else (e["a"], e["b"]) for e in r["evs"]))
+        for r in rows_
+    )
+    assert canon(back.collect()) == canon(df.collect())

@@ -32,8 +32,11 @@ type token may itself be a Fields list), and three logical types —
 what the events fixture's parquet actually carries), and ``date`` on
 int (epoch days, Spark DATE), and ``decimal`` on bytes (unscaled
 two's-complement big-endian int per the spec, Spark DECIMAL(p,s) —
-exact arithmetic survives the wire); still unsupported: enums, fixed,
-and composites nested inside arrays/maps (documented, not silently
+exact arithmetic survives the wire). Arrays generalize past the
+compact non-null-prim form: any supported item type including nested
+records and logical types, with NULL elements (Spark's
+``containsNull``) as ``["null", item]`` unions. Still unsupported:
+enums, fixed, and composite MAP values (documented, not silently
 misread: _parse_schema raises). Each field optionally
 nullable as a two-branch union with ``"null"`` in either declared
 order. Codecs:
@@ -106,7 +109,9 @@ _SPARK_TO_AVRO = {
 
 
 def _ddl_of(token) -> str:
-    if isinstance(token, (list, tuple)):  # nested record -> struct
+    if _is_arr(token):
+        return f"array<{_ddl_of(token[1])}>"
+    if _is_record(token):  # nested record -> struct
         inner = ",".join(f"{n}:{_ddl_of(t)}" for n, t, _ in token)
         return f"struct<{inner}>"
     if token.startswith("array:"):
@@ -141,7 +146,12 @@ def _token_of_spark_type(dt):
             for f in dt.fields
         ]
     if isinstance(dt, T.ArrayType):
-        return f"array:{_SPARK_TO_AVRO[dt.elementType.simpleString()]}"
+        prim = _SPARK_TO_AVRO.get(dt.elementType.simpleString())
+        if prim is not None and not dt.containsNull:
+            return f"array:{prim}"  # legacy compact form
+        # struct / logical-type / nullable elements: generalized form
+        return ("arr", _token_of_spark_type(dt.elementType),
+                bool(dt.containsNull))
     if isinstance(dt, T.MapType):
         if not isinstance(dt.keyType, T.StringType):
             raise ValueError(f"unsupported avro map key type {dt.keyType}")
@@ -173,7 +183,9 @@ def _token_of_spark(simple: str) -> str:
 
 
 def _token_valid(token) -> bool:
-    if isinstance(token, (list, tuple)):  # nested record
+    if _is_arr(token):
+        return _token_valid(token[1])
+    if _is_record(token):  # nested record
         return all(
             isinstance(f, (list, tuple))
             and len(f) == 3
@@ -281,7 +293,30 @@ def _micros_to_local(m: int) -> datetime.datetime:
 
 def _compile_reader(typ):
     """``fn(mv, pos) -> (value, new_pos)`` specialized for ``typ``."""
-    if isinstance(typ, (list, tuple)):  # nested record
+    if _is_arr(typ):  # generalized array
+        item = _compile_reader(typ[1])
+        nul = typ[2]
+
+        def rd_garr(mv, pos, item=item, nul=nul):
+            out = []
+            while True:
+                n, pos = read_long(mv, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    _, pos = read_long(mv, pos)
+                    n = -n
+                for _ in range(n):
+                    if nul:
+                        branch, pos = read_long(mv, pos)
+                        if branch == 0:
+                            out.append(None)
+                            continue
+                    x, pos = item(mv, pos)
+                    out.append(x)
+
+        return rd_garr
+    if _is_record(typ):  # nested record
         subs = [
             (_compile_reader(t), _null_branch(nul) if nul else None)
             for _, t, nul in typ
@@ -425,7 +460,29 @@ def _compile_record_writer(fields):
 
 def _compile_writer(typ):
     """``fn(buf, v) -> None`` specialized for ``typ``."""
-    if isinstance(typ, (list, tuple)):  # nested record
+    if _is_arr(typ):  # generalized array
+        item = _compile_writer(typ[1])
+        nul = typ[2]
+
+        def wr_garr(buf, v, item=item, nul=nul):
+            items = list(v)
+            if items:
+                write_long(buf, len(items))
+                for x in items:
+                    if nul:
+                        if x is None:
+                            write_long(buf, 0)
+                            continue
+                        write_long(buf, 1)
+                    elif x is None:
+                        raise ValueError(
+                            "null element in non-null array"
+                        )
+                    item(buf, x)
+            write_long(buf, 0)
+
+        return wr_garr
+    if _is_record(typ):  # nested record
         wr = _compile_record_writer(typ)
         names = [n for n, _, _ in typ]
 
@@ -537,7 +594,23 @@ def _write_record(buf: bytearray, fields, row) -> None:
 
 
 def _write_value(buf: bytearray, typ, v) -> None:
-    if isinstance(typ, (list, tuple)):  # nested record
+    if _is_arr(typ):  # generalized array (any item type, nullables)
+        _, item, nul = typ
+        items = list(v)
+        if items:
+            write_long(buf, len(items))
+            for x in items:
+                if nul:
+                    if x is None:
+                        write_long(buf, 0)
+                        continue
+                    write_long(buf, 1)
+                elif x is None:
+                    raise ValueError("null element in non-null array")
+                _write_value(buf, item, x)
+        write_long(buf, 0)
+        return
+    if _is_record(typ):  # nested record
         if isinstance(v, dict):
             v = tuple(v[n] for n, _, _ in typ)
         _write_record(buf, typ, v)
@@ -630,7 +703,25 @@ def _write_value(buf: bytearray, typ, v) -> None:
 
 
 def _read_value(mv: memoryview, pos: int, typ):
-    if isinstance(typ, (list, tuple)):  # nested record -> tuple
+    if _is_arr(typ):  # generalized array
+        _, item, nul = typ
+        out = []
+        while True:
+            n, pos = read_long(mv, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:
+                _, pos = read_long(mv, pos)
+                n = -n
+            for _ in range(n):
+                if nul:
+                    branch, pos = read_long(mv, pos)
+                    if branch == 0:
+                        out.append(None)
+                        continue
+                x, pos = _read_value(mv, pos, item)
+                out.append(x)
+    if _is_record(typ):  # nested record -> tuple
         out = []
         for _, t2, nul in typ:
             if nul:
@@ -734,6 +825,32 @@ def _null_branch(nul) -> int:
     return 1 if nul == NULL_SECOND else 0
 
 
+def _is_record(token) -> bool:
+    """Nested-record token: a (possibly empty) list of field triples.
+    Records are built as LISTS by every producer in this module; a
+    tuple of triples is also accepted for hand-written schemas. The
+    generalized array token ('arr', item, nullable) has a STRING
+    first element, so the shapes never collide."""
+    if isinstance(token, list):
+        return True
+    return (
+        isinstance(token, tuple)
+        and bool(token)
+        and isinstance(token[0], (list, tuple))
+    )
+
+
+def _is_arr(token) -> bool:
+    """Generalized array token ('arr', item_token, elems_nullable) —
+    any supported item type (records, logical types) and optional
+    NULL elements (Spark's ArrayType.containsNull). The legacy string
+    token 'array:<prim>' still covers non-null primitive arrays (and
+    older files)."""
+    return (
+        isinstance(token, tuple) and len(token) == 3 and token[0] == "arr"
+    )
+
+
 def _field_json(n, t, nul, path: str):
     """One field's schema-JSON type, union-wrapped per its declared
     null branch order."""
@@ -746,7 +863,11 @@ def _field_json(n, t, nul, path: str):
 
 
 def _avro_type(token, path: str = "rec"):
-    if isinstance(token, (list, tuple)):  # nested record
+    if _is_arr(token):
+        _, item, nul = token
+        it = _avro_type(item, f"{path}_item")
+        return {"type": "array", "items": ["null", it] if nul else it}
+    if _is_record(token):  # nested record
         # named types must be unique within a schema: derive the name
         # from the field PATH so sibling/nested records never collide
         return {
@@ -785,8 +906,17 @@ def _token_of_avro(t):
         kind = t.get("type")
         if kind == "record":
             return _parse_fields(t["fields"])
-        if kind == "array" and isinstance(t.get("items"), str):
-            return f"array:{t['items']}"
+        if kind == "array":
+            items = t.get("items")
+            if isinstance(items, str) and items in _AVRO_TO_DDL:
+                return f"array:{items}"  # legacy compact form
+            if (
+                isinstance(items, list)
+                and len(items) == 2
+                and items[0] == "null"
+            ):
+                return ("arr", _token_of_avro(items[1]), True)
+            return ("arr", _token_of_avro(items), False)
         if kind == "map" and isinstance(t.get("values"), str):
             return f"map:{t['values']}"
         if (
@@ -1059,7 +1189,9 @@ def _arrow_type(token):
     types Spark expects for the corresponding Spark SQL types."""
     import pyarrow as pa
 
-    if isinstance(token, (list, tuple)):  # nested record -> struct
+    if _is_arr(token):
+        return pa.list_(_arrow_type(token[1]))
+    if _is_record(token):  # nested record -> struct
         return pa.struct([(n, _arrow_type(t)) for n, t, _ in token])
     if token.startswith("array:"):
         return pa.list_(_arrow_type(token[6:]))
@@ -1660,4 +1792,71 @@ def avro_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("price").cast("string").alias("sum_price"),
         F.max("price").cast("string").alias("max_price"),
+    )
+
+
+@register(
+    "avro_array_struct_roundtrip",
+    oracle="""
+    SELECT user_id % 10 AS bucket,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us
+    FROM events
+    GROUP BY 1
+    """,
+)
+def avro_array_struct_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Events PACKED per user into a time-sorted
+    ``array<struct<ts, value>>`` — the per-entity event-log shape a
+    training pipeline actually ships (conversation turns, session
+    traces) — written through the codec's generalized array path
+    (record items, each element a ["null", record] union because
+    Spark arrays carry containsNull), read back, EXPLODED, and
+    re-aggregated per user-id bucket. The oracle computes the same
+    aggregate from the flat events table: a hash-exact pass proves no
+    event was lost, duplicated, reordered across the pack/unpack, or
+    degraded in the nested local-timestamp-micros values."""
+    from text_grabr_orc_spark.sources.events import (
+        EPOCH_US_EXPR,
+        load_events,
+    )
+
+    register_avro_source(spark)
+    packed = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "value"))
+            ).alias("evs")
+        )
+    )
+    out = _scratch_dir("tgos_avro_arrst", sf_dir)
+    packed.repartition(4, "user_id").write.format("tgos_avro").option(
+        "path", out
+    ).option("codec", "deflate").mode("append").save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    flat = back.select(
+        "user_id", F.explode("evs").alias("e")
+    ).select(
+        "user_id",
+        F.col("e.ts").alias("ts"),
+        F.col("e.value").alias("value"),
+    )
+    return (
+        flat.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_value"),
+            F.min(F.expr(EPOCH_US_EXPR)).cast("bigint").alias("first_us"),
+        )
     )
