@@ -155,7 +155,11 @@ def _token_of_spark_type(dt):
     if isinstance(dt, T.MapType):
         if not isinstance(dt.keyType, T.StringType):
             raise ValueError(f"unsupported avro map key type {dt.keyType}")
-        prim = _SPARK_TO_AVRO[dt.valueType.simpleString()]
+        prim = _SPARK_TO_AVRO.get(dt.valueType.simpleString())
+        if prim is None:
+            raise ValueError(
+                f"unsupported avro map value type {dt.valueType}"
+            )
         return (
             f"mapn:{prim}" if dt.valueContainsNull else f"map:{prim}"
         )
@@ -430,11 +434,29 @@ def _compile_reader(typ):
                     m[key] = x
 
         return rd_map
-    # date / decimal / anything rare: the generic path is fine
-    def rd_generic(mv, pos, typ=typ):
-        return _read_value(mv, pos, typ)
+    if typ == "date":
+        epoch, delta = _EPOCH_DATE, datetime.timedelta
 
-    return rd_generic
+        def rd_date(mv, pos, epoch=epoch, delta=delta):
+            n, pos = read_long(mv, pos)
+            return epoch + delta(days=n), pos
+
+        return rd_date
+    if typ.startswith("dec:"):
+        import decimal as _d
+
+        scale = int(typ.rsplit(":", 1)[1])
+        ctx = _d.Context(prec=99)
+        dec, from_bytes = _d.Decimal, int.from_bytes
+
+        def rd_dec(mv, pos, scale=scale, ctx=ctx, dec=dec,
+                   from_bytes=from_bytes):
+            n, pos = read_long(mv, pos)
+            unscaled = from_bytes(mv[pos : pos + n], "big", signed=True)
+            return dec(unscaled).scaleb(-scale, ctx), pos + n
+
+        return rd_dec
+    raise ValueError(f"unsupported avro type {typ}")
 
 
 def _compile_record_writer(fields):
@@ -570,236 +592,103 @@ def _compile_writer(typ):
             write_long(buf, 0)
 
         return wr_arr
-    # boolean / tsmicros / date / decimal: generic (rare or already
-    # dominated by conversion cost, not dispatch)
-    def wr_generic(buf, v, typ=typ):
-        _write_value(buf, typ, v)
+    if typ == "boolean":
 
-    return wr_generic
+        def wr_bool(buf, v):
+            buf.append(1 if v else 0)
+
+        return wr_bool
+    if typ == "bytes":
+
+        def wr_b(buf, v):
+            raw = bytes(v)
+            write_long(buf, len(raw))
+            buf += raw
+
+        return wr_b
+    if typ == "tsmicros":
+
+        def wr_ts(buf, v):
+            write_long(buf, _instant_to_micros(v))
+
+        return wr_ts
+    if typ == "date":
+        epoch = _EPOCH_DATE
+
+        def wr_date(buf, v, epoch=epoch):
+            write_long(buf, (v - epoch).days)
+
+        return wr_date
+    if typ.startswith("dec:"):
+        # spec: unscaled two's-complement big-endian int, as bytes.
+        # scaleb with an explicit WIDE context is exact (the default
+        # 28-digit context would silently round a decimal(38,*)); a
+        # value with more fractional digits than the declared scale
+        # is a schema violation — fail, don't round silently
+        import decimal as _d
+
+        scale = int(typ.rsplit(":", 1)[1])
+        ctx = _d.Context(prec=99)
+
+        def wr_dec(buf, v, scale=scale, ctx=ctx):
+            unscaled_d = v.scaleb(scale, ctx)
+            unscaled = int(unscaled_d)
+            if unscaled != unscaled_d:
+                raise ValueError(
+                    f"decimal {v} does not fit scale {scale}"
+                )
+            raw = unscaled.to_bytes(
+                max(1, (unscaled.bit_length() + 8) // 8),
+                "big",
+                signed=True,
+            )
+            write_long(buf, len(raw))
+            buf += raw
+
+        return wr_dec
+    raise ValueError(f"unsupported avro type {typ}")
 
 
-def _write_record(buf: bytearray, fields, row) -> None:
-    """Encode one record's fields in declaration order (the row loop
-    shared by the container writer and nested-record values)."""
-    for (fname, typ, nul), v in zip(fields, row):
-        if nul:
-            nb = _null_branch(nul)
-            if v is None:
-                write_long(buf, nb)
-                continue
-            write_long(buf, 1 - nb)
-        elif v is None:
-            raise ValueError(f"null in non-nullable field {fname}")
-        _write_value(buf, typ, v)
+#: memoized compiled codecs, keyed by the token's repr (tokens may be
+#: nested lists, so repr is the hashable canonical key). ONE
+#: implementation per type lives in _compile_reader/_compile_writer;
+#: the generic entry points below delegate here, so the wire logic
+#: can never diverge between the hot and generic paths (round-11
+#: review: the block/union loops existed in four near-identical
+#: copies).
+_codec_cache: dict = {}
+
+
+def _cached_reader(typ):
+    key = ("r", repr(typ))
+    fn = _codec_cache.get(key)
+    if fn is None:
+        if len(_codec_cache) > 512:
+            _codec_cache.clear()
+        fn = _codec_cache[key] = _compile_reader(typ)
+    return fn
+
+
+def _cached_writer(typ):
+    key = ("w", repr(typ))
+    fn = _codec_cache.get(key)
+    if fn is None:
+        if len(_codec_cache) > 512:
+            _codec_cache.clear()
+        fn = _codec_cache[key] = _compile_writer(typ)
+    return fn
 
 
 def _write_value(buf: bytearray, typ, v) -> None:
-    if _is_arr(typ):  # generalized array (any item type, nullables)
-        _, item, nul = typ
-        items = list(v)
-        if items:
-            write_long(buf, len(items))
-            for x in items:
-                if nul:
-                    if x is None:
-                        write_long(buf, 0)
-                        continue
-                    write_long(buf, 1)
-                elif x is None:
-                    raise ValueError("null element in non-null array")
-                _write_value(buf, item, x)
-        write_long(buf, 0)
-        return
-    if _is_record(typ):  # nested record
-        if isinstance(v, dict):
-            v = tuple(v[n] for n, _, _ in typ)
-        _write_record(buf, typ, v)
-        return
-    if typ == "long" or typ == "int":
-        write_long(buf, int(v))
-    elif typ == "double":
-        buf += struct.pack("<d", float(v))
-    elif typ == "float":
-        buf += struct.pack("<f", float(v))
-    elif typ == "string":
-        raw = str(v).encode("utf-8")
-        write_long(buf, len(raw))
-        buf += raw
-    elif typ == "bytes":
-        raw = bytes(v)
-        write_long(buf, len(raw))
-        buf += raw
-    elif typ == "boolean":
-        buf.append(1 if v else 0)
-    elif typ.startswith("array:"):
-        # spec: arrays are a series of blocks (count then items),
-        # terminated by a zero count; one block is enough on write
-        items = list(v)
-        if items:
-            write_long(buf, len(items))
-            it = typ[6:]
-            for x in items:
-                _write_value(buf, it, x)
-        write_long(buf, 0)
-    elif typ.startswith("map:"):
-        # spec: maps are blocks of key-value pairs, zero-terminated
-        # like arrays; keys sorted so writes stay byte-deterministic
-        items = sorted(v.items() if hasattr(v, "items") else v)
-        if items:
-            write_long(buf, len(items))
-            vt = typ[4:]
-            for k, x in items:
-                if x is None:
-                    # a plain-prim value slot cannot hold null: fail
-                    # loudly (str(None) would silently write 'None')
-                    raise ValueError(
-                        f"null value for key {k!r} in non-nullable map"
-                    )
-                _write_value(buf, "string", k)
-                _write_value(buf, vt, x)
-        write_long(buf, 0)
-    elif typ.startswith("mapn:"):
-        # nullable-value map: each value is the two-branch union
-        # ["null", T] (branch 1 = value) — what Spark maps ship as
-        items = sorted(v.items() if hasattr(v, "items") else v)
-        if items:
-            write_long(buf, len(items))
-            vt = typ[5:]
-            for k, x in items:
-                _write_value(buf, "string", k)
-                if x is None:
-                    write_long(buf, 0)
-                else:
-                    write_long(buf, 1)
-                    _write_value(buf, vt, x)
-        write_long(buf, 0)
-    elif typ == "tsmicros":
-        write_long(buf, _instant_to_micros(v))
-    elif typ == "ltsmicros":
-        write_long(buf, _local_to_micros(v))
-    elif typ == "date":
-        write_long(buf, (v - _EPOCH_DATE).days)
-    elif typ.startswith("dec:"):
-        # spec: unscaled two's-complement big-endian int, as bytes.
-        # scaleb is EXACT for Decimal (base-10 exponent shift); a
-        # value with more fractional digits than the declared scale is
-        # a schema violation — fail, don't round silently
-        scale = int(typ.rsplit(":", 1)[1])
-        import decimal as _d
-
-        # explicit wide context: the default 28-digit context would
-        # silently ROUND a decimal(38,*) value during the shift
-        unscaled_d = v.scaleb(scale, _d.Context(prec=99))
-        unscaled = int(unscaled_d)
-        if unscaled != unscaled_d:
-            raise ValueError(f"decimal {v} does not fit scale {scale}")
-        raw = unscaled.to_bytes(
-            max(1, (unscaled.bit_length() + 8) // 8), "big", signed=True
-        )
-        write_long(buf, len(raw))
-        buf += raw
-    else:  # pragma: no cover - schema validated at build
-        raise ValueError(f"unsupported avro type {typ}")
+    """Encode one value of ``typ`` (generic entry point — delegates to
+    the memoized compiled codec)."""
+    _cached_writer(typ)(buf, v)
 
 
 def _read_value(mv: memoryview, pos: int, typ):
-    if _is_arr(typ):  # generalized array
-        _, item, nul = typ
-        out = []
-        while True:
-            n, pos = read_long(mv, pos)
-            if n == 0:
-                return out, pos
-            if n < 0:
-                _, pos = read_long(mv, pos)
-                n = -n
-            for _ in range(n):
-                if nul:
-                    branch, pos = read_long(mv, pos)
-                    if branch == 0:
-                        out.append(None)
-                        continue
-                x, pos = _read_value(mv, pos, item)
-                out.append(x)
-    if _is_record(typ):  # nested record -> tuple
-        out = []
-        for _, t2, nul in typ:
-            if nul:
-                branch, pos = read_long(mv, pos)
-                if branch == _null_branch(nul):
-                    out.append(None)
-                    continue
-            x, pos = _read_value(mv, pos, t2)
-            out.append(x)
-        return tuple(out), pos
-    if typ == "long" or typ == "int":
-        return read_long(mv, pos)
-    if typ == "double":
-        return struct.unpack_from("<d", mv, pos)[0], pos + 8
-    if typ == "float":
-        return struct.unpack_from("<f", mv, pos)[0], pos + 4
-    if typ == "string":
-        n, pos = read_long(mv, pos)
-        return str(mv[pos : pos + n], "utf-8"), pos + n
-    if typ == "bytes":
-        n, pos = read_long(mv, pos)
-        return bytes(mv[pos : pos + n]), pos + n
-    if typ == "boolean":
-        return mv[pos] == 1, pos + 1
-    if typ.startswith("array:"):
-        it = typ[6:]
-        out = []
-        while True:
-            n, pos = read_long(mv, pos)
-            if n == 0:
-                return out, pos
-            if n < 0:  # negative count: a byte size follows (spec)
-                _, pos = read_long(mv, pos)
-                n = -n
-            for _ in range(n):
-                x, pos = _read_value(mv, pos, it)
-                out.append(x)
-    if typ.startswith("map:") or typ.startswith("mapn:"):
-        nullable = typ[3] == "n"
-        vt = typ[5:] if nullable else typ[4:]
-        m = {}
-        while True:
-            n, pos = read_long(mv, pos)
-            if n == 0:
-                return m, pos
-            if n < 0:
-                _, pos = read_long(mv, pos)
-                n = -n
-            for _ in range(n):
-                k, pos = _read_value(mv, pos, "string")
-                if nullable:
-                    branch, pos = read_long(mv, pos)
-                    if branch == 0:
-                        m[k] = None
-                        continue
-                x, pos = _read_value(mv, pos, vt)
-                m[k] = x
-    if typ == "tsmicros":
-        m, pos = read_long(mv, pos)
-        return _micros_to_instant(m), pos
-    if typ == "ltsmicros":
-        m, pos = read_long(mv, pos)
-        return _micros_to_local(m), pos
-    if typ == "date":
-        n, pos = read_long(mv, pos)
-        return _EPOCH_DATE + datetime.timedelta(days=n), pos
-    if typ.startswith("dec:"):
-        import decimal as _d
-
-        scale = int(typ.rsplit(":", 1)[1])
-        n, pos = read_long(mv, pos)
-        unscaled = int.from_bytes(mv[pos : pos + n], "big", signed=True)
-        return (
-            _d.Decimal(unscaled).scaleb(-scale, _d.Context(prec=99)),
-            pos + n,
-        )
-    raise ValueError(f"unsupported avro type {typ}")
-
+    """Decode one value of ``typ`` (generic entry point — delegates to
+    the memoized compiled codec)."""
+    return _cached_reader(typ)(mv, pos)
 
 # ---------------------------------------------------------------------------
 # container file (spec §"Object Container Files")
@@ -851,10 +740,10 @@ def _is_arr(token) -> bool:
     )
 
 
-def _field_json(n, t, nul, path: str):
+def _field_json(n, t, nul, path: str, seq: list):
     """One field's schema-JSON type, union-wrapped per its declared
     null branch order."""
-    at = _avro_type(t, f"{path}_{n}")
+    at = _avro_type(t, f"{path}_{n}", seq)
     if nul == NULL_SECOND:
         return [at, "null"]
     if nul:
@@ -862,19 +751,26 @@ def _field_json(n, t, nul, path: str):
     return at
 
 
-def _avro_type(token, path: str = "rec"):
+def _avro_type(token, path: str = "rec", seq: list | None = None):
+    if seq is None:
+        seq = [0]
     if _is_arr(token):
         _, item, nul = token
-        it = _avro_type(item, f"{path}_item")
+        it = _avro_type(item, f"{path}_item", seq)
         return {"type": "array", "items": ["null", it] if nul else it}
     if _is_record(token):  # nested record
-        # named types must be unique within a schema: derive the name
-        # from the field PATH so sibling/nested records never collide
+        # named types must be unique within a schema. The path keeps
+        # the name READABLE, but paths alone can collide (fields
+        # 'user'+'id_x' vs 'user_id'+'x' both join to 'user_id_x' —
+        # round-11 review: a spec-compliant reader rejects a redefined
+        # fullname), so a document-order counter makes uniqueness
+        # structural.
+        seq[0] += 1
         return {
             "type": "record",
-            "name": f"{path}_rec",
+            "name": f"{path}_r{seq[0]}",
             "fields": [
-                {"name": n, "type": _field_json(n, t, nul, path)}
+                {"name": n, "type": _field_json(n, t, nul, path, seq)}
                 for n, t, nul in token
             ],
         }
@@ -943,12 +839,13 @@ def _token_of_avro(t):
 
 
 def _schema_json(name: str, fields: Fields) -> str:
+    seq = [0]  # document-order counter: nested record names unique
     return json.dumps(
         {
             "type": "record",
             "name": name,
             "fields": [
-                {"name": n, "type": _field_json(n, t, nul, name)}
+                {"name": n, "type": _field_json(n, t, nul, name, seq)}
                 for n, t, nul in fields
             ],
         }
@@ -1116,8 +1013,10 @@ def _decode_rows(mv: memoryview, pos: int, n_rows: int, fields: Fields):
     """Decode ``n_rows`` records starting at ``pos``; returns
     ``(rows, new_pos)``."""
     # one compiled decoder per field, hoisted out of the per-row loop
+    # and MEMOIZED so per-block calls reuse one closure tree per
+    # schema (round-11 review: the plan was rebuilt every block)
     plan = [
-        (_compile_reader(typ), _null_branch(nul) if nul else None)
+        (_cached_reader(typ), _null_branch(nul) if nul else None)
         for _, typ, nul in fields
     ]
     out_rows = []
@@ -1355,6 +1254,12 @@ def make_avro_datasource():
                     atypes = [_arrow_type(t) for _, t, _ in fields]
                 if not rows:
                     continue
+                if not names:
+                    # zero-column schema: zip(*rows) would collapse N
+                    # empty tuples to nothing (round-11 review) — the
+                    # row path carries the count correctly
+                    yield from rows
+                    continue
                 cols = list(zip(*rows))
                 arrays = [
                     pa.array(c, type=at) for c, at in zip(cols, atypes)
@@ -1415,7 +1320,12 @@ def make_avro_datasource():
                 for b in batches:
                     if hasattr(b, "columns"):  # pyarrow.RecordBatch
                         cols = [c.to_pylist() for c in b.columns]
-                        yield from zip(*cols)
+                        if not cols:
+                            # zero-column frame: keep the row COUNT
+                            # (zip of nothing drops every row)
+                            yield from (() for _ in range(b.num_rows))
+                        else:
+                            yield from zip(*cols)
                     else:
                         yield tuple(b)
 
@@ -1490,6 +1400,12 @@ def make_avro_datasource():
                     f"tgos_avro: no .avro container files at {path!r}"
                 ) from None
             fields = container_fields(os.path.join(path, first))
+            if not fields:
+                # a zero-column record: the empty DDL string does not
+                # parse — return the StructType directly
+                from pyspark.sql.types import StructType
+
+                return StructType([])
             return ", ".join(
                 f"{n} {_ddl_of(t)}" for n, t, _ in fields
             )
@@ -1814,9 +1730,11 @@ def avro_array_struct_roundtrip(
     ``array<struct<ts, value>>`` — the per-entity event-log shape a
     training pipeline actually ships (conversation turns, session
     traces) — written through the codec's generalized array path
-    (record items, each element a ["null", record] union because
-    Spark arrays carry containsNull), read back, EXPLODED, and
-    re-aggregated per user-id bucket. The oracle computes the same
+    (record items; collect_list declares containsNull=false, so the
+    elements ship as plain records — the NULL-element union wire path
+    is pinned by pytest with literal arrays, not by this query), read
+    back, EXPLODED, and re-aggregated per user-id bucket. The oracle
+    computes the same
     aggregate from the flat events table: a hash-exact pass proves no
     event was lost, duplicated, reordered across the pack/unpack, or
     degraded in the nested local-timestamp-micros values."""
