@@ -1143,16 +1143,22 @@ def test_schema_hygiene_review_fixes(spark, tmp_path):
 
     walk(_json.loads(sj))
     assert len(names) == len(set(names)), names
-    # map value types outside the subset: ValueError, not KeyError
+    # logical-typed map values now ship through the generalized map
+    # token (round-11 ADVICE item 3 — these used to raise)
     from pyspark.sql import types as T
 
+    assert _token_of_spark_type(
+        T.MapType(T.StringType(), T.TimestampType(), True)
+    ) == ("map", "tsmicros", True)
+    # value types outside the subset still raise ValueError (from the
+    # recursive scalar mapping), never a raw KeyError
     try:
         _token_of_spark_type(
-            T.MapType(T.StringType(), T.TimestampType(), True)
+            T.MapType(T.StringType(), T.ByteType(), True)
         )
-        raise AssertionError("composite map value not rejected")
+        raise AssertionError("tinyint map value not rejected")
     except ValueError as e:
-        assert "map value" in str(e)
+        assert "unsupported avro field type" in str(e)
     # zero-column frames: write + read round-trip without error (the
     # empty DDL string used to crash schema inference). Row COUNT is
     # not preserved — probed: Spark itself hands the Arrow writer
@@ -1168,3 +1174,237 @@ def test_schema_hygiene_review_fixes(spark, tmp_path):
     ).save()
     back = spark.read.format("tgos_avro").option("path", out).load()
     assert back.columns == [] and back.count() == 0
+
+
+def test_enum_fixed_gmap_container_roundtrip(tmp_path):
+    """Named types (enum, fixed) and generalized map values — pure
+    python write/read, schema-token parse round-trip, and the
+    contract errors (unknown symbol, wrong fixed length)."""
+    import datetime as dt
+
+    fields = [
+        ("id", "long", False),
+        ("status", ("enum", "status_enum", ("F", "O", "P")), False),
+        ("digest", ("fixed", "digest_fixed", 4), False),
+        # generalized maps: logical-typed scalar AND record values
+        ("meta", ("map", "ltsmicros", True), False),
+        ("deep", ("map", [("a", "long", True)], False), True),
+    ]
+    rows = [
+        (1, "F", b"\x01\x02\x03\x04",
+         {"placed": dt.datetime(2024, 6, 1, 12, 30), "x": None},
+         {"k": (7,)}),
+        (2, "P", b"\xff\xee\xdd\xcc", {}, None),
+    ]
+    p = str(tmp_path / "named.avro")
+    assert write_container(p, fields, iter(rows), codec="deflate") == 2
+    # schema JSON -> tokens is an exact inverse (names included)
+    assert container_fields(p) == fields
+    assert list(read_container(p)) == rows
+    # contract errors, not silent coercion
+    import pytest
+
+    with pytest.raises(ValueError, match="not in enum symbols"):
+        write_container(
+            str(tmp_path / "bad1.avro"), fields,
+            iter([(3, "Z", b"\x00" * 4, {}, None)]),
+        )
+    with pytest.raises(ValueError, match="fixed\\(4\\)"):
+        write_container(
+            str(tmp_path / "bad2.avro"), fields,
+            iter([(3, "F", b"\x00" * 3, {}, None)]),
+        )
+
+
+def test_map_sort_and_scalar_token_advice_fixes():
+    """Round-11 ADVICE regressions: (1) map writers sort by KEY only —
+    an Arrow MapArray slice can carry duplicate keys with unorderable
+    values (None vs int), which a whole-tuple sort would TypeError on;
+    (2) unsupported scalar types raise ValueError, not KeyError."""
+    import pytest
+
+    from text_grabr_orc_spark.sources.avro_io import (
+        _cached_writer,
+        _token_of_spark,
+    )
+
+    buf = bytearray()
+    # duplicate key, None-then-int values: whole-tuple sort raises
+    _cached_writer("mapn:long")(buf, [("k", None), ("k", 1)])
+    assert buf  # encoded without TypeError
+    buf2 = bytearray()
+    _cached_writer(("map", "long", True))(buf2, [("k", None), ("k", 1)])
+    assert bytes(buf) == bytes(buf2)  # legacy and generalized agree
+    with pytest.raises(ValueError, match="unsupported avro field type"):
+        _token_of_spark("tinyint")
+
+
+def test_jvm_duplex_parity_enum_fixed(spark, tmp_path):
+    """The real Apache Avro library agrees with this codec on enum
+    (symbol-position varint), fixed (raw bytes), and generalized map
+    values — both directions."""
+    import datetime as dt
+
+    from text_grabr_orc_spark.sources.avro_io import _schema_json
+
+    fields = [
+        ("id", "long", False),
+        ("status", ("enum", "status_enum", ("F", "O", "P")), False),
+        ("digest", ("fixed", "digest_fixed", 4), False),
+        ("meta", ("map", "ltsmicros", False), False),
+    ]
+    rows = [
+        (1, "P", b"\x01\x02\x03\x04",
+         {"placed": dt.datetime(2024, 6, 1, 12, 30)}),
+        (2, "F", b"\xff\x00\x7f\x80", {}),
+    ]
+    p = str(tmp_path / "py_named.avro")
+    write_container(p, fields, iter(rows), codec="deflate")
+    jvm = spark._jvm
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = []
+    while rdr.hasNext():
+        rec = rdr.next()
+        m = rec.get("meta")
+        got.append((
+            rec.get("id"),
+            str(rec.get("status")),
+            bytes(rec.get("digest").bytes()),
+            {str(e.getKey()): e.getValue()
+             for e in m.entrySet().toArray()},
+        ))
+    rdr.close()
+    assert got == [
+        (1, "P", b"\x01\x02\x03\x04", {"placed": 1717245000000000}),
+        (2, "F", b"\xff\x00\x7f\x80", {}),
+    ]
+    # JVM writes the same named-type schema -> python reads it back
+    schema = jvm.org.apache.avro.Schema.Parser().parse(
+        _schema_json("row", fields)
+    )
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    p2 = str(tmp_path / "jvm_named.avro")
+    dfw.create(schema, jvm.java.io.File(p2))
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("id", jvm.java.lang.Long.valueOf(9))
+    rec.put(
+        "status",
+        jvm.org.apache.avro.generic.GenericData.EnumSymbol(
+            schema.getField("status").schema(), "O"
+        ),
+    )
+    rec.put(
+        "digest",
+        jvm.org.apache.avro.generic.GenericData.Fixed(
+            schema.getField("digest").schema(),
+            bytearray(b"\xca\xfe\xba\xbe"),
+        ),
+    )
+    m = jvm.java.util.HashMap()
+    m.put("placed", jvm.java.lang.Long.valueOf(123456789))
+    rec.put("meta", m)
+    dfw.append(rec)
+    dfw.close()
+    assert container_fields(p2) == fields
+    assert list(read_container(p2)) == [
+        (9, "O", b"\xca\xfe\xba\xbe",
+         {"placed": dt.datetime(1970, 1, 1, 0, 2, 3, 456789)}),
+    ]
+
+
+def test_spark_datasource_enum_fixed_gmap(spark, tmp_path):
+    """Datasource end-to-end: enum/fixed writer declarations, a
+    struct-valued generalized map, and declaration errors at plan
+    time."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from text_grabr_orc_spark.sources.avro_io import register_avro_source
+
+    register_avro_source(spark)
+    df = spark.sql(
+        """
+        SELECT id,
+               CASE WHEN id % 3 = 0 THEN 'A'
+                    WHEN id % 3 = 1 THEN 'B' ELSE 'C' END AS grade,
+               unhex(md5(CAST(id AS STRING))) AS digest,
+               map('v', named_struct('a', id, 'b',
+                   CASE WHEN id % 4 = 0 THEN NULL
+                        ELSE CAST(id AS DOUBLE) / 2 END)) AS attrs
+        FROM range(500)
+        """
+    )
+    out = str(tmp_path / "named_ds")
+    (
+        df.repartition(3)
+        .write.format("tgos_avro")
+        .option("path", out)
+        .option("enums", _json.dumps({"grade": ["A", "B", "C"]}))
+        .option("fixed", _json.dumps({"digest": 16}))
+        .option("codec", "deflate")
+        .mode("append")
+        .save()
+    )
+    # the embedded schema really declares the named types
+    import glob
+
+    first = sorted(glob.glob(os.path.join(out, "*.avro")))[0]
+    fields = container_fields(first)
+    by_name = {n: t for n, t, _ in fields}
+    assert by_name["grade"][0] == "enum"
+    assert by_name["digest"] == ("fixed", "digest_fixed", 16)
+    assert by_name["attrs"][0] == "map"
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    assert dict(back.dtypes)["grade"] == "string"
+    assert dict(back.dtypes)["digest"] == "binary"
+    assert dict(back.dtypes)["attrs"] == (
+        "map<string,struct<a:bigint,b:double>>"
+    )
+    canon = lambda rows: sorted(
+        (r["id"], r["grade"], bytes(r["digest"]),
+         r["attrs"]["v"]["a"], r["attrs"]["v"]["b"])
+        for r in rows
+    )
+    assert canon(back.collect()) == canon(df.collect())
+    # declaration errors surface at plan time with clear messages
+    import pytest
+
+    with pytest.raises(Exception, match="needs a string column"):
+        df.write.format("tgos_avro").option(
+            "path", str(tmp_path / "bad_ds")
+        ).option("enums", _json.dumps({"id": ["A"]})).mode(
+            "append"
+        ).save()
+    with pytest.raises(Exception, match="needs a binary column"):
+        df.write.format("tgos_avro").option(
+            "path", str(tmp_path / "bad_ds2")
+        ).option("fixed", _json.dumps({"grade": 16})).mode(
+            "append"
+        ).save()
+
+
+def test_avro_enum_roundtrip_registered(spark, sf_dir):
+    from text_grabr_orc_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["avro_enum_roundtrip"](spark, sf_dir)
+    rows = {r["status"]: r for r in out.collect()}
+    assert set(rows) == {"F", "O", "P"}
+    import pyspark.sql.functions as F
+
+    from text_grabr_orc_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    want = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+    ).collect()
+    for r in want:
+        assert rows[r["o_orderstatus"]]["n"] == r["n"]
+        assert rows[r["o_orderstatus"]]["key_sum"] == r["key_sum"]

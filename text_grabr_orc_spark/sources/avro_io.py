@@ -24,9 +24,14 @@ Schema subset: a top-level record of boolean / int / long / float /
 double / string / bytes fields, single-level arrays of those
 primitives (``array<float>`` is how vector shards actually ship —
 the embeddings-table roundtrip is pytest-pinned), string-keyed maps
-of those primitives (``map<string,int>`` — the events ``props``
-shape), NESTED RECORDS to any depth (Spark struct columns — a field's
-type token may itself be a Fields list), and three logical types —
+of ANY supported value type (``map<string,int>`` — the events
+``props`` shape — plus logical-typed scalars, nested records, and
+arrays as values), NESTED RECORDS to any depth (Spark struct columns
+— a field's type token may itself be a Fields list), ENUMS (wire =
+symbol position varint; Spark side a string column, declared on
+write via the ``enums`` option), FIXED (wire = exactly ``size`` raw
+bytes; Spark side a binary column, declared via the ``fixed``
+option), and three logical types —
 ``timestamp-micros`` on long (instant, Spark TIMESTAMP),
 ``local-timestamp-micros`` on long (wall clock, Spark TIMESTAMP_NTZ —
 what the events fixture's parquet actually carries), and ``date`` on
@@ -35,9 +40,12 @@ two's-complement big-endian int per the spec, Spark DECIMAL(p,s) —
 exact arithmetic survives the wire). Arrays generalize past the
 compact non-null-prim form: any supported item type including nested
 records and logical types, with NULL elements (Spark's
-``containsNull``) as ``["null", item]`` unions. Still unsupported:
-enums, fixed, and composite MAP values (documented, not silently
-misread: _parse_schema raises). Each field optionally
+``containsNull``) as ``["null", item]`` unions. The only remaining
+exclusions are shapes Spark itself cannot represent losslessly:
+multi-branch (non-null) unions, recursive named-type references, and
+the ``[T,"null"]`` declaration order INSIDE array items / map values
+(fields honor both orders; see NULL_SECOND) — all raise
+descriptively at schema parse, never silently misread. Each field optionally
 nullable as a two-branch union with ``"null"`` in either declared
 order. Codecs:
 ``null`` and ``deflate`` (RFC 1951 raw deflate per block, via stdlib
@@ -114,6 +122,12 @@ def _ddl_of(token) -> str:
     if _is_record(token):  # nested record -> struct
         inner = ",".join(f"{n}:{_ddl_of(t)}" for n, t, _ in token)
         return f"struct<{inner}>"
+    if _is_enum(token):  # enum -> its symbol as a plain string
+        return "string"
+    if _is_fixed(token):  # fixed -> binary (size enforced on write)
+        return "binary"
+    if _is_gmap(token):  # generalized map: any supported value type
+        return f"map<string,{_ddl_of(token[1])}>"
     if token.startswith("array:"):
         return f"array<{_AVRO_TO_DDL[token[6:]]}>"
     if token.startswith("map:"):
@@ -156,13 +170,17 @@ def _token_of_spark_type(dt):
         if not isinstance(dt.keyType, T.StringType):
             raise ValueError(f"unsupported avro map key type {dt.keyType}")
         prim = _SPARK_TO_AVRO.get(dt.valueType.simpleString())
-        if prim is None:
-            raise ValueError(
-                f"unsupported avro map value type {dt.valueType}"
+        if prim is not None:
+            # legacy compact tokens for wire-primitive values (keeps
+            # existing files' schema JSON byte-stable)
+            return (
+                f"mapn:{prim}" if dt.valueContainsNull else f"map:{prim}"
             )
-        return (
-            f"mapn:{prim}" if dt.valueContainsNull else f"map:{prim}"
-        )
+        # generalized map: logical-typed scalars, nested records,
+        # arrays — any supported value type (round-11 ADVICE: these
+        # used to raise; now they ship)
+        return ("map", _token_of_spark_type(dt.valueType),
+                bool(dt.valueContainsNull))
     return _token_of_spark(dt.simpleString())
 
 
@@ -183,7 +201,15 @@ def _token_of_spark(simple: str) -> str:
     if simple.startswith("decimal(") and simple.endswith(")"):
         p, s = simple[8:-1].split(",")
         return f"dec:{int(p)}:{int(s)}"
-    return _SPARK_TO_AVRO[simple]
+    try:
+        return _SPARK_TO_AVRO[simple]
+    except KeyError:
+        # tinyint / smallint / char(n) / interval ... — surface the
+        # same clear error the composite paths raise, not a raw
+        # KeyError from deep inside the writer (round-11 ADVICE)
+        raise ValueError(
+            f"unsupported avro field type {simple}"
+        ) from None
 
 
 def _token_valid(token) -> bool:
@@ -196,6 +222,14 @@ def _token_valid(token) -> bool:
             and _token_valid(f[1])
             for f in token
         )
+    if _is_enum(token):
+        return bool(token[2]) and all(
+            isinstance(s, str) for s in token[2]
+        )
+    if _is_fixed(token):
+        return isinstance(token[2], int) and token[2] > 0
+    if _is_gmap(token):
+        return _token_valid(token[1])
     if token.startswith("array:"):
         return token[6:] in _AVRO_TO_DDL
     if token.startswith("map:"):
@@ -339,6 +373,47 @@ def _compile_reader(typ):
             return tuple(out), pos
 
         return rd_rec
+    if _is_enum(typ):
+        symbols = typ[2]
+
+        def rd_enum(mv, pos, symbols=symbols):
+            i, pos = read_long(mv, pos)
+            return symbols[i], pos
+
+        return rd_enum
+    if _is_fixed(typ):
+        size = typ[2]
+
+        def rd_fixed(mv, pos, size=size):
+            return bytes(mv[pos : pos + size]), pos + size
+
+        return rd_fixed
+    if _is_gmap(typ):
+        item = _compile_reader(typ[1])
+        nul = typ[2]
+
+        def rd_gmap(mv, pos, item=item, nul=nul):
+            m = {}
+            while True:
+                n, pos = read_long(mv, pos)
+                if n == 0:
+                    return m, pos
+                if n < 0:
+                    _, pos = read_long(mv, pos)
+                    n = -n
+                for _ in range(n):
+                    k, pos = read_long(mv, pos)
+                    key = str(mv[pos : pos + k], "utf-8")
+                    pos += k
+                    if nul:
+                        branch, pos = read_long(mv, pos)
+                        if branch == 0:
+                            m[key] = None
+                            continue
+                    x, pos = item(mv, pos)
+                    m[key] = x
+
+        return rd_gmap
     if typ in ("long", "int"):
         return read_long
     if typ == "double":
@@ -514,6 +589,61 @@ def _compile_writer(typ):
             wr(buf, v)
 
         return wr_nested
+    if _is_enum(typ):
+        index = {s: i for i, s in enumerate(typ[2])}
+
+        def wr_enum(buf, v, index=index):
+            i = index.get(v)
+            if i is None:
+                raise ValueError(
+                    f"value {v!r} not in enum symbols {typ[2]}"
+                )
+            write_long(buf, i)
+
+        return wr_enum
+    if _is_fixed(typ):
+        size = typ[2]
+
+        def wr_fixed(buf, v, size=size):
+            raw = bytes(v)
+            if len(raw) != size:
+                raise ValueError(
+                    f"fixed({size}) value has {len(raw)} bytes"
+                )
+            buf += raw
+
+        return wr_fixed
+    if _is_gmap(typ):
+        item = _compile_writer(typ[1])
+        nul = typ[2]
+
+        def wr_gmap(buf, v, item=item, nul=nul):
+            # sort by KEY only: values may be unorderable across pairs
+            # (None vs int, dicts) — whole-tuple sort would TypeError
+            items = sorted(
+                v.items() if hasattr(v, "items") else v,
+                key=lambda kv: kv[0],
+            )
+            if items:
+                write_long(buf, len(items))
+                for k, x in items:
+                    raw = k.encode("utf-8")
+                    write_long(buf, len(raw))
+                    buf += raw
+                    if nul:
+                        if x is None:
+                            write_long(buf, 0)
+                            continue
+                        write_long(buf, 1)
+                    elif x is None:
+                        raise ValueError(
+                            f"null value for key {k!r} in non-nullable"
+                            " map"
+                        )
+                    item(buf, x)
+            write_long(buf, 0)
+
+        return wr_gmap
     if typ in ("long", "int"):
 
         def wr_l(buf, v):
@@ -559,8 +689,15 @@ def _compile_writer(typ):
 
         def wr_map(buf, v, item=item, nullable=nullable):
             # dict (python rows) or list of (k, v) pairs (Arrow's
-            # to_pylist representation of map arrays)
-            items = sorted(v.items() if hasattr(v, "items") else v)
+            # to_pylist representation of map arrays). Sort by KEY
+            # only: an Arrow MapArray slice may carry duplicate keys
+            # with unorderable values (None vs int in a mapn column),
+            # and whole-tuple sort would compare the values on a key
+            # tie and TypeError at write time (round-11 ADVICE)
+            items = sorted(
+                v.items() if hasattr(v, "items") else v,
+                key=lambda kv: kv[0],
+            )
             if items:
                 write_long(buf, len(items))
                 for k, x in items:
@@ -740,6 +877,41 @@ def _is_arr(token) -> bool:
     )
 
 
+def _is_enum(token) -> bool:
+    """Enum token ('enum', schema_name, (symbol, ...)) — wire = zigzag
+    varint of the symbol's zero-based position (spec); Spark side is a
+    plain string column (Spark has no enum type). The name rides along
+    so a parsed foreign schema re-emits under its declared fullname."""
+    return (
+        isinstance(token, tuple) and len(token) == 3 and token[0] == "enum"
+    )
+
+
+def _is_fixed(token) -> bool:
+    """Fixed token ('fixed', schema_name, size) — wire = exactly
+    ``size`` raw bytes, no length prefix (spec); Spark side is a
+    binary column with the length enforced at write time."""
+    return (
+        isinstance(token, tuple)
+        and len(token) == 3
+        and token[0] == "fixed"
+    )
+
+
+def _is_gmap(token) -> bool:
+    """Generalized map token ('map', value_token, values_nullable) —
+    string keys, any supported value type (nested records, arrays,
+    logical types). The legacy string tokens map:<prim>/mapn:<prim>
+    still cover wire-primitive values (and older files). Nullable
+    values ship as ["null", T] unions; the [T,"null"] order inside
+    map values is not produced here and a foreign file declaring it
+    raises descriptively at schema parse (fields DO honor both orders
+    — see NULL_SECOND)."""
+    return (
+        isinstance(token, tuple) and len(token) == 3 and token[0] == "map"
+    )
+
+
 def _field_json(n, t, nul, path: str, seq: list):
     """One field's schema-JSON type, union-wrapped per its declared
     null branch order."""
@@ -774,6 +946,21 @@ def _avro_type(token, path: str = "rec", seq: list | None = None):
                 for n, t, nul in token
             ],
         }
+    if _is_enum(token):
+        # a named type: the token carries its name (parsed files keep
+        # their declared fullname; writer-built tokens are named per
+        # FIELD, unique because field names are)
+        return {
+            "type": "enum",
+            "name": token[1],
+            "symbols": list(token[2]),
+        }
+    if _is_fixed(token):
+        return {"type": "fixed", "name": token[1], "size": token[2]}
+    if _is_gmap(token):
+        _, vt, nul = token
+        v = _avro_type(vt, f"{path}_value", seq)
+        return {"type": "map", "values": ["null", v] if nul else v}
     if token.startswith("array:"):
         return {"type": "array", "items": token[6:]}
     if token.startswith("map:"):
@@ -813,16 +1000,30 @@ def _token_of_avro(t):
             ):
                 return ("arr", _token_of_avro(items[1]), True)
             return ("arr", _token_of_avro(items), False)
+        if kind == "enum":
+            return ("enum", t.get("name", "enum"), tuple(t["symbols"]))
+        if kind == "fixed":
+            return ("fixed", t.get("name", "fixed"), int(t["size"]))
         if kind == "map" and isinstance(t.get("values"), str):
-            return f"map:{t['values']}"
-        if (
-            kind == "map"
-            and isinstance(t.get("values"), list)
-            and len(t["values"]) == 2
-            and t["values"][0] == "null"
-            and isinstance(t["values"][1], str)
-        ):
-            return f"mapn:{t['values'][1]}"
+            if t["values"] in _AVRO_TO_DDL:
+                return f"map:{t['values']}"  # legacy compact form
+            raise ValueError(f"unsupported avro type {t}")
+        if kind == "map":
+            values = t["values"]
+            if (
+                isinstance(values, list)
+                and len(values) == 2
+                and values[0] == "null"
+            ):
+                if isinstance(values[1], str) and values[1] in _AVRO_TO_DDL:
+                    return f"mapn:{values[1]}"  # legacy compact form
+                return ("map", _token_of_avro(values[1]), True)
+            if isinstance(values, list):
+                # [T,"null"] inside map values: legal Avro, but this
+                # codec neither produces it nor decodes it — raise
+                # descriptively rather than shift branch indices
+                raise ValueError(f"unsupported avro type {t}")
+            return ("map", _token_of_avro(values), False)
         if kind == "long" and t.get("logicalType") == "timestamp-micros":
             return "tsmicros"
         if (
@@ -1092,6 +1293,12 @@ def _arrow_type(token):
         return pa.list_(_arrow_type(token[1]))
     if _is_record(token):  # nested record -> struct
         return pa.struct([(n, _arrow_type(t)) for n, t, _ in token])
+    if _is_enum(token):  # symbol as string (Spark has no enum type)
+        return pa.string()
+    if _is_fixed(token):  # plain binary: Spark BinaryType's exchange
+        return pa.binary()
+    if _is_gmap(token):
+        return pa.map_(pa.string(), _arrow_type(token[1]))
     if token.startswith("array:"):
         return pa.list_(_arrow_type(token[6:]))
     if token.startswith("mapn:"):
@@ -1165,6 +1372,44 @@ def enumerate_block_ranges(
         if acc:
             ranges.append((start, pos))
     return ranges
+
+
+def _apply_named_type_decls(
+    fields: Fields, enums: dict, fixed: dict
+) -> Fields:
+    """Rewrite top-level field tokens per the writer's enum / fixed
+    declarations (see ``_AvroWriter``): an enum field must be a STRING
+    column, a fixed field a BINARY column. Unknown field names or
+    wrong column types are declaration errors and raise at plan time,
+    not on the executors."""
+    by_name = {n: (t, nul) for n, t, nul in fields}
+    for name, symbols in enums.items():
+        t, _ = by_name.get(name, (None, None))
+        if t != "string":
+            raise ValueError(
+                f"enum declaration {name!r} needs a string column,"
+                f" got {t!r}"
+            )
+        if not symbols or len(set(symbols)) != len(symbols):
+            raise ValueError(
+                f"enum {name!r} needs non-empty unique symbols"
+            )
+        by_name[name] = (
+            ("enum", f"{name}_enum", tuple(symbols)),
+            by_name[name][1],
+        )
+    for name, size in fixed.items():
+        t, _ = by_name.get(name, (None, None))
+        if t != "bytes":
+            raise ValueError(
+                f"fixed declaration {name!r} needs a binary column,"
+                f" got {t!r}"
+            )
+        by_name[name] = (
+            ("fixed", f"{name}_fixed", int(size)),
+            by_name[name][1],
+        )
+    return [(n, *by_name[n]) for n, _, _ in fields]
 
 
 # ---------------------------------------------------------------------------
@@ -1284,6 +1529,19 @@ def make_avro_datasource():
             # built from the TYPE TREE: a StructType maps straight to
             # this codec's recursive Fields shape
             self.fields = _token_of_spark_type(schema)
+            # named-type declarations: Spark has no enum/fixed types,
+            # so a STRING column ships as an Avro enum (option
+            # ``enums`` = JSON {field: [symbols...]}) and a BINARY
+            # column as fixed-size bytes (option ``fixed`` = JSON
+            # {field: size}) only when the writer declares them.
+            # Unknown symbols / wrong lengths fail the write — the
+            # schema is a contract, not a hint.
+            enums = json.loads(options.get("enums", "{}"))
+            fixed = json.loads(options.get("fixed", "{}"))
+            if enums or fixed:
+                self.fields = _apply_named_type_decls(
+                    self.fields, enums, fixed
+                )
             # one token per WRITE JOB (constructed on the driver,
             # pickled to every task): file names are unique across
             # jobs, so append-to-nonempty never clobbers or mixes with
@@ -1777,4 +2035,72 @@ def avro_array_struct_roundtrip(
             ).alias("sum_value"),
             F.min(F.expr(EPOCH_US_EXPR)).cast("bigint").alias("first_us"),
         )
+    )
+
+
+@register(
+    "avro_enum_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           min(md5(o_orderpriority || '-'
+                   || CAST(o_orderkey AS VARCHAR))) AS min_digest,
+           CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS first_us
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def avro_enum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders through the codec's NAMED-TYPE paths — the last slice of
+    the Avro 1.12 schema grammar this engine ships (round-11 verdict
+    item 2): ``o_orderstatus`` is written as a true Avro ENUM (wire =
+    symbol-position varint, declared via the writer's ``enums``
+    option), a 16-byte md5 digest ships as FIXED(16) (raw bytes, no
+    length prefix, ``fixed`` option), and ``meta`` is a
+    ``map<string,timestamp_ntz>`` — a GENERALIZED map value (logical
+    type, not a wire primitive; round-11 ADVICE item 3).
+
+    The oracle recomputes every aggregate straight from parquet:
+    ``min_digest`` pins all 16 fixed bytes per group (one flipped bit
+    breaks the hash), ``first_us`` pins exact epoch micros through the
+    map's logical-type value, and the groupBy key itself rides the
+    enum decode — a symbol-index slip anywhere would rename whole
+    groups. JVM duplex parity for all three shapes is pytest-pinned
+    (test_jvm_duplex_parity_enum_fixed)."""
+    register_avro_source(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.unhex(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("o_orderpriority"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            )
+        ).alias("digest"),
+        F.create_map(
+            F.lit("placed"), F.col("o_orderdate")
+        ).alias("meta"),
+    )
+    out = _scratch_dir("tgos_avro_enum", sf_dir)
+    orders.repartition(4, "o_orderkey").write.format("tgos_avro").option(
+        "path", out
+    ).option("codec", "deflate").option(
+        "enums", json.dumps({"o_orderstatus": ["F", "O", "P"]})
+    ).option(
+        "fixed", json.dumps({"digest": 16})
+    ).mode("append").save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    placed_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+        " meta['placed'])"
+    )
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.min(F.lower(F.hex("digest"))).alias("min_digest"),
+        F.min(placed_us).cast("bigint").alias("first_us"),
     )
