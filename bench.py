@@ -185,6 +185,41 @@ def _calibration_probe(spark) -> float:
     return round(runs[1], 3)
 
 
+def _membw_probe() -> float:
+    """Median-of-three seconds for a FIXED cache-hostile memory pass —
+    the second calibration axis (round-11 verdict #1). The shuffle+agg
+    probe above is CPU/shuffle-shaped and six same-code r11 runs
+    proved it is NOT the axis that swings (probe moved ≤1.4× while
+    totals spanned 69–89 s); every investigation since r7 concluded
+    "memory-bound tail weather" from untouched-query ratios. This
+    probe measures that axis directly: a deterministic ~190 MiB int64
+    working set (far past any L3) is gathered through a fixed random
+    permutation (DRAM latency/bandwidth bound, prefetch-hostile) plus
+    one sequential stream (pure bandwidth). Arrays are allocated, the
+    permutation built, and one warm pass run OUTSIDE the timed region,
+    so the number is steady-state memory traffic, not page-fault
+    noise. Recorded as ``membw_sec_pre`` / ``membw_sec_post``;
+    tools/compare_bench.py normalizes cross-round ratios on both
+    axes."""
+    import numpy as np
+
+    n = 24_000_000  # 192 MiB of int64 + as much again of index
+    a = np.arange(n, dtype=np.int64)
+    idx = np.random.default_rng(20260816).permutation(n)
+
+    def once() -> float:
+        t0 = time.time()
+        s = int(a[idx][::4096].sum())  # random gather of the full set
+        s += int((a * 3)[::4096].sum())  # sequential stream
+        assert s  # consume — the gather must not be dead-code
+        return time.time() - t0
+
+    once()  # untimed warm pass: allocator page faults paid here
+    runs = sorted(once() for _ in range(3))
+    del a, idx
+    return round(runs[1], 3)
+
+
 def _warmup(spark, names, warm_dir: str) -> list[str]:
     """Run every query once at the warm-up sf; a failure is retried
     once (transient state-store/tempdir races) and, if it persists,
@@ -238,6 +273,7 @@ def main() -> None:
     # the timed pass records the box's speed alongside the query
     # numbers (see _calibration_probe)
     calib_pre = _calibration_probe(spark)
+    membw_pre = _membw_probe()
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -283,6 +319,7 @@ def main() -> None:
         )
 
     calib_post = _calibration_probe(spark)
+    membw_post = _membw_probe()
 
     breakdown = _streaming_breakdown(spark, sf_dir)
     curve = {} if "--no-scale-curve" in sys.argv else _scale_curve(spark)
@@ -310,6 +347,8 @@ def main() -> None:
         "scale_curve": curve,
         "calib_sec_pre": calib_pre,
         "calib_sec_post": calib_post,
+        "membw_sec_pre": membw_pre,
+        "membw_sec_post": membw_post,
         "warmup_failed": warmup_failed,
         "sf": sf_val,
     }
@@ -388,6 +427,8 @@ def main() -> None:
         ],
         "calib_sec_pre": calib_pre,
         "calib_sec_post": calib_post,
+        "membw_sec_pre": membw_pre,
+        "membw_sec_post": membw_post,
         "warmup_failed": warmup_failed,
         "sf": sf_val,
         "note": "compact tail summary; full per-query JSON is the previous stdout line",

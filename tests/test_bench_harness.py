@@ -348,10 +348,11 @@ def test_compare_bench_normalizes_and_flags(tmp_path):
     )
     old_runs = compare_bench.load_runs(str(old))
     assert len(old_runs) == 2
-    oq, oc, _ = compare_bench.collapse(old_runs, "queries")
+    oq, oc, om, _ = compare_bench.collapse(old_runs, "queries")
     assert oq == {"q_fast": 1.0, "q_slow": 4.0, "gone": 1.0}
     assert oc == 0.30
-    nq, nc, _ = compare_bench.collapse(
+    assert om != om  # NaN: these payloads predate the membw probe
+    nq, nc, _, _ = compare_bench.collapse(
         compare_bench.load_runs(str(new)), "queries"
     )
     assert nc == 0.60
@@ -365,6 +366,9 @@ def test_compare_bench_normalizes_and_flags(tmp_path):
     assert rc == 0
     out = json.loads(buf.getvalue())
     assert out["box_speed_ratio"] == 2.0
+    # pre-membw artifacts: the memory axis is honestly absent, the
+    # CPU-only flagging semantics are unchanged
+    assert out["mem_axis"] is False and out["box_mem_ratio"] is None
     by_q = {r["query"]: r for r in out["queries"]}
     assert by_q["q_slow"]["ratio"] == 2.0
     assert by_q["q_slow"]["norm_ratio"] == 1.0  # box weather, not code
@@ -377,3 +381,61 @@ def test_compare_bench_normalizes_and_flags(tmp_path):
     summ.write_text(json.dumps({"note": "x", "full": _payload({"a": 1.0},
                                                               0.3)}))
     assert len(compare_bench.load_runs(str(summ))) == 1
+
+
+def test_compare_bench_mem_axis_normalizes_tail_inflation(tmp_path):
+    """Round-11 verdict #1 acceptance: a synthetic 2x memory-tail
+    inflation (every query 2x slower, membw probe 2x slower, CPU probe
+    UNCHANGED — exactly the six-same-code-run r11 signature) must
+    normalize away on the memory axis instead of flagging 70 movers;
+    a query that ALSO regressed beyond both axes still flags."""
+    import contextlib
+    import io
+    import json
+    import os
+    import sys
+
+    tools_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    import compare_bench
+
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps(_payload(
+        {"q_a": 1.0, "q_b": 2.0, "q_real": 1.0}, 0.30,
+        membw_sec_pre=0.40, membw_sec_post=0.40,
+    )))
+    # NEW box: memory tail 2x slower (membw 0.80), CPU probe identical
+    # — q_a/q_b ride the weather at raw 2x; q_real is a true 6x code
+    # regression that neither axis explains
+    new = tmp_path / "new.json"
+    new.write_text(json.dumps(_payload(
+        {"q_a": 2.0, "q_b": 4.0, "q_real": 6.0}, 0.30,
+        membw_sec_pre=0.80, membw_sec_post=0.80,
+    )))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = compare_bench.main([str(old), str(new), "--json"])
+    assert rc == 0
+    out = json.loads(buf.getvalue())
+    assert out["mem_axis"] is True
+    assert out["box_mem_ratio"] == 2.0
+    assert out["box_speed_ratio"] == 1.0
+    by_q = {r["query"]: r for r in out["queries"]}
+    # the inflated tail: raw 2x, mem-normalized 1.0 -> NOT a mover
+    assert by_q["q_a"]["ratio"] == 2.0
+    assert by_q["q_a"]["norm_mem"] == 1.0
+    assert not by_q["q_a"]["flag"] and not by_q["q_b"]["flag"]
+    # the real regression: 6x raw, 3x mem-normalized, 6x cpu-normalized
+    assert by_q["q_real"]["flag"]
+    assert [m["query"] for m in out["movers"]] == ["q_real"]
+    # improvement direction: both axes must agree there too
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        compare_bench.main([str(new), str(old), "--json"])
+    back = json.loads(buf2.getvalue())
+    by_q2 = {r["query"]: r for r in back["queries"]}
+    assert not by_q2["q_a"]["flag"]
+    assert by_q2["q_real"]["flag"]
