@@ -1,0 +1,509 @@
+"""Source-generated block codecs for the Avro container DataSource.
+
+The closure codecs in ``avro_io`` pay a Python function call plus a
+``(value, new_pos)`` tuple allocation per VALUE; profiling the
+150k-row nested-orders container put ~60% of decode wall in
+``read_long`` call overhead and another ~25% in building datetime
+objects the Arrow exchange immediately re-encodes as int64 micros
+(round-11 verdict #4). This module ``exec``-compiles ONE flat Python
+function per (schema, direction) with:
+
+- the zigzag varint loop inlined at every call site (no function
+  call, no result tuple; the single-byte fast path is one branch);
+- values appended straight into per-COLUMN lists (no per-row tuple,
+  no ``zip(*rows)`` transpose);
+- temporals kept in their Arrow wire representation — int64 epoch
+  micros for ``timestamp``/``timestamp_ntz``, int32 epoch days for
+  ``date`` ("raw temporal"): the reader builds int arrays and casts
+  them to the temporal Arrow type (a metadata-level cast), the writer
+  casts the incoming Arrow columns to ints before ``to_pylist``, so
+  no ``datetime`` object exists on the hot path in either direction.
+
+Byte compatibility is a hard contract: the generated encoder emits
+exactly the bytes ``avro_io.write_container`` emits for the same
+values, and the generated decoder returns exactly the values the
+closure codecs return (modulo the documented raw-temporal int
+representation) — pinned by a cross-implementation property test.
+The closure codecs remain the reference implementation and the
+row-based fallback path.
+
+Used only by the Spark DataSource halves in ``avro_io``; the public
+``write_container``/``read_container`` API is unchanged. Format per
+the Apache Avro 1.12 specification (public); see ``avro_io`` for the
+wire-format documentation.
+"""
+
+from __future__ import annotations
+
+import decimal
+import operator
+import struct
+
+#: shared exec-namespace constants (never schema-specific)
+_BASE_CONSTS = {
+    "_upd": struct.Struct("<d").unpack_from,
+    "_upf": struct.Struct("<f").unpack_from,
+    "_pkd": struct.Struct("<d").pack,
+    "_pkf": struct.Struct("<f").pack,
+    "_dec": decimal.Decimal,
+    "_dctx": decimal.Context(prec=99),
+    "_k0": operator.itemgetter(0),
+    "_ifb": int.from_bytes,
+}
+
+_U64 = (1 << 64) - 1
+
+
+class _Gen:
+    """Accumulates generated source lines + schema-specific consts."""
+
+    def __init__(self):
+        self.lines: list[str] = []
+        self.consts: dict = dict(_BASE_CONSTS)
+        self._n = 0
+
+    def uid(self) -> int:
+        self._n += 1
+        return self._n
+
+    def const(self, obj) -> str:
+        name = f"_k{self.uid()}"
+        self.consts[name] = obj
+        return name
+
+    def emit(self, ind: int, text: str) -> None:
+        self.lines.append("    " * ind + text)
+
+
+def _null_branch(nul) -> int:
+    # mirrors avro_io._null_branch without importing it (avro_io
+    # imports this module; the marker string is part of the token
+    # contract)
+    return 1 if nul == "null_second" else 0
+
+
+# ---------------------------------------------------------------------------
+# reader codegen
+# ---------------------------------------------------------------------------
+
+
+def _emit_read_varint(g: _Gen, ind: int, out: str) -> None:
+    """Inline zigzag-varint decode of ``mv[pos:]`` into ``out``."""
+    g.emit(ind, "_b = mv[pos]; pos += 1")
+    g.emit(ind, "if _b < 128:")
+    g.emit(ind + 1, f"{out} = _b >> 1 if _b & 1 == 0 else -((_b + 1) >> 1)")
+    g.emit(ind, "else:")
+    g.emit(ind + 1, f"{out} = _b & 127; _sh = 7")
+    g.emit(ind + 1, "_b = mv[pos]; pos += 1")
+    g.emit(ind + 1, "while _b >= 128:")
+    g.emit(ind + 2, f"{out} |= (_b & 127) << _sh; _sh += 7")
+    g.emit(ind + 2, "_b = mv[pos]; pos += 1")
+    g.emit(ind + 1, f"{out} |= _b << _sh")
+    g.emit(ind + 1, f"{out} = ({out} >> 1) ^ -({out} & 1)")
+
+
+def _emit_read(g: _Gen, ind: int, typ, out: str) -> None:
+    """Emit code decoding one value of ``typ`` into variable ``out``,
+    advancing ``pos``. Temporals decode to raw ints."""
+    from text_grabr_orc_spark.sources.avro_io import (
+        _is_arr,
+        _is_enum,
+        _is_fixed,
+        _is_gmap,
+        _is_record,
+    )
+
+    if _is_record(typ):
+        parts = []
+        for name, t, nul in typ:
+            fv = f"_f{g.uid()}"
+            parts.append(fv)
+            if nul:
+                br = f"_br{g.uid()}"
+                _emit_read_varint(g, ind, br)
+                g.emit(ind, f"if {br} == {_null_branch(nul)}:")
+                g.emit(ind + 1, f"{fv} = None")
+                g.emit(ind, "else:")
+                _emit_read(g, ind + 1, t, fv)
+            else:
+                _emit_read(g, ind, t, fv)
+        g.emit(ind, f"{out} = ({', '.join(parts)}{',' if len(parts) == 1 else ''})")
+        return
+    if _is_arr(typ) or (isinstance(typ, str) and typ.startswith("array:")):
+        if _is_arr(typ):
+            item, nul = typ[1], typ[2]
+        else:
+            item, nul = typ[6:], False
+        n = f"_n{g.uid()}"
+        it = f"_it{g.uid()}"
+        ap = f"_ap{g.uid()}"
+        g.emit(ind, f"{out} = []; {ap} = {out}.append")
+        g.emit(ind, "while True:")
+        _emit_read_varint(g, ind + 1, n)
+        g.emit(ind + 1, f"if {n} == 0: break")
+        g.emit(ind + 1, f"if {n} < 0:")
+        _emit_read_varint(g, ind + 2, "_skip")
+        g.emit(ind + 2, f"{n} = -{n}")
+        g.emit(ind + 1, f"for _ in range({n}):")
+        body = ind + 2
+        if nul:
+            br = f"_br{g.uid()}"
+            _emit_read_varint(g, body, br)
+            g.emit(body, f"if {br} == 0:")
+            g.emit(body + 1, f"{ap}(None)")
+            g.emit(body, "else:")
+            _emit_read(g, body + 1, item, it)
+            g.emit(body + 1, f"{ap}({it})")
+        else:
+            _emit_read(g, body, item, it)
+            g.emit(body, f"{ap}({it})")
+        return
+    if _is_gmap(typ) or (
+        isinstance(typ, str) and (typ.startswith("map:") or typ.startswith("mapn:"))
+    ):
+        if _is_gmap(typ):
+            item, nul = typ[1], typ[2]
+        elif typ.startswith("mapn:"):
+            item, nul = typ[5:], True
+        else:
+            item, nul = typ[4:], False
+        n = f"_n{g.uid()}"
+        k = f"_kk{g.uid()}"
+        it = f"_it{g.uid()}"
+        g.emit(ind, f"{out} = {{}}")
+        g.emit(ind, "while True:")
+        _emit_read_varint(g, ind + 1, n)
+        g.emit(ind + 1, f"if {n} == 0: break")
+        g.emit(ind + 1, f"if {n} < 0:")
+        _emit_read_varint(g, ind + 2, "_skip")
+        g.emit(ind + 2, f"{n} = -{n}")
+        g.emit(ind + 1, f"for _ in range({n}):")
+        body = ind + 2
+        _emit_read_varint(g, body, "_sl")
+        g.emit(body, f"{k} = str(mv[pos : pos + _sl], 'utf-8'); pos += _sl")
+        if nul:
+            br = f"_br{g.uid()}"
+            _emit_read_varint(g, body, br)
+            g.emit(body, f"if {br} == 0:")
+            g.emit(body + 1, f"{out}[{k}] = None")
+            g.emit(body, "else:")
+            _emit_read(g, body + 1, item, it)
+            g.emit(body + 1, f"{out}[{k}] = {it}")
+        else:
+            _emit_read(g, body, item, it)
+            g.emit(body, f"{out}[{k}] = {it}")
+        return
+    if _is_enum(typ):
+        syms = g.const(typ[2])
+        i = f"_i{g.uid()}"
+        _emit_read_varint(g, ind, i)
+        g.emit(ind, f"{out} = {syms}[{i}]")
+        return
+    if _is_fixed(typ):
+        size = int(typ[2])
+        g.emit(ind, f"{out} = bytes(mv[pos : pos + {size}]); pos += {size}")
+        return
+    # scalars (raw temporals decode as plain varints)
+    if typ in ("long", "int", "tsmicros", "ltsmicros", "date"):
+        _emit_read_varint(g, ind, out)
+        return
+    if typ == "double":
+        g.emit(ind, f"{out} = _upd(mv, pos)[0]; pos += 8")
+        return
+    if typ == "float":
+        g.emit(ind, f"{out} = _upf(mv, pos)[0]; pos += 4")
+        return
+    if typ == "string":
+        _emit_read_varint(g, ind, "_sl")
+        g.emit(ind, f"{out} = str(mv[pos : pos + _sl], 'utf-8'); pos += _sl")
+        return
+    if typ == "bytes":
+        _emit_read_varint(g, ind, "_sl")
+        g.emit(ind, f"{out} = bytes(mv[pos : pos + _sl]); pos += _sl")
+        return
+    if typ == "boolean":
+        g.emit(ind, f"{out} = mv[pos] == 1; pos += 1")
+        return
+    if isinstance(typ, str) and typ.startswith("dec:"):
+        scale = int(typ.rsplit(":", 1)[1])
+        _emit_read_varint(g, ind, "_sl")
+        g.emit(
+            ind,
+            f"{out} = _dec(_ifb(mv[pos : pos + _sl], 'big', signed=True))"
+            f".scaleb(-{scale}, _dctx); pos += _sl",
+        )
+        return
+    raise ValueError(f"unsupported avro type {typ}")
+
+
+def block_decoder(fields):
+    """``fn(mv, n_rows, cols) -> consumed`` — decode ``n_rows`` records
+    from ``mv`` appending field values into the per-field lists in
+    ``cols``; temporals come out as raw ints (Arrow exchange form)."""
+    g = _Gen()
+    g.emit(0, "def _dec_fn(mv, n_rows, cols):")
+    g.emit(1, "pos = 0")
+    for i in range(len(fields)):
+        g.emit(1, f"_a{i} = cols[{i}].append")
+    g.emit(1, "for _ in range(n_rows):")
+    for i, (name, t, nul) in enumerate(fields):
+        fv = f"_v{g.uid()}"
+        if nul:
+            br = f"_br{g.uid()}"
+            _emit_read_varint(g, 2, br)
+            g.emit(2, f"if {br} == {_null_branch(nul)}:")
+            g.emit(3, f"_a{i}(None)")
+            g.emit(2, "else:")
+            _emit_read(g, 3, t, fv)
+            g.emit(3, f"_a{i}({fv})")
+        else:
+            _emit_read(g, 2, t, fv)
+            g.emit(2, f"_a{i}({fv})")
+    g.emit(1, "return pos")
+    ns = dict(g.consts)
+    exec("\n".join(g.lines), ns)  # noqa: S102 — self-generated source
+    return ns["_dec_fn"]
+
+
+# ---------------------------------------------------------------------------
+# writer codegen
+# ---------------------------------------------------------------------------
+
+
+def _emit_write_varint(g: _Gen, ind: int, expr: str) -> None:
+    """Inline zigzag-varint encode of int expression ``expr`` —
+    byte-identical to ``avro_io.write_long``."""
+    g.emit(ind, f"_z = (({expr} << 1) ^ ({expr} >> 63)) & {_U64}")
+    g.emit(ind, "while _z >= 128:")
+    g.emit(ind + 1, "_ba((_z & 127) | 128); _z >>= 7")
+    g.emit(ind, "_ba(_z)")
+
+
+def _emit_write(g: _Gen, ind: int, typ, val: str) -> None:
+    """Emit code encoding the value in variable ``val`` (of ``typ``)
+    into ``buf``. Temporals are raw ints; records are DICTS (Arrow
+    ``to_pylist`` form); maps are dicts or (k, v) pair lists."""
+    from text_grabr_orc_spark.sources.avro_io import (
+        _is_arr,
+        _is_enum,
+        _is_fixed,
+        _is_gmap,
+        _is_record,
+    )
+
+    if _is_record(typ):
+        for name, t, nul in typ:
+            fv = f"_f{g.uid()}"
+            g.emit(ind, f"{fv} = {val}[{name!r}]")
+            if nul:
+                nb = _null_branch(nul)
+                g.emit(ind, f"if {fv} is None:")
+                g.emit(ind + 1, f"_ba({2 * nb})")
+                g.emit(ind, "else:")
+                g.emit(ind + 1, f"_ba({2 * (1 - nb)})")
+                _emit_write(g, ind + 1, t, fv)
+            else:
+                g.emit(ind, f"if {fv} is None:")
+                g.emit(
+                    ind + 1,
+                    f"raise ValueError('null in non-nullable field {name}')",
+                )
+                _emit_write(g, ind, t, fv)
+        return
+    if _is_arr(typ) or (isinstance(typ, str) and typ.startswith("array:")):
+        if _is_arr(typ):
+            item, nul = typ[1], typ[2]
+        else:
+            item, nul = typ[6:], False
+        it = f"_it{g.uid()}"
+        g.emit(ind, f"if {val}:")
+        _emit_write_varint(g, ind + 1, f"len({val})")
+        g.emit(ind + 1, f"for {it} in {val}:")
+        body = ind + 2
+        if nul:
+            g.emit(body, f"if {it} is None:")
+            g.emit(body + 1, "_ba(0)")
+            g.emit(body, "else:")
+            g.emit(body + 1, "_ba(2)")
+            _emit_write(g, body + 1, item, it)
+        else:
+            g.emit(body, f"if {it} is None:")
+            g.emit(
+                body + 1,
+                "raise ValueError('null element in non-null array')",
+            )
+            _emit_write(g, body, item, it)
+        g.emit(ind, "_ba(0)")
+        return
+    if _is_gmap(typ) or (
+        isinstance(typ, str) and (typ.startswith("map:") or typ.startswith("mapn:"))
+    ):
+        if _is_gmap(typ):
+            item, nul = typ[1], typ[2]
+        elif typ.startswith("mapn:"):
+            item, nul = typ[5:], True
+        else:
+            item, nul = typ[4:], False
+        its = f"_ms{g.uid()}"
+        k = f"_mk{g.uid()}"
+        x = f"_mx{g.uid()}"
+        # sort by KEY only (duplicate keys with unorderable values —
+        # same contract as the closure writer)
+        g.emit(
+            ind,
+            f"{its} = sorted({val}.items() if hasattr({val}, 'items')"
+            f" else {val}, key=_k0)",
+        )
+        g.emit(ind, f"if {its}:")
+        _emit_write_varint(g, ind + 1, f"len({its})")
+        g.emit(ind + 1, f"for {k}, {x} in {its}:")
+        body = ind + 2
+        g.emit(body, f"_r = {k}.encode('utf-8')")
+        _emit_write_varint(g, body, "len(_r)")
+        g.emit(body, "buf += _r")
+        if nul:
+            g.emit(body, f"if {x} is None:")
+            g.emit(body + 1, "_ba(0)")
+            g.emit(body, "else:")
+            g.emit(body + 1, "_ba(2)")
+            _emit_write(g, body + 1, item, x)
+        else:
+            g.emit(body, f"if {x} is None:")
+            g.emit(
+                body + 1,
+                f"raise ValueError(f'null value for key {{{k}!r}}"
+                f" in non-nullable map')",
+            )
+            _emit_write(g, body, item, x)
+        g.emit(ind, "_ba(0)")
+        return
+    if _is_enum(typ):
+        idx = g.const({s: i for i, s in enumerate(typ[2])})
+        syms = g.const(typ[2])
+        i = f"_i{g.uid()}"
+        g.emit(ind, f"{i} = {idx}.get({val})")
+        g.emit(ind, f"if {i} is None:")
+        g.emit(
+            ind + 1,
+            f"raise ValueError(f'value {{{val}!r}} not in enum"
+            f" symbols {{{syms}}}')",
+        )
+        _emit_write_varint(g, ind, i)
+        return
+    if _is_fixed(typ):
+        size = int(typ[2])
+        g.emit(ind, f"_r = bytes({val})")
+        g.emit(ind, f"if len(_r) != {size}:")
+        g.emit(
+            ind + 1,
+            f"raise ValueError(f'fixed({size}) value has"
+            f" {{len(_r)}} bytes')",
+        )
+        g.emit(ind, "buf += _r")
+        return
+    if typ in ("long", "int", "tsmicros", "ltsmicros", "date"):
+        _emit_write_varint(g, ind, val)
+        return
+    if typ == "double":
+        g.emit(ind, f"buf += _pkd({val})")
+        return
+    if typ == "float":
+        g.emit(ind, f"buf += _pkf({val})")
+        return
+    if typ == "string":
+        g.emit(ind, f"_r = {val}.encode('utf-8')")
+        _emit_write_varint(g, ind, "len(_r)")
+        g.emit(ind, "buf += _r")
+        return
+    if typ == "bytes":
+        g.emit(ind, f"_r = bytes({val})")
+        _emit_write_varint(g, ind, "len(_r)")
+        g.emit(ind, "buf += _r")
+        return
+    if typ == "boolean":
+        g.emit(ind, f"_ba(1 if {val} else 0)")
+        return
+    if isinstance(typ, str) and typ.startswith("dec:"):
+        scale = int(typ.rsplit(":", 1)[1])
+        g.emit(ind, f"_ud = {val}.scaleb({scale}, _dctx)")
+        g.emit(ind, "_u = int(_ud)")
+        g.emit(ind, "if _u != _ud:")
+        g.emit(
+            ind + 1,
+            f"raise ValueError(f'decimal {{{val}}} does not fit"
+            f" scale {scale}')",
+        )
+        g.emit(
+            ind,
+            "_r = _u.to_bytes(max(1, (_u.bit_length() + 8) // 8),"
+            " 'big', signed=True)",
+        )
+        _emit_write_varint(g, ind, "len(_r)")
+        g.emit(ind, "buf += _r")
+        return
+    raise ValueError(f"unsupported avro type {typ}")
+
+
+def block_encoder(fields):
+    """``fn(buf, cols, i0, i1) -> None`` — encode rows ``[i0, i1)`` of
+    the per-field lists in ``cols`` into ``buf`` (a bytearray), in
+    wire-identical bytes to the closure writer. Temporal columns must
+    already be raw ints (Arrow-cast form); struct values are dicts."""
+    g = _Gen()
+    g.emit(0, "def _enc_fn(buf, cols, i0, i1):")
+    g.emit(1, "_ba = buf.append")
+    for i in range(len(fields)):
+        g.emit(1, f"_c{i} = cols[{i}]")
+    g.emit(1, "for _i in range(i0, i1):")
+    for i, (name, t, nul) in enumerate(fields):
+        fv = f"_v{g.uid()}"
+        g.emit(2, f"{fv} = _c{i}[_i]")
+        if nul:
+            nb = _null_branch(nul)
+            g.emit(2, f"if {fv} is None:")
+            g.emit(3, f"_ba({2 * nb})")
+            g.emit(2, "else:")
+            g.emit(3, f"_ba({2 * (1 - nb)})")
+            _emit_write(g, 3, t, fv)
+        else:
+            g.emit(2, f"if {fv} is None:")
+            g.emit(
+                3, f"raise ValueError('null in non-nullable field {name}')"
+            )
+            _emit_write(g, 2, t, fv)
+    ns = dict(g.consts)
+    exec("\n".join(g.lines), ns)  # noqa: S102 — self-generated source
+    return ns["_enc_fn"]
+
+
+# ---------------------------------------------------------------------------
+# raw-temporal Arrow types (cast partners of avro_io._arrow_type)
+# ---------------------------------------------------------------------------
+
+
+def raw_arrow_type(token):
+    """pyarrow type with int64/int32 in place of timestamp/date —
+    what :func:`block_decoder` produces and :func:`block_encoder`
+    consumes. ``arr.cast(_arrow_type(token))`` (reader) and
+    ``col.cast(raw_arrow_type(token))`` (writer) bridge the two;
+    pyarrow casts nested children recursively."""
+    import pyarrow as pa
+
+    from text_grabr_orc_spark.sources.avro_io import (
+        _arrow_type,
+        _is_arr,
+        _is_gmap,
+        _is_record,
+    )
+
+    if _is_record(token):
+        return pa.struct([(n, raw_arrow_type(t)) for n, t, _ in token])
+    if _is_arr(token):
+        return pa.list_(raw_arrow_type(token[1]))
+    if _is_gmap(token):
+        return pa.map_(pa.string(), raw_arrow_type(token[1]))
+    if token in ("tsmicros", "ltsmicros"):
+        return pa.int64()
+    if token == "date":
+        return pa.int32()
+    return _arrow_type(token)

