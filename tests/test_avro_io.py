@@ -1542,3 +1542,57 @@ def test_codegen_codec_matches_closure_codecs():
         assert used2 == used and ref == crows
 
     check()
+
+
+def test_codegen_review_fixes(tmp_path):
+    """Round-12 review findings on the generated codecs: (1) a
+    zero-field schema compiles (empty loop body used to
+    IndentationError, making rows-bearing zero-column containers
+    unreadable); (2) quotes/backslashes in column names survive
+    source generation; (3) block_rows <= 0 raises instead of spinning
+    the columnar writer forever; (4) generated codecs are memoized
+    per schema (hundreds of split partitions must not re-exec)."""
+    import os as _os
+
+    import pytest
+
+    from text_grabr_orc_spark.sources.avro_codegen import (
+        block_decoder,
+        block_encoder,
+    )
+    from text_grabr_orc_spark.sources.avro_io import (
+        read_blocks_columns,
+        write_container_columns,
+    )
+
+    # (1) zero-field schema: codecs compile; rows-bearing zero-column
+    # containers round-trip their COUNT through the columnar path
+    p = str(tmp_path / "zero.avro")
+    write_container(p, [], iter([(), (), ()]))
+    got = [(len(cols), n) for _, cols, n in read_blocks_columns(p)]
+    assert got == [(0, 3)]
+    enc0 = block_encoder([])
+    buf = bytearray()
+    enc0(buf, [], 0, 3)
+    assert bytes(buf) == b""
+    # (2) hostile column names: generation must not break the source
+    fields = [("it's \\ a \"name\"\n", "long", False)]
+    enc = block_encoder(fields)
+    dec = block_decoder(fields)
+    buf = bytearray()
+    enc(buf, [[7]], 0, 1)
+    cols = [[]]
+    assert dec(memoryview(bytes(buf)), 1, cols) == len(buf)
+    assert cols == [[7]]
+    with pytest.raises(ValueError, match="null in non-nullable"):
+        enc(bytearray(), [[None]], 0, 1)
+    # (3) non-positive block_rows: loud error, not an infinite loop
+    with pytest.raises(ValueError, match="block_rows"):
+        write_container_columns(
+            str(tmp_path / "x.avro"), [("a", "long", False)],
+            [([[1]], 1)], block_rows=0,
+        )
+    # (4) memoization: same schema -> same compiled object
+    f2 = [("a", "long", False), ("b", "string", True)]
+    assert block_decoder(f2) is block_decoder(list(f2))
+    assert block_encoder(f2) is block_encoder(list(f2))

@@ -236,16 +236,40 @@ def _emit_read(g: _Gen, ind: int, typ, out: str) -> None:
     raise ValueError(f"unsupported avro type {typ}")
 
 
+#: memoized generated codecs, keyed like avro_io._codec_cache (tokens
+#: may be nested lists, so repr is the canonical hashable key). A
+#: multi-GB container split at 32 MiB yields hundreds of partitions
+#: per executor python worker — each must not re-exec the identical
+#: schema's source (review finding).
+_GEN_CACHE: dict = {}
+
+
+def _gen_cached(kind: str, fields, build):
+    key = (kind, repr(fields))
+    fn = _GEN_CACHE.get(key)
+    if fn is None:
+        if len(_GEN_CACHE) > 512:
+            _GEN_CACHE.clear()
+        fn = _GEN_CACHE[key] = build()
+    return fn
+
+
 def block_decoder(fields):
     """``fn(mv, n_rows, cols) -> consumed`` — decode ``n_rows`` records
     from ``mv`` appending field values into the per-field lists in
     ``cols``; temporals come out as raw ints (Arrow exchange form)."""
+    return _gen_cached("r", fields, lambda: _build_decoder(fields))
+
+
+def _build_decoder(fields):
     g = _Gen()
     g.emit(0, "def _dec_fn(mv, n_rows, cols):")
     g.emit(1, "pos = 0")
     for i in range(len(fields)):
         g.emit(1, f"_a{i} = cols[{i}].append")
     g.emit(1, "for _ in range(n_rows):")
+    if not fields:  # zero-column records carry no wire bytes
+        g.emit(2, "pass")
     for i, (name, t, nul) in enumerate(fields):
         fv = f"_v{g.uid()}"
         if nul:
@@ -292,6 +316,9 @@ def _emit_write(g: _Gen, ind: int, typ, val: str) -> None:
     )
 
     if _is_record(typ):
+        if not typ:  # zero-field record: no wire bytes
+            g.emit(ind, "pass")
+            return
         for name, t, nul in typ:
             fv = f"_f{g.uid()}"
             g.emit(ind, f"{fv} = {val}[{name!r}]")
@@ -304,10 +331,11 @@ def _emit_write(g: _Gen, ind: int, typ, val: str) -> None:
                 _emit_write(g, ind + 1, t, fv)
             else:
                 g.emit(ind, f"if {fv} is None:")
-                g.emit(
-                    ind + 1,
-                    f"raise ValueError('null in non-nullable field {name}')",
-                )
+                # message built host-side and repr'd into the source:
+                # a quote/backslash/newline in a column name must not
+                # break the generated module (review finding)
+                msg = f"null in non-nullable field {name}"
+                g.emit(ind + 1, f"raise ValueError({msg!r})")
                 _emit_write(g, ind, t, fv)
         return
     if _is_arr(typ) or (isinstance(typ, str) and typ.startswith("array:")):
@@ -449,12 +477,18 @@ def block_encoder(fields):
     the per-field lists in ``cols`` into ``buf`` (a bytearray), in
     wire-identical bytes to the closure writer. Temporal columns must
     already be raw ints (Arrow-cast form); struct values are dicts."""
+    return _gen_cached("w", fields, lambda: _build_encoder(fields))
+
+
+def _build_encoder(fields):
     g = _Gen()
     g.emit(0, "def _enc_fn(buf, cols, i0, i1):")
     g.emit(1, "_ba = buf.append")
     for i in range(len(fields)):
         g.emit(1, f"_c{i} = cols[{i}]")
     g.emit(1, "for _i in range(i0, i1):")
+    if not fields:  # zero-column records carry no wire bytes
+        g.emit(2, "pass")
     for i, (name, t, nul) in enumerate(fields):
         fv = f"_v{g.uid()}"
         g.emit(2, f"{fv} = _c{i}[_i]")
@@ -467,9 +501,8 @@ def block_encoder(fields):
             _emit_write(g, 3, t, fv)
         else:
             g.emit(2, f"if {fv} is None:")
-            g.emit(
-                3, f"raise ValueError('null in non-nullable field {name}')"
-            )
+            msg = f"null in non-nullable field {name}"
+            g.emit(3, f"raise ValueError({msg!r})")
             _emit_write(g, 2, t, fv)
     ns = dict(g.consts)
     exec("\n".join(g.lines), ns)  # noqa: S102 — self-generated source

@@ -1213,6 +1213,11 @@ def write_container_columns(
 
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
+    if block_rows <= 0:
+        # the take=min(...) loop below would spin forever at 0 (the
+        # row-tuple path degrades to one-row blocks instead; review
+        # finding) — reject the nonsensical option loudly either way
+        raise ValueError(f"block_rows must be positive, got {block_rows}")
     sync = _resolve_sync(sync, path, sync_name)
     enc = block_encoder(fields)
     with open(path, "wb") as fh:
@@ -1705,8 +1710,13 @@ def make_avro_datasource():
                     ]
                     yield cols, b.num_rows
 
-            # peek: Arrow half gets RecordBatches, fallback half Rows
-            first = next(iter(rows), None)
+            # peek: Arrow half gets RecordBatches, fallback half Rows.
+            # iter() first: if a caller ever hands a SEQUENCE instead
+            # of pyspark's generator, chaining [first] onto the
+            # original would duplicate the first batch (review
+            # finding)
+            rows = iter(rows)
+            first = next(rows, None)
             if first is None:
                 batches = iter(())
                 arrow = True  # empty: columnar no-op writes header only
