@@ -133,6 +133,10 @@ BENCH_QUERIES = [
     # the recursive nested-record (struct) path
     "avro_events_roundtrip",
     "avro_nested_roundtrip",
+    # round-12: the named-type path (enum symbol varints, fixed raw
+    # bytes, generalized map values) through the source-generated
+    # block codecs
+    "avro_enum_roundtrip",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation
