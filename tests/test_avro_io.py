@@ -1596,3 +1596,191 @@ def test_codegen_review_fixes(tmp_path):
     f2 = [("a", "long", False), ("b", "string", True)]
     assert block_decoder(f2) is block_decoder(list(f2))
     assert block_encoder(f2) is block_encoder(list(f2))
+
+
+def test_reader_schema_resolution_skip_and_promote():
+    """Schema resolution unit coverage: writer-only fields of every
+    shape SKIP with exact widths (a wrong skip shifts every following
+    byte), spec promotions decode as the reader type, defaults fill,
+    and incompatibilities raise."""
+    import pytest
+
+    from text_grabr_orc_spark.sources.avro_codegen import (
+        resolve_reader,
+        resolved_block_decoder,
+    )
+    from text_grabr_orc_spark.sources.avro_io import (
+        _compile_record_writer,
+    )
+
+    writer = [
+        ("a", "int", False),
+        ("skip_str", "string", True),
+        ("skip_arr", ("arr", [("x", "long", False)], True), False),
+        ("skip_map", "mapn:long", False),
+        ("skip_rec", [("p", "double", False),
+                      ("q", "boolean", True)], True),
+        ("skip_fixed", ("fixed", "f8", 8), False),
+        ("skip_enum", ("enum", "e", ("X", "Y")), False),
+        ("f", "float", False),
+        ("s", "string", False),
+        ("b", "bytes", False),
+    ]
+    reader = [
+        ("b", "string", False),    # bytes -> string
+        ("a", "double", False),    # int -> double
+        ("f", "double", False),    # float -> double
+        ("s", "bytes", False),     # string -> bytes
+        ("added", "long", False),  # reader-only (default by caller)
+    ]
+    rows = [
+        # the bytes field carries VALID utf-8 (bytes->string promotion
+        # is a reinterpretation of the payload, spec-legal only for
+        # utf-8 content)
+        (7, "drop", [(1,), None], {"k": 9, "z": None},
+         (2.5, None), b"12345678", "Y", 1.5, "hi", "héllo".encode()),
+        (-3, None, [], {}, None, b"abcdefgh", "X", -0.25, "", b""),
+    ]
+    wr = _compile_record_writer(writer)
+    buf = bytearray()
+    for r in rows:
+        wr(buf, r)
+    dec = resolved_block_decoder(writer, reader)
+    cols = [[] for _ in reader]
+    used = dec(memoryview(bytes(buf)), 2, cols)
+    assert used == len(buf)  # every skip consumed exactly its bytes
+    assert cols[0] == ["héllo", ""]  # bytes -> string
+    assert cols[1] == [7.0, -3.0]
+    assert cols[2] == [1.5, -0.25]
+    assert cols[3] == [b"hi", b""]
+    assert cols[4] == []  # caller fills defaults
+    ops, missing = resolve_reader(writer, reader)
+    assert [reader[i][0] for i in missing] == ["added"]
+    # incompatibilities: type and nullability mismatches raise
+    with pytest.raises(ValueError, match="cannot resolve"):
+        resolve_reader([("a", "string", False)],
+                       [("a", "long", False)])
+    with pytest.raises(ValueError, match="nullability"):
+        resolve_reader([("a", "long", True)],
+                       [("a", "long", False)])
+
+
+def test_reader_schema_jvm_resolver_parity(spark, tmp_path):
+    """The real Avro library's resolving decoder
+    (GenericDatumReader(expected=reader)) agrees with this codec on a
+    skip+promote+default resolution of a python-written file."""
+    import json as _json
+
+    from text_grabr_orc_spark.sources.avro_io import _schema_json
+
+    writer = [
+        ("a", "int", False),
+        ("junk", "string", False),
+        ("f", "float", False),
+    ]
+    rows = [(5, "drop-me", 1.5), (-9, "", -2.25)]
+    p = str(tmp_path / "evo.avro")
+    write_container(p, writer, iter(rows), codec="deflate")
+    reader_json = _json.dumps({
+        "type": "record", "name": "row",
+        "fields": [
+            {"name": "a", "type": "long"},          # int -> long
+            {"name": "f", "type": "double"},        # float -> double
+            {"name": "extra", "type": "string", "default": "dflt"},
+        ],
+    })
+    jvm = spark._jvm
+    expected = jvm.org.apache.avro.Schema.Parser().parse(reader_json)
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p),
+        jvm.org.apache.avro.generic.GenericDatumReader(expected),
+    )
+    got = []
+    while rdr.hasNext():
+        rec = rdr.next()
+        got.append((rec.get("a"), rec.get("f"), str(rec.get("extra"))))
+    rdr.close()
+    assert got == [(5, 1.5, "dflt"), (-9, -2.25, "dflt")]
+    # our resolver on the same file and reader schema
+    from text_grabr_orc_spark.sources.avro_io import (
+        _parse_reader_schema,
+        read_blocks_columns,
+    )
+
+    rf, dflts = _parse_reader_schema(reader_json)
+    ours = []
+    for _f, cols, n in read_blocks_columns(p, None, None, rf, dflts):
+        ours.extend(zip(*cols))
+    assert ours == got
+
+
+def test_spark_datasource_reader_schema(spark, sf_dir, tmp_path):
+    """Datasource end-to-end resolution: projection skips wide writer
+    fields, promotions change the Spark type, the default fills a
+    reader-only column, and the registered query passes against a
+    direct computation."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from text_grabr_orc_spark import registry
+    from text_grabr_orc_spark.sources.avro_io import register_avro_source
+    from text_grabr_orc_spark.tables import load_table
+
+    register_avro_source(spark)
+    df = spark.sql(
+        """
+        SELECT id, CAST(id AS INT) AS small,
+               repeat('x', 50) AS wide,
+               map('k', id) AS m,
+               timestamp_ntz'2024-06-01 12:30:00' AS ts
+        FROM range(500)
+        """
+    )
+    out = str(tmp_path / "evo_ds")
+    df.repartition(2).write.format("tgos_avro").option(
+        "path", out
+    ).mode("append").save()
+    reader = _json.dumps({
+        "type": "record", "name": "row",
+        "fields": [
+            {"name": "small", "type": "long"},
+            {"name": "ts", "type": {
+                "type": "long",
+                "logicalType": "local-timestamp-micros"}},
+            {"name": "channel", "type": "string", "default": "web"},
+        ],
+    })
+    back = (
+        spark.read.format("tgos_avro")
+        .option("path", out)
+        .option("reader_schema", reader)
+        .load()
+    )
+    assert dict(back.dtypes) == {
+        "small": "bigint", "ts": "timestamp_ntz", "channel": "string",
+    }
+    rows = back.agg(
+        F.count(F.lit(1)), F.sum("small"),
+        F.count_distinct("channel"), F.min("ts").cast("string"),
+    ).collect()[0]
+    assert tuple(rows) == (500, 124750, 1, "2024-06-01 12:30:00")
+    # the registered evolution query against a direct computation
+    registry.load_all()
+    got = {
+        r["status"]: r
+        for r in registry.QUERIES["avro_reader_schema_evolution"](
+            spark, sf_dir
+        ).collect()
+    }
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("o_orderkey").alias("key_sum"))
+        .collect()
+    )
+    for r in want:
+        assert got[r["o_orderstatus"]]["n"] == r["n"]
+        assert got[r["o_orderstatus"]]["key_sum"] == r["key_sum"]
+        assert got[r["o_orderstatus"]]["channel"] == "store"

@@ -540,3 +540,231 @@ def raw_arrow_type(token):
     if token == "date":
         return pa.int32()
     return _arrow_type(token)
+
+
+# ---------------------------------------------------------------------------
+# reader-schema resolution (spec §"Schema Resolution")
+# ---------------------------------------------------------------------------
+
+#: spec type promotions the resolver honors (writer -> reader).
+#: int/long promote to the float family, float widens to double,
+#: string and bytes interconvert. Temporal/logical tokens never
+#: promote (a micros column silently read as plain long would change
+#: the Spark type out from under the query).
+_PROMOTIONS = {
+    ("int", "long"): "varint",
+    ("int", "float"): "tofloat",
+    ("int", "double"): "tofloat",
+    ("long", "float"): "tofloat",
+    ("long", "double"): "tofloat",
+    ("float", "double"): "f2d",
+    ("string", "bytes"): "s2b",
+    ("bytes", "string"): "b2s",
+}
+
+
+def resolve_reader(writer_fields, reader_fields):
+    """Spec schema resolution, top-level fields: match by NAME, skip
+    writer-only fields, allow the promotion table above, and require
+    reader-only fields to carry a default (validated by the caller,
+    which owns the defaults map). Nullability must agree for matched
+    fields (a None from the wire must have somewhere legal to go).
+    Returns ``(ops, missing)``: ``ops`` is one entry per WRITER field
+    — ``("decode", reader_idx, writer_token, reader_token, nul)`` or
+    ``("skip", writer_token, nul)`` — and ``missing`` is the list of
+    reader indices to fill from defaults. Composite tokens must match
+    exactly (nested resolution is out of subset, documented)."""
+    reader_idx = {n: i for i, (n, _, _) in enumerate(reader_fields)}
+    ops = []
+    seen = set()
+    for name, wt, wnul in writer_fields:
+        j = reader_idx.get(name)
+        if j is None:
+            ops.append(("skip", wt, wnul))
+            continue
+        _, rt, rnul = reader_fields[j]
+        if bool(wnul) != bool(rnul):
+            raise ValueError(
+                f"reader/writer nullability mismatch for field {name!r}"
+            )
+        if wt != rt and (
+            not isinstance(wt, str)
+            or not isinstance(rt, str)
+            or (wt, rt) not in _PROMOTIONS
+        ):
+            raise ValueError(
+                f"cannot resolve writer type {wt!r} to reader type"
+                f" {rt!r} for field {name!r}"
+            )
+        seen.add(name)
+        ops.append(("decode", j, wt, rt, wnul))
+    missing = [
+        i for i, (n, _, _) in enumerate(reader_fields) if n not in seen
+    ]
+    return ops, missing
+
+
+def _emit_skip_varint(g: _Gen, ind: int) -> None:
+    # no value is built: walk continuation bits only
+    g.emit(ind, "while mv[pos] >= 128: pos += 1")
+    g.emit(ind, "pos += 1")
+
+
+def _emit_skip(g: _Gen, ind: int, typ) -> None:
+    """Advance ``pos`` past one value of ``typ`` without materializing
+    it — the codec-level column-pruning primitive. Array/map blocks
+    written with a byte size (negative count) skip in O(1) per block,
+    which is exactly what the spec designed the size for."""
+    from text_grabr_orc_spark.sources.avro_io import (
+        _is_arr,
+        _is_enum,
+        _is_fixed,
+        _is_gmap,
+        _is_record,
+    )
+
+    if _is_record(typ):
+        for _name, t, nul in typ:
+            if nul:
+                br = f"_br{g.uid()}"
+                _emit_read_varint(g, ind, br)
+                g.emit(ind, f"if {br} != {_null_branch(nul)}:")
+                _emit_skip(g, ind + 1, t)
+            else:
+                _emit_skip(g, ind, t)
+        if not typ:
+            g.emit(ind, "pass")
+        return
+    if _is_arr(typ) or _is_gmap(typ) or (
+        isinstance(typ, str)
+        and (typ.startswith(("array:", "map:", "mapn:")))
+    ):
+        if _is_arr(typ):
+            item, nul, is_map = typ[1], typ[2], False
+        elif _is_gmap(typ):
+            item, nul, is_map = typ[1], typ[2], True
+        elif typ.startswith("array:"):
+            item, nul, is_map = typ[6:], False, False
+        elif typ.startswith("mapn:"):
+            item, nul, is_map = typ[5:], True, True
+        else:
+            item, nul, is_map = typ[4:], False, True
+        n = f"_n{g.uid()}"
+        g.emit(ind, "while True:")
+        _emit_read_varint(g, ind + 1, n)
+        g.emit(ind + 1, f"if {n} == 0: break")
+        g.emit(ind + 1, f"if {n} < 0:")
+        sz = f"_sz{g.uid()}"
+        _emit_read_varint(g, ind + 2, sz)
+        g.emit(ind + 2, f"pos += {sz}  # size-framed block: O(1) skip")
+        g.emit(ind + 2, "continue")
+        g.emit(ind + 1, f"for _ in range({n}):")
+        body = ind + 2
+        if is_map:
+            _emit_read_varint(g, body, "_sl")
+            g.emit(body, "pos += _sl")
+        if nul:
+            br = f"_br{g.uid()}"
+            _emit_read_varint(g, body, br)
+            g.emit(body, f"if {br} != 0:")
+            _emit_skip(g, body + 1, item)
+        else:
+            _emit_skip(g, body, item)
+        return
+    if _is_enum(typ):
+        _emit_skip_varint(g, ind)
+        return
+    if _is_fixed(typ):
+        g.emit(ind, f"pos += {int(typ[2])}")
+        return
+    if typ in ("long", "int", "tsmicros", "ltsmicros", "date"):
+        _emit_skip_varint(g, ind)
+        return
+    if typ == "double":
+        g.emit(ind, "pos += 8")
+        return
+    if typ == "float":
+        g.emit(ind, "pos += 4")
+        return
+    if typ in ("string", "bytes") or (
+        isinstance(typ, str) and typ.startswith("dec:")
+    ):
+        _emit_read_varint(g, ind, "_sl")
+        g.emit(ind, "pos += _sl")
+        return
+    if typ == "boolean":
+        g.emit(ind, "pos += 1")
+        return
+    raise ValueError(f"unsupported avro type {typ}")
+
+
+def _emit_read_promoted(g: _Gen, ind: int, wt, rt, out: str) -> None:
+    """Decode a writer value of ``wt`` AS the reader type ``rt``."""
+    if wt == rt:
+        _emit_read(g, ind, wt, out)
+        return
+    kind = _PROMOTIONS[(wt, rt)]
+    if kind == "varint":  # int -> long: identical wire decode
+        _emit_read_varint(g, ind, out)
+    elif kind == "tofloat":  # int/long -> float/double
+        _emit_read_varint(g, ind, out)
+        g.emit(ind, f"{out} = float({out})")
+    elif kind == "f2d":  # float widens exactly to double
+        _emit_read(g, ind, "float", out)
+    elif kind == "s2b":  # read the utf-8 payload as raw bytes
+        _emit_read(g, ind, "bytes", out)
+    elif kind == "b2s":
+        _emit_read(g, ind, "string", out)
+
+
+def resolved_block_decoder(writer_fields, reader_fields):
+    """``fn(mv, n_rows, cols) -> consumed`` where ``cols`` has one
+    list per READER field: matched writer fields decode (with spec
+    promotions), writer-only fields skip without materializing, and
+    reader-only fields are left EMPTY for the caller to fill from
+    defaults (see ``resolve_reader`` for the compatibility rules)."""
+    key = ("rr", repr(writer_fields), repr(reader_fields))
+    fn = _GEN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    ops, _missing = resolve_reader(writer_fields, reader_fields)
+    g = _Gen()
+    g.emit(0, "def _dec_fn(mv, n_rows, cols):")
+    g.emit(1, "pos = 0")
+    decode_targets = [op[1] for op in ops if op[0] == "decode"]
+    for j in decode_targets:
+        g.emit(1, f"_a{j} = cols[{j}].append")
+    g.emit(1, "for _ in range(n_rows):")
+    if not ops:
+        g.emit(2, "pass")
+    for op in ops:
+        if op[0] == "skip":
+            _, wt, nul = op
+            if nul:
+                br = f"_br{g.uid()}"
+                _emit_read_varint(g, 2, br)
+                g.emit(2, f"if {br} != {_null_branch(nul)}:")
+                _emit_skip(g, 3, wt)
+            else:
+                _emit_skip(g, 2, wt)
+            continue
+        _, j, wt, rt, nul = op
+        fv = f"_v{g.uid()}"
+        if nul:
+            br = f"_br{g.uid()}"
+            _emit_read_varint(g, 2, br)
+            g.emit(2, f"if {br} == {_null_branch(nul)}:")
+            g.emit(3, f"_a{j}(None)")
+            g.emit(2, "else:")
+            _emit_read_promoted(g, 3, wt, rt, fv)
+            g.emit(3, f"_a{j}({fv})")
+        else:
+            _emit_read_promoted(g, 2, wt, rt, fv)
+            g.emit(2, f"_a{j}({fv})")
+    g.emit(1, "return pos")
+    ns = dict(g.consts)
+    exec("\n".join(g.lines), ns)  # noqa: S102 — self-generated source
+    if len(_GEN_CACHE) > 512:
+        _GEN_CACHE.clear()
+    fn = _GEN_CACHE[key] = ns["_dec_fn"]
+    return fn

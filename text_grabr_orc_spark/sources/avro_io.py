@@ -40,7 +40,14 @@ two's-complement big-endian int per the spec, Spark DECIMAL(p,s) —
 exact arithmetic survives the wire). Arrays generalize past the
 compact non-null-prim form: any supported item type including nested
 records and logical types, with NULL elements (Spark's
-``containsNull``) as ``["null", item]`` unions. The only remaining
+``containsNull``) as ``["null", item]`` unions. READ-SIDE SCHEMA
+RESOLUTION (spec §Schema Resolution, top-level fields) via the
+``reader_schema`` option: match by name, SKIP-decode writer-only
+fields (codec-level column pruning — see avro_codegen._emit_skip),
+fill reader-only fields from their defaults, and honor the spec
+promotions (int→long/float/double, long→float/double, float→double,
+string↔bytes); parity with the JVM resolving decoder is
+pytest-pinned. The only remaining
 exclusions are shapes Spark itself cannot represent losslessly:
 multi-branch (non-null) unions, recursive named-type references, and
 the ``[T,"null"]`` declaration order INSIDE array items / map values
@@ -1091,6 +1098,65 @@ def _parse_schema(schema_json: str) -> Fields:
     return _parse_fields(sch["fields"])
 
 
+def _default_value(token, v):
+    """JSON default (spec §Schema Resolution) -> the raw-temporal
+    python value the columnar reader fills with. Scalar subset only:
+    composite defaults (arrays/maps/records) other than null are out
+    of subset and raise."""
+    if v is None:
+        return None
+    if isinstance(token, str):
+        if token in ("long", "int", "tsmicros", "ltsmicros", "date"):
+            return int(v)
+        if token in ("float", "double"):
+            return float(v)
+        if token == "string":
+            return str(v)
+        if token == "boolean":
+            return bool(v)
+        if token == "bytes":
+            # spec: bytes defaults are JSON strings of latin-1 chars
+            return v.encode("latin-1")
+        if token.startswith("dec:"):
+            import decimal as _d
+
+            scale = int(token.rsplit(":", 1)[1])
+            return _d.Decimal(
+                int.from_bytes(v.encode("latin-1"), "big", signed=True)
+            ).scaleb(-scale, _d.Context(prec=99))
+    if _is_enum(token):
+        if v not in token[2]:
+            raise ValueError(f"default {v!r} not in enum symbols")
+        return str(v)
+    if _is_fixed(token):
+        raw = v.encode("latin-1")
+        if len(raw) != token[2]:
+            raise ValueError(f"fixed default has {len(raw)} bytes")
+        return raw
+    raise ValueError(
+        f"unsupported default {v!r} for reader type {token!r}"
+    )
+
+
+def _parse_reader_schema(schema_json: str) -> tuple[Fields, dict]:
+    """Reader schema for spec Schema Resolution: same token parse as
+    :func:`_parse_schema` plus the per-field ``default`` values
+    (returned in the raw-temporal form the columnar reader fills
+    with). Fields without defaults are fine as long as the writer
+    schema carries them — validated at read time."""
+    sch = json.loads(schema_json)
+    if sch.get("type") != "record":
+        raise ValueError("only record reader schemas supported")
+    if not sch.get("fields"):
+        raise ValueError("reader schema needs at least one field")
+    fields = _parse_fields(sch["fields"])
+    defaults: dict = {}
+    for f, (name, token, _nul) in zip(sch["fields"], fields):
+        if "default" in f:
+            defaults[name] = _default_value(token, f["default"])
+    return fields, defaults
+
+
 def _container_header(fields: Fields, name: str, sync: bytes,
                       codec: str) -> bytes:
     """Magic + file-metadata map + sync marker (spec header bytes)."""
@@ -1352,7 +1418,9 @@ def read_blocks(path: str, start: int | None = None,
 
 
 def read_blocks_columns(path: str, start: int | None = None,
-                        end: int | None = None):
+                        end: int | None = None,
+                        reader_fields: Fields | None = None,
+                        defaults: dict | None = None):
     """Columnar hot-path twin of :func:`read_blocks` for the Arrow
     reader: yields ``(fields, cols, n_rows)`` per block where ``cols``
     is one python list per field in RAW-TEMPORAL form (int64 micros /
@@ -1360,17 +1428,47 @@ def read_blocks_columns(path: str, start: int | None = None,
     arrays to the declared temporal types, a metadata-level cast).
     The source-generated decoder inlines the varint loop and appends
     straight into column lists — no per-value closure call, no per-row
-    tuple, no datetime objects."""
-    from text_grabr_orc_spark.sources.avro_codegen import block_decoder
+    tuple, no datetime objects.
+
+    With ``reader_fields`` (spec §Schema Resolution, top-level): the
+    file's embedded schema is the WRITER schema; matched fields decode
+    (with spec promotions), writer-only fields SKIP without
+    materializing (codec-level column pruning — a 2-column projection
+    of a wide container never builds the other values), and
+    reader-only fields are filled from ``defaults`` (raw-temporal
+    representation; a missing default raises). Yields reader-shaped
+    ``(reader_fields, cols, n_rows)``."""
+    from text_grabr_orc_spark.sources.avro_codegen import (
+        block_decoder,
+        resolve_reader,
+        resolved_block_decoder,
+    )
 
     dec = None
+    missing: list[int] = []
     for fields, payload, n_rows in iter_raw_blocks(path, start, end):
         if dec is None:
-            dec = block_decoder(fields)
+            if reader_fields is None:
+                dec = block_decoder(fields)
+            else:
+                _, missing = resolve_reader(fields, reader_fields)
+                for j in missing:
+                    name = reader_fields[j][0]
+                    if name not in (defaults or {}):
+                        raise ValueError(
+                            f"reader field {name!r} absent from the"
+                            " writer schema and has no default"
+                        )
+                dec = resolved_block_decoder(fields, reader_fields)
+                fields = reader_fields
+        elif reader_fields is not None:
+            fields = reader_fields
         cols = [[] for _ in fields]
         used = dec(payload, n_rows, cols)
         if used != len(payload):
             raise ValueError("block decoded short/long")
+        for j in missing:
+            cols[j] = [defaults[reader_fields[j][0]]] * n_rows
         yield fields, cols, n_rows
 
 
@@ -1544,6 +1642,12 @@ def make_avro_datasource():
     class _AvroReader(DataSourceReader):
         def __init__(self, options):
             self.path = options["path"]
+            # spec Schema Resolution: an optional READER schema (JSON)
+            # resolved against each file's embedded writer schema —
+            # matched fields decode (with spec promotions), writer-only
+            # fields skip-decode (codec-level column pruning),
+            # reader-only fields fill from their defaults
+            self.reader_schema = options.get("reader_schema")
             # target bytes per split: container files split at block
             # (sync-marker) boundaries, so one multi-GB file fans out
             # across tasks instead of serializing on a single Python
@@ -1579,16 +1683,53 @@ def make_avro_datasource():
             from text_grabr_orc_spark.sources.avro_codegen import (
                 raw_arrow_type,
             )
+            import datetime
+
             from text_grabr_orc_spark.sources.avro_io import (
                 _arrow_type,
+                _EPOCH_DATE,
+                _micros_to_instant,
+                _micros_to_local,
                 read_blocks_columns,
                 read_container,
             )
 
             path, start, end = partition.value
+            reader_fields = defaults = None
+            if self.reader_schema is not None:
+                from text_grabr_orc_spark.sources.avro_io import (
+                    _parse_reader_schema,
+                )
+
+                reader_fields, defaults = _parse_reader_schema(
+                    self.reader_schema
+                )
             try:
                 import pyarrow as pa
             except ImportError:
+                if reader_fields is not None:
+                    # resolution is implemented in the columnar
+                    # decoder; without pyarrow, resolve columnar then
+                    # re-hydrate raw-temporal ints to the datetimes
+                    # the pickled row exchange expects
+                    conv = [
+                        _micros_to_instant if t == "tsmicros"
+                        else _micros_to_local if t == "ltsmicros"
+                        else (lambda d: _EPOCH_DATE
+                              + datetime.timedelta(days=d))
+                        if t == "date" else None
+                        for _, t, _ in reader_fields
+                    ]
+                    for _f, cols, n in read_blocks_columns(
+                        path, start, end, reader_fields, defaults
+                    ):
+                        cols = [
+                            [None if v is None else c(v) for v in col]
+                            if c is not None else col
+                            for col, c in zip(cols, conv)
+                        ]
+                        yield from zip(*cols) if cols else ()
+                    return
                 # row-by-row fallback: correct, just slower across the
                 # worker<->JVM boundary
                 yield from read_container(path, start, end)
@@ -1602,7 +1743,7 @@ def make_avro_datasource():
             # afterwards — a metadata-level cast); see avro_codegen.
             atypes = rtypes = names = None
             for fields, cols, n_rows in read_blocks_columns(
-                path, start, end
+                path, start, end, reader_fields, defaults
             ):
                 if names is None:
                     names = [n for n, _, _ in fields]
@@ -1804,6 +1945,15 @@ def make_avro_datasource():
             return "tgos_avro"
 
         def schema(self):
+            # an explicit reader schema wins: the DataFrame's shape is
+            # the READER's (spec Schema Resolution), whatever each
+            # file's writer schema carries
+            rs = self.options.get("reader_schema")
+            if rs is not None:
+                fields, _ = _parse_reader_schema(rs)
+                return ", ".join(
+                    f"{n} {_ddl_of(t)}" for n, t, _ in fields
+                )
             # planning-time inference from the first file's embedded
             # schema (driver-side, one header read)
             path = self.options["path"]
@@ -2261,4 +2411,76 @@ def avro_enum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         F.min(F.lower(F.hex("digest"))).alias("min_digest"),
         F.min(placed_us).cast("bigint").alias("first_us"),
+    )
+
+
+@register(
+    "avro_reader_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           'store' AS channel,
+           count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def avro_reader_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spec Schema Resolution through the datasource: orders are
+    written with their FULL six-column schema, then read back under a
+    READER schema that (a) projects three of the six fields — the
+    other three (custkey, orderdate, priority) are SKIP-decoded at
+    the codec level, never materialized (`_emit_skip` walks varint
+    continuation bits and length prefixes only — the from-scratch
+    equivalent of column pruning reaching the scan), (b) adds a
+    reader-only `channel` field filled from its schema default, and
+    (c) drives the groupBy off the resolved frame. The oracle
+    recomputes the aggregates from parquet with the default as a
+    literal — a wrong skip width anywhere would shift every following
+    field's bytes and break the hash, so the skip paths are
+    value-checked end-to-end, not just unit-tested. Spec promotions
+    (int->long, float->double, string<->bytes) and JVM resolver
+    parity are pinned in pytest (test_reader_schema_*)."""
+    register_avro_source(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    out = _scratch_dir("tgos_avro_evo", sf_dir)
+    orders.repartition(4, "o_orderkey").write.format("tgos_avro").option(
+        "path", out
+    ).option("codec", "deflate").mode("append").save()
+    reader = json.dumps({
+        "type": "record",
+        "name": "row",
+        "fields": [
+            # nullability must match the writer's (parquet-loaded
+            # columns are nullable); the default-carrying reader-only
+            # field uses the [T,"null"] order because the spec
+            # requires a union default to match the FIRST branch
+            {"name": "o_orderkey", "type": ["null", "long"]},
+            {"name": "o_orderstatus", "type": ["null", "string"]},
+            {"name": "o_totalprice", "type": ["null", "double"]},
+            {"name": "channel", "type": ["string", "null"],
+             "default": "store"},
+        ],
+    })
+    back = (
+        spark.read.format("tgos_avro")
+        .option("path", out)
+        .option("reader_schema", reader)
+        .load()
+    )
+    return back.groupBy(
+        F.col("o_orderstatus").alias("status"), F.col("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.round(
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast(
+                "double"
+            ),
+            2,
+        ).alias("sum_price"),
     )
