@@ -1784,3 +1784,138 @@ def test_spark_datasource_reader_schema(spark, sf_dir, tmp_path):
         assert got[r["o_orderstatus"]]["n"] == r["n"]
         assert got[r["o_orderstatus"]]["key_sum"] == r["key_sum"]
         assert got[r["o_orderstatus"]]["channel"] == "store"
+
+
+def test_bzip2_xz_codecs_jvm_duplex_parity(spark, tmp_path):
+    """The optional spec codecs bzip2 and xz (stdlib bz2/lzma): python
+    writes -> the real Avro library reads (its CodecFactory loads
+    bzip2 via commons-compress and xz via the xz jar, both on Spark's
+    classpath), and JVM-compressed files read back here — full duplex
+    for both codecs, plus python round-trip and an unsupported-codec
+    header raising descriptively."""
+    import pytest
+
+    fields = [("id", "long", False), ("t", "string", True)]
+    rows = [(i, None if i % 7 == 0 else "lorem ipsum " * 10)
+            for i in range(300)]
+    jvm = spark._jvm
+    for codec in ("bzip2", "xz"):
+        p = str(tmp_path / f"py_{codec}.avro")
+        write_container(p, fields, iter(rows), codec=codec,
+                        block_rows=64)
+        rdr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(p),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        assert str(rdr.getMetaString("avro.codec")) == codec
+        got = []
+        while rdr.hasNext():
+            rec = rdr.next()
+            t = rec.get("t")
+            got.append((rec.get("id"),
+                        None if t is None else str(t)))
+        rdr.close()
+        assert got == rows
+        # JVM writes the codec -> python reads
+        from text_grabr_orc_spark.sources.avro_io import _schema_json
+
+        schema = jvm.org.apache.avro.Schema.Parser().parse(
+            _schema_json("row", fields)
+        )
+        dfw = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+        )
+        factory = jvm.org.apache.avro.file.CodecFactory
+        dfw.setCodec(
+            factory.bzip2Codec() if codec == "bzip2"
+            else factory.xzCodec(6)
+        )
+        p2 = str(tmp_path / f"jvm_{codec}.avro")
+        dfw.create(schema, jvm.java.io.File(p2))
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", jvm.java.lang.Long.valueOf(42))
+        rec.put("t", "from the jvm")
+        dfw.append(rec)
+        dfw.close()
+        assert list(read_container(p2)) == [(42, "from the jvm")]
+    # unknown codec in the header: descriptive error, not garbage rows
+    p3 = str(tmp_path / "py_null.avro")
+    write_container(p3, fields, iter(rows[:5]))
+    raw = open(p3, "rb").read()
+    assert b"null" in raw[:200]
+    open(p3, "wb").write(raw.replace(b"\x08null", b"\x08zstd", 1))
+    with pytest.raises(ValueError, match="unsupported codec"):
+        list(read_container(p3))
+    with pytest.raises(ValueError, match="unsupported codec"):
+        write_container(str(tmp_path / "bad.avro"), fields,
+                        iter(rows[:1]), codec="snappy")
+
+
+def test_avro_stream_reader_offsets(tmp_path):
+    """The streaming reader's offset contract, without Spark: one file
+    per batch, no-progress offset identity at catch-up, exact replay
+    between committed offsets, and a picklable batch iterator (Spark
+    pickles the prefetched batch; a generator would crash
+    planPartitions)."""
+    import pickle
+
+    from text_grabr_orc_spark.sources.avro_io import (
+        make_avro_datasource,
+    )
+
+    fields = [("id", "long", False)]
+    for k in range(3):
+        write_container(
+            str(tmp_path / f"part-{k}.avro"), fields,
+            iter([(k * 10 + i,) for i in range(4)]),
+        )
+    src = make_avro_datasource()(
+        {"path": str(tmp_path), "max_files_per_batch": "1"}
+    )
+    rdr = src.simpleStreamReader("id bigint")
+    off0 = rdr.initialOffset()
+    rows1, off1 = rdr.read(off0)
+    rows1 = list(pickle.loads(pickle.dumps(rows1)))
+    assert rows1 == [(i,) for i in range(4)]
+    assert off1 == {"seen": ["part-0.avro"]}
+    rows2, off2 = rdr.read(off1)
+    assert [r[0] for r in rows2] == [10, 11, 12, 13]
+    rows3, off3 = rdr.read(off2)
+    assert [r[0] for r in rows3] == [20, 21, 22, 23]
+    # caught up: same offset object back, empty batch
+    rows4, off4 = rdr.read(off3)
+    assert list(rows4) == [] and off4 == off3
+    # a NEW drop resumes the stream
+    write_container(str(tmp_path / "part-9.avro"), fields,
+                    iter([(99,)]))
+    rows5, off5 = rdr.read(off3)
+    assert [r[0] for r in rows5] == [99]
+    # exact replay of a committed range (recovery contract)
+    assert [r[0] for r in rdr.readBetweenOffsets(off1, off3)] == [
+        10, 11, 12, 13, 20, 21, 22, 23,
+    ]
+
+
+def test_streaming_avro_ingest_registered(spark, sf_dir):
+    """The registered streaming query end-to-end at the test sf: the
+    totals match the batch events table and the offset log really
+    advanced file-by-file (multiple micro-batches)."""
+    import pyspark.sql.functions as F
+
+    from text_grabr_orc_spark import registry
+    from text_grabr_orc_spark.sources.events import load_events
+
+    registry.load_all()
+    out = registry.QUERIES["streaming_avro_ingest"](spark, sf_dir)
+    got = {r["event_type"]: r for r in out.collect()}
+    want = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("user_id").alias("user_sum"))
+        .collect()
+    )
+    assert len(got) == len(want)
+    for r in want:
+        assert got[r["event_type"]]["n"] == r["n"]
+        assert got[r["event_type"]]["user_sum"] == r["user_sum"]

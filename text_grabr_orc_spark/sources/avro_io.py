@@ -55,8 +55,11 @@ the ``[T,"null"]`` declaration order INSIDE array items / map values
 descriptively at schema parse, never silently misread. Each field optionally
 nullable as a two-branch union with ``"null"`` in either declared
 order. Codecs:
-``null`` and ``deflate`` (RFC 1951 raw deflate per block, via stdlib
-zlib). Files written here are byte-compatible with any Avro reader
+``null``, ``deflate`` (RFC 1951 raw deflate per block, stdlib zlib),
+``bzip2`` and ``xz`` (optional spec codecs, stdlib bz2 / lzma in XZ
+container format; snappy and zstandard stay out of subset — their
+python modules are absent here — and raise descriptively at the
+header check). Files written here are byte-compatible with any Avro reader
 (the golden-bytes pytest pins the spec encodings; duplex parity with
 the JVM reference implementation is pytest-pinned too).
 
@@ -1157,6 +1160,48 @@ def _parse_reader_schema(schema_json: str) -> tuple[Fields, dict]:
     return fields, defaults
 
 
+#: supported block codecs (spec §Required/Optional Codecs): null and
+#: deflate are the spec-required pair; bzip2 and xz are optional spec
+#: codecs implementable with the python stdlib (bz2 / lzma in XZ
+#: container format) — snappy and zstandard stay out of subset (their
+#: python modules are absent in this environment; documented, the
+#: header check raises descriptively).
+_CODECS = ("null", "deflate", "bzip2", "xz")
+
+
+def _compress(codec: str, payload: bytes) -> bytes:
+    if codec == "deflate":
+        import zlib
+
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        return co.compress(payload) + co.flush()
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.compress(payload, 9)
+    if codec == "xz":
+        import lzma
+
+        return lzma.compress(payload, format=lzma.FORMAT_XZ, preset=6)
+    return payload
+
+
+def _decompress(codec: str, payload: bytes) -> bytes:
+    if codec == "deflate":
+        import zlib
+
+        return zlib.decompress(payload, -15)
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.decompress(payload)
+    if codec == "xz":
+        import lzma
+
+        return lzma.decompress(payload, format=lzma.FORMAT_XZ)
+    return payload
+
+
 def _container_header(fields: Fields, name: str, sync: bytes,
                       codec: str) -> bytes:
     """Magic + file-metadata map + sync marker (spec header bytes)."""
@@ -1208,12 +1253,7 @@ class _BlockSink:
     def flush(self) -> None:
         if not self.n_block:
             return
-        payload = bytes(self.block)
-        if self.codec == "deflate":
-            import zlib
-
-            co = zlib.compressobj(6, zlib.DEFLATED, -15)
-            payload = co.compress(payload) + co.flush()
+        payload = _compress(self.codec, bytes(self.block))
         head = bytearray()
         write_long(head, self.n_block)
         write_long(head, len(payload))
@@ -1241,7 +1281,7 @@ def write_container(
     wbits=-15, no wrapper/checksum; zlib level 6 output is
     deterministic for a given input, so deflate files stay
     byte-reproducible too)."""
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise ValueError(f"unsupported codec {codec!r}")
     sync = _resolve_sync(sync, path, sync_name)
     with open(path, "wb") as fh:
@@ -1277,7 +1317,7 @@ def write_container_columns(
     (cross-implementation pytest pins this)."""
     from text_grabr_orc_spark.sources.avro_codegen import block_encoder
 
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise ValueError(f"unsupported codec {codec!r}")
     if block_rows <= 0:
         # the take=min(...) loop below would spin forever at 0 (the
@@ -1322,7 +1362,7 @@ def _parse_header(mv: memoryview) -> tuple[Fields, bytes, str, int]:
             v, pos = _read_value(mv, pos, "bytes")
             meta[k] = v
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise ValueError(f"unsupported codec {codec!r}")
     sync = bytes(mv[pos : pos + 16])
     if len(sync) != 16:
@@ -1395,10 +1435,8 @@ def iter_raw_blocks(path: str, start: int | None = None,
         n_rows, pos = read_long(mv, pos)
         size, pos = read_long(mv, pos)
         payload = mv[pos : pos + size]
-        if codec == "deflate":
-            import zlib
-
-            payload = memoryview(zlib.decompress(bytes(payload), -15))
+        if codec != "null":
+            payload = memoryview(_decompress(codec, bytes(payload)))
         pos += size
         if bytes(mv[pos : pos + 16]) != sync:
             raise ValueError("sync marker mismatch (torn block)")
@@ -1478,6 +1516,34 @@ def read_container(path: str, start: int | None = None,
     ``[start, end)`` block-aligned slice of it."""
     for _, rows in read_blocks(path, start, end):
         yield from rows
+
+
+def iter_resolved_rows(path: str, reader_fields: Fields,
+                       defaults: dict | None,
+                       start: int | None = None,
+                       end: int | None = None):
+    """Row tuples under READER-schema resolution, with raw-temporal
+    ints re-hydrated to the datetime/date objects the pickled row
+    exchange expects — the row-shaped twin of
+    :func:`read_blocks_columns` with ``reader_fields`` (used by the
+    no-pyarrow datasource fallback and the streaming reader, which
+    exchange rows, not Arrow batches)."""
+    conv = [
+        _micros_to_instant if t == "tsmicros"
+        else _micros_to_local if t == "ltsmicros"
+        else (lambda d: _EPOCH_DATE + datetime.timedelta(days=d))
+        if t == "date" else None
+        for _, t, _ in reader_fields
+    ]
+    for _f, cols, _n in read_blocks_columns(
+        path, start, end, reader_fields, defaults
+    ):
+        cols = [
+            [None if v is None else c(v) for v in col]
+            if c is not None else col
+            for col, c in zip(cols, conv)
+        ]
+        yield from zip(*cols) if cols else ()
 
 
 def container_fields(path: str) -> Fields:
@@ -1624,6 +1690,7 @@ def make_avro_datasource():
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
         WriterCommitMessage,
     )
 
@@ -1683,13 +1750,9 @@ def make_avro_datasource():
             from text_grabr_orc_spark.sources.avro_codegen import (
                 raw_arrow_type,
             )
-            import datetime
-
             from text_grabr_orc_spark.sources.avro_io import (
                 _arrow_type,
-                _EPOCH_DATE,
-                _micros_to_instant,
-                _micros_to_local,
+                iter_resolved_rows,
                 read_blocks_columns,
                 read_container,
             )
@@ -1710,25 +1773,10 @@ def make_avro_datasource():
                 if reader_fields is not None:
                     # resolution is implemented in the columnar
                     # decoder; without pyarrow, resolve columnar then
-                    # re-hydrate raw-temporal ints to the datetimes
-                    # the pickled row exchange expects
-                    conv = [
-                        _micros_to_instant if t == "tsmicros"
-                        else _micros_to_local if t == "ltsmicros"
-                        else (lambda d: _EPOCH_DATE
-                              + datetime.timedelta(days=d))
-                        if t == "date" else None
-                        for _, t, _ in reader_fields
-                    ]
-                    for _f, cols, n in read_blocks_columns(
-                        path, start, end, reader_fields, defaults
-                    ):
-                        cols = [
-                            [None if v is None else c(v) for v in col]
-                            if c is not None else col
-                            for col, c in zip(cols, conv)
-                        ]
-                        yield from zip(*cols) if cols else ()
+                    # re-hydrate temporals for the pickled row exchange
+                    yield from iter_resolved_rows(
+                        path, reader_fields, defaults, start, end
+                    )
                     return
                 # row-by-row fallback: correct, just slower across the
                 # worker<->JVM boundary
@@ -1763,6 +1811,74 @@ def make_avro_datasource():
                     for c, rt, at in zip(cols, rtypes, atypes)
                 ]
                 yield pa.RecordBatch.from_arrays(arrays, names)
+
+    class _AvroStreamReader(SimpleDataSourceStreamReader):
+        """File-drop ingest of an .avro directory: the OFFSET is the
+        set of consumed file names (the same file-log idea Spark's
+        own file stream source keeps; containers are immutable once
+        published by the writer's atomic os.replace, so name-level
+        tracking is exact). ``max_files_per_batch`` (default 1) caps
+        each micro-batch; ``readBetweenOffsets`` replays exactly the
+        files between two committed offsets — exactly-once recovery.
+        Composes with ``reader_schema`` (spec Schema Resolution) so a
+        stream can project/default/promote while ingesting. The simple
+        reader API reads on the DRIVER (prototype connectors, control
+        planes) — data-plane volumes use the batch reader's
+        block-split partition planning."""
+
+        def __init__(self, options):
+            self.path = options["path"]
+            self.per_batch = int(options.get("max_files_per_batch", 1))
+            rs = options.get("reader_schema")
+            self._reader = (
+                None if rs is None else _parse_reader_schema(rs)
+            )
+
+        def initialOffset(self):
+            return {"seen": []}
+
+        def _list(self):
+            try:
+                return sorted(
+                    f for f in os.listdir(self.path)
+                    if f.endswith(".avro")
+                )
+            except FileNotFoundError:
+                return []
+
+        def _rows(self, names):
+            # a LIST iterator, not a generator: Spark pickles the
+            # returned iterator to ship/cache the prefetched batch,
+            # and generators don't pickle
+            from text_grabr_orc_spark.sources.avro_io import (
+                iter_resolved_rows,
+                read_container,
+            )
+
+            out = []
+            for name in names:
+                p = os.path.join(self.path, name)
+                if self._reader is None:
+                    out.extend(read_container(p))
+                else:
+                    rf, dflts = self._reader
+                    out.extend(iter_resolved_rows(p, rf, dflts))
+            return iter(out)
+
+        def read(self, start):
+            seen = set(start["seen"])
+            new = [f for f in self._list() if f not in seen]
+            new = new[: self.per_batch]
+            if not new:
+                return iter(()), start  # no progress: caught up
+            return (
+                self._rows(new),
+                {"seen": sorted(seen | set(new))},
+            )
+
+        def readBetweenOffsets(self, start, end):
+            replay = sorted(set(end["seen"]) - set(start["seen"]))
+            return self._rows(replay)
 
     class _Commit(WriterCommitMessage):
         def __init__(self, part_id, n_rows):
@@ -1978,6 +2094,9 @@ def make_avro_datasource():
 
         def reader(self, schema):
             return _AvroReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return _AvroStreamReader(self.options)
 
         def writer(self, schema, overwrite):
             return _AvroWriter(self.options, schema, overwrite)
@@ -2483,4 +2602,95 @@ def avro_reader_schema_evolution(
             ),
             2,
         ).alias("sum_price"),
+    )
+
+
+@register(
+    "streaming_avro_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us
+    FROM events
+    GROUP BY 1
+    """,
+)
+def streaming_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest of Avro container drops: events are published
+    as four container files (the batch writer's atomic
+    tmp-then-rename), then a `readStream` over the `tgos_avro` source
+    consumes them ONE FILE PER MICRO-BATCH (`max_files_per_batch=1` —
+    the offset log advances four times, not once) under a READER
+    schema that projects three of the five written columns
+    (skip-decode) while `ts` rides the local-timestamp-micros logical
+    type. The micro-batches append into a memory sink and the final
+    aggregate must hash-match the oracle computed straight from
+    parquet — a lost, duplicated, or re-chunked batch anywhere in the
+    offset handling breaks the count, and a 1-µs temporal slip breaks
+    `first_us`.
+
+    Scale note: the simple stream reader runs on the driver (the
+    prototype-connector API); the data-plane path is the batch
+    reader's sync-marker block splitting. The offset is the consumed
+    file-name set — the same file-log idea Spark's own file source
+    keeps, exact here because published containers are immutable."""
+    import time
+
+    from text_grabr_orc_spark.sources.events import load_events
+
+    register_avro_source(spark)
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    out = _scratch_dir("tgos_avro_stream", sf_dir)
+    ev.repartition(4, "event_id").write.format("tgos_avro").option(
+        "path", out
+    ).option("codec", "deflate").mode("append").save()
+    reader = json.dumps({
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "user_id", "type": ["null", "long"]},
+            {"name": "ts", "type": ["null", {
+                "type": "long",
+                "logicalType": "local-timestamp-micros"}]},
+            {"name": "event_type", "type": ["null", "string"]},
+        ],
+    })
+    stream = (
+        spark.readStream.format("tgos_avro")
+        .option("path", out)
+        .option("reader_schema", reader)
+        .option("max_files_per_batch", "1")
+        .load()
+    )
+    name = f"tgos_avro_ingest_{abs(hash(out)) % 10**9}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(out, "_stream_cp")
+        )
+        .start()
+    )
+    try:
+        expected = ev.count()
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table(name).count() >= expected:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+        " ts)"
+    )
+    return spark.table(name).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").cast("bigint").alias("user_sum"),
+        F.min(ts_us).cast("bigint").alias("first_us"),
     )
