@@ -135,8 +135,10 @@ BENCH_QUERIES = [
     "avro_nested_roundtrip",
     # round-12: the named-type path (enum symbol varints, fixed raw
     # bytes, generalized map values) through the source-generated
-    # block codecs
+    # block codecs, and reader-schema resolution (skip-decode
+    # projection, defaults, promotions)
     "avro_enum_roundtrip",
+    "avro_reader_schema_evolution",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation

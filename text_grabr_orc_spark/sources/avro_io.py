@@ -2665,7 +2665,11 @@ def streaming_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("max_files_per_batch", "1")
         .load()
     )
-    name = f"tgos_avro_ingest_{abs(hash(out)) % 10**9}"
+    import uuid
+
+    # per-INVOCATION unique sink name: a second run in the same
+    # process must not race the previous run's memory table
+    name = f"tgos_avro_ingest_{uuid.uuid4().hex[:10]}"
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
