@@ -1660,7 +1660,7 @@ def test_reader_schema_resolution_skip_and_promote():
     with pytest.raises(ValueError, match="cannot resolve"):
         resolve_reader([("a", "string", False)],
                        [("a", "long", False)])
-    with pytest.raises(ValueError, match="nullability"):
+    with pytest.raises(ValueError, match="nullable writer"):
         resolve_reader([("a", "long", True)],
                        [("a", "long", False)])
 
@@ -1919,3 +1919,62 @@ def test_streaming_avro_ingest_registered(spark, sf_dir):
     for r in want:
         assert got[r["event_type"]]["n"] == r["n"]
         assert got[r["event_type"]]["user_sum"] == r["user_sum"]
+
+
+def test_resolution_review_fixes(tmp_path):
+    """Round-12 second-review findings: (1) temporals NESTED inside
+    records/arrays/maps re-hydrate to datetimes on the row-exchange
+    paths; (2) non-null writer -> nullable reader resolves (spec-legal
+    widening); (3) max_files_per_batch <= 0 raises instead of
+    stalling; (4) unknown codec names raise in the compress paths."""
+    import datetime as dt
+
+    import pytest
+
+    from text_grabr_orc_spark.sources.avro_io import (
+        _compress,
+        _decompress,
+        iter_resolved_rows,
+        make_avro_datasource,
+    )
+
+    writer = [
+        ("id", "long", False),
+        ("ev", [("ts", "ltsmicros", False),
+                ("d", "date", True)], True),
+        ("times", ("arr", "ltsmicros", False), False),
+        ("meta", ("map", "tsmicros", False), False),
+    ]
+    rows = [
+        (1, (dt.datetime(2024, 6, 1, 12, 30), dt.date(2024, 6, 2)),
+         [dt.datetime(2020, 1, 1)],
+         {"at": dt.datetime(2021, 2, 3,
+                            tzinfo=dt.timezone.utc)}),
+        (2, None, [], {}),
+    ]
+    p = str(tmp_path / "nested_t.avro")
+    write_container(p, writer, iter(rows))
+    # reader widens id to nullable (spec-legal) and keeps the rest
+    reader = [
+        ("id", "long", True),
+        ("ev", writer[1][1], True),
+        ("times", writer[2][1], False),
+        ("meta", writer[3][1], False),
+    ]
+    got = list(iter_resolved_rows(p, reader, {}))
+    assert got == rows  # datetimes at EVERY depth, not raw ints
+    # unsafe direction still rejected
+    from text_grabr_orc_spark.sources.avro_codegen import resolve_reader
+
+    with pytest.raises(ValueError, match="nullable writer"):
+        resolve_reader([("a", "long", True)], [("a", "long", False)])
+    # stream option validation
+    with pytest.raises(ValueError, match="max_files_per_batch"):
+        make_avro_datasource()(
+            {"path": str(tmp_path), "max_files_per_batch": "0"}
+        ).simpleStreamReader("id bigint")
+    # codec fallthrough is loud
+    with pytest.raises(ValueError, match="no compressor"):
+        _compress("zstandard", b"x")
+    with pytest.raises(ValueError, match="no decompressor"):
+        _decompress("snappy", b"x")

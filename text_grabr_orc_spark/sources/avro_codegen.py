@@ -244,8 +244,7 @@ def _emit_read(g: _Gen, ind: int, typ, out: str) -> None:
 _GEN_CACHE: dict = {}
 
 
-def _gen_cached(kind: str, fields, build):
-    key = (kind, repr(fields))
+def _gen_cached(key: tuple, build):
     fn = _GEN_CACHE.get(key)
     if fn is None:
         if len(_GEN_CACHE) > 512:
@@ -258,7 +257,8 @@ def block_decoder(fields):
     """``fn(mv, n_rows, cols) -> consumed`` — decode ``n_rows`` records
     from ``mv`` appending field values into the per-field lists in
     ``cols``; temporals come out as raw ints (Arrow exchange form)."""
-    return _gen_cached("r", fields, lambda: _build_decoder(fields))
+    return _gen_cached(("r", repr(fields)),
+                       lambda: _build_decoder(fields))
 
 
 def _build_decoder(fields):
@@ -477,7 +477,8 @@ def block_encoder(fields):
     the per-field lists in ``cols`` into ``buf`` (a bytearray), in
     wire-identical bytes to the closure writer. Temporal columns must
     already be raw ints (Arrow-cast form); struct values are dicts."""
-    return _gen_cached("w", fields, lambda: _build_encoder(fields))
+    return _gen_cached(("w", repr(fields)),
+                       lambda: _build_encoder(fields))
 
 
 def _build_encoder(fields):
@@ -583,9 +584,14 @@ def resolve_reader(writer_fields, reader_fields):
             ops.append(("skip", wt, wnul))
             continue
         _, rt, rnul = reader_fields[j]
-        if bool(wnul) != bool(rnul):
+        if wnul and not rnul:
+            # writer may emit NULLs the reader has no branch for —
+            # unsafe. The opposite widening (non-null writer, nullable
+            # reader) is spec-legal and common (round-12 review): no
+            # null can ever arrive, so decode the bare writer value.
             raise ValueError(
-                f"reader/writer nullability mismatch for field {name!r}"
+                f"nullable writer field {name!r} needs a nullable"
+                " reader field"
             )
         if wt != rt and (
             not isinstance(wt, str)
@@ -723,10 +729,13 @@ def resolved_block_decoder(writer_fields, reader_fields):
     promotions), writer-only fields skip without materializing, and
     reader-only fields are left EMPTY for the caller to fill from
     defaults (see ``resolve_reader`` for the compatibility rules)."""
-    key = ("rr", repr(writer_fields), repr(reader_fields))
-    fn = _GEN_CACHE.get(key)
-    if fn is not None:
-        return fn
+    return _gen_cached(
+        ("rr", repr(writer_fields), repr(reader_fields)),
+        lambda: _build_resolved_decoder(writer_fields, reader_fields),
+    )
+
+
+def _build_resolved_decoder(writer_fields, reader_fields):
     ops, _missing = resolve_reader(writer_fields, reader_fields)
     g = _Gen()
     g.emit(0, "def _dec_fn(mv, n_rows, cols):")
@@ -764,7 +773,4 @@ def resolved_block_decoder(writer_fields, reader_fields):
     g.emit(1, "return pos")
     ns = dict(g.consts)
     exec("\n".join(g.lines), ns)  # noqa: S102 — self-generated source
-    if len(_GEN_CACHE) > 512:
-        _GEN_CACHE.clear()
-    fn = _GEN_CACHE[key] = ns["_dec_fn"]
-    return fn
+    return ns["_dec_fn"]

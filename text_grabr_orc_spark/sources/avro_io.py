@@ -1183,7 +1183,12 @@ def _compress(codec: str, payload: bytes) -> bytes:
         import lzma
 
         return lzma.compress(payload, format=lzma.FORMAT_XZ, preset=6)
-    return payload
+    if codec == "null":
+        return payload
+    # LOUD fallthrough: a codec added to _CODECS without a branch here
+    # would otherwise write headers claiming compression over raw
+    # blocks (round-12 review)
+    raise ValueError(f"no compressor for codec {codec!r}")
 
 
 def _decompress(codec: str, payload: bytes) -> bytes:
@@ -1199,7 +1204,9 @@ def _decompress(codec: str, payload: bytes) -> bytes:
         import lzma
 
         return lzma.decompress(payload, format=lzma.FORMAT_XZ)
-    return payload
+    if codec == "null":
+        return payload
+    raise ValueError(f"no decompressor for codec {codec!r}")
 
 
 def _container_header(fields: Fields, name: str, sync: bytes,
@@ -1518,23 +1525,63 @@ def read_container(path: str, start: int | None = None,
         yield from rows
 
 
+def _hydrator(token):
+    """Value converter re-hydrating RAW-TEMPORAL ints (the columnar
+    decoders' exchange form) to the datetime/date objects the pickled
+    row exchange expects, at ANY nesting depth — records (tuples),
+    arrays (lists) and maps (dicts) recurse. Returns ``None`` when the
+    token contains no temporal anywhere (the common case pays
+    nothing)."""
+    if token == "tsmicros":
+        return _micros_to_instant
+    if token == "ltsmicros":
+        return _micros_to_local
+    if token == "date":
+        return lambda d: _EPOCH_DATE + datetime.timedelta(days=d)
+    if _is_record(token):
+        subs = [_hydrator(t) for _, t, _ in token]
+        if not any(subs):
+            return None
+
+        def hy_rec(v, subs=subs):
+            return tuple(
+                x if c is None or x is None else c(x)
+                for x, c in zip(v, subs)
+            )
+
+        return hy_rec
+    if _is_arr(token):
+        item = _hydrator(token[1])
+        if item is None:
+            return None
+        return lambda v, item=item: [
+            None if x is None else item(x) for x in v
+        ]
+    if isinstance(token, str) and token.startswith("array:"):
+        return None  # primitive items: never temporal
+    if _is_gmap(token):
+        item = _hydrator(token[1])
+        if item is None:
+            return None
+        return lambda v, item=item: {
+            k: None if x is None else item(x) for k, x in v.items()
+        }
+    return None
+
+
 def iter_resolved_rows(path: str, reader_fields: Fields,
                        defaults: dict | None,
                        start: int | None = None,
                        end: int | None = None):
     """Row tuples under READER-schema resolution, with raw-temporal
     ints re-hydrated to the datetime/date objects the pickled row
-    exchange expects — the row-shaped twin of
-    :func:`read_blocks_columns` with ``reader_fields`` (used by the
-    no-pyarrow datasource fallback and the streaming reader, which
-    exchange rows, not Arrow batches)."""
-    conv = [
-        _micros_to_instant if t == "tsmicros"
-        else _micros_to_local if t == "ltsmicros"
-        else (lambda d: _EPOCH_DATE + datetime.timedelta(days=d))
-        if t == "date" else None
-        for _, t, _ in reader_fields
-    ]
+    exchange expects — at any nesting depth (round-12 review: the
+    first cut only converted top-level columns, so a timestamp inside
+    a struct/array/map reached Spark as a raw int). The row-shaped
+    twin of :func:`read_blocks_columns` with ``reader_fields`` (used
+    by the no-pyarrow datasource fallback and the streaming reader,
+    which exchange rows, not Arrow batches)."""
+    conv = [_hydrator(t) for _, t, _ in reader_fields]
     for _f, cols, _n in read_blocks_columns(
         path, start, end, reader_fields, defaults
     ):
@@ -1640,6 +1687,12 @@ def enumerate_block_ranges(
         if acc:
             ranges.append((start, pos))
     return ranges
+
+
+def _fields_ddl(fields: Fields) -> str:
+    """Spark DDL string for a top-level Fields list (shared by the
+    reader-schema and inference halves of schema())."""
+    return ", ".join(f"{n} {_ddl_of(t)}" for n, t, _ in fields)
 
 
 def _apply_named_type_decls(
@@ -1829,6 +1882,13 @@ def make_avro_datasource():
         def __init__(self, options):
             self.path = options["path"]
             self.per_batch = int(options.get("max_files_per_batch", 1))
+            if self.per_batch <= 0:
+                # <=0 would return an empty batch forever: an
+                # error-free stream that never emits (round-12 review)
+                raise ValueError(
+                    "max_files_per_batch must be positive, got"
+                    f" {self.per_batch}"
+                )
             rs = options.get("reader_schema")
             self._reader = (
                 None if rs is None else _parse_reader_schema(rs)
@@ -2067,9 +2127,7 @@ def make_avro_datasource():
             rs = self.options.get("reader_schema")
             if rs is not None:
                 fields, _ = _parse_reader_schema(rs)
-                return ", ".join(
-                    f"{n} {_ddl_of(t)}" for n, t, _ in fields
-                )
+                return _fields_ddl(fields)
             # planning-time inference from the first file's embedded
             # schema (driver-side, one header read)
             path = self.options["path"]
@@ -2088,9 +2146,7 @@ def make_avro_datasource():
                 from pyspark.sql.types import StructType
 
                 return StructType([])
-            return ", ".join(
-                f"{n} {_ddl_of(t)}" for n, t, _ in fields
-            )
+            return _fields_ddl(fields)
 
         def reader(self, schema):
             return _AvroReader(self.options)
