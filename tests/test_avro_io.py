@@ -1978,3 +1978,75 @@ def test_resolution_review_fixes(tmp_path):
         _compress("zstandard", b"x")
     with pytest.raises(ValueError, match="no decompressor"):
         _decompress("snappy", b"x")
+
+
+def test_stream_defers_uncommitted_writer_jobs(tmp_path):
+    """The commit-gate: a tgos_avro part file published by a task of
+    an UNCOMMITTED job is invisible to the stream until the job's
+    token reaches the ledger; foreign file names pass through; a
+    ledger-less directory is treated as foreign (everything
+    consumable)."""
+    from text_grabr_orc_spark.sources.avro_io import (
+        make_avro_datasource,
+    )
+
+    fields = [("id", "long", False)]
+    # foreign-named drop in a ledger-less dir: consumable
+    write_container(str(tmp_path / "drop-1.avro"), fields,
+                    iter([(1,)]))
+    src = make_avro_datasource()({"path": str(tmp_path)})
+    rdr = src.simpleStreamReader("id bigint")
+    rows, off = rdr.read(rdr.initialOffset())
+    assert [r[0] for r in rows] == [1]
+    # now the dir becomes writer-managed: ledger exists, a part file
+    # of an in-flight (uncommitted) job appears
+    (tmp_path / "_committed_jobs").write_text("")
+    job = "abcdef012345"
+    write_container(
+        str(tmp_path / f"part-{job}-00000.avro"), fields,
+        iter([(2,)]),
+    )
+    rows2, off2 = rdr.read(off)
+    assert list(rows2) == [] and off2 == off  # deferred, no progress
+    # foreign names still pass while the job is pending
+    write_container(str(tmp_path / "drop-2.avro"), fields,
+                    iter([(3,)]))
+    rows3, off3 = rdr.read(off)
+    assert [r[0] for r in rows3] == [3]
+    # commit: the token lands in the ledger -> the part file streams
+    (tmp_path / "_committed_jobs").write_text(job + "\n")
+    rows4, off4 = rdr.read(off3)
+    assert [r[0] for r in rows4] == [2]
+
+
+def test_writer_ledger_lifecycle(spark, tmp_path):
+    """The datasource writer maintains the ledger: present from plan
+    time (empty), the job token appended exactly at commit — and an
+    end-to-end write is immediately streamable."""
+    from text_grabr_orc_spark.sources.avro_io import (
+        make_avro_datasource,
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    out = tmp_path / "led"
+    df = spark.range(10).selectExpr("id")
+    df.repartition(2).write.format("tgos_avro").option(
+        "path", str(out)
+    ).mode("append").save()
+    ledger = (out / "_committed_jobs").read_text().split()
+    assert len(ledger) == 1
+    parts = [f for f in os.listdir(out) if f.endswith(".avro")]
+    assert all(f.split("-")[1] == ledger[0] for f in parts)
+    # a second append adds a second token
+    df.repartition(1).write.format("tgos_avro").option(
+        "path", str(out)
+    ).mode("append").save()
+    assert len((out / "_committed_jobs").read_text().split()) == 2
+    # the stream sees all committed rows
+    src = make_avro_datasource()(
+        {"path": str(out), "max_files_per_batch": "10"}
+    )
+    rdr = src.simpleStreamReader("id bigint")
+    rows, _ = rdr.read(rdr.initialOffset())
+    assert sorted(r[0] for r in rows) == sorted(list(range(10)) * 2)

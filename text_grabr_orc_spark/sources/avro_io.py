@@ -1870,7 +1870,18 @@ def make_avro_datasource():
         set of consumed file names (the same file-log idea Spark's
         own file stream source keeps; containers are immutable once
         published by the writer's atomic os.replace, so name-level
-        tracking is exact). ``max_files_per_batch`` (default 1) caps
+        tracking is exact). Part files of an IN-FLIGHT tgos_avro write
+        job are deferred until the job's token reaches the
+        ``_committed_jobs`` ledger (commit() appends it; abort() never
+        does) — without the gate a stream could emit rows from a job
+        that abort() later rolls back, and the deleted file name would
+        poison committed offsets (round-12 review). Files from other
+        producers (no job-token name) are consumable immediately; a
+        directory without a ledger is treated as foreign. An OVERWRITE
+        of the directory invalidates outstanding stream offsets (same
+        as Spark's own file source — replay of removed files fails
+        loudly rather than dropping data silently).
+        ``max_files_per_batch`` (default 1) caps
         each micro-batch; ``readBetweenOffsets`` replays exactly the
         files between two committed offsets — exactly-once recovery.
         Composes with ``reader_schema`` (spec Schema Resolution) so a
@@ -1898,13 +1909,31 @@ def make_avro_datasource():
             return {"seen": []}
 
         def _list(self):
+            import re
+
             try:
-                return sorted(
+                names = sorted(
                     f for f in os.listdir(self.path)
                     if f.endswith(".avro")
                 )
             except FileNotFoundError:
                 return []
+            ledger = os.path.join(self.path, "_committed_jobs")
+            if not os.path.exists(ledger):
+                # foreign/legacy directory (no tgos_avro writer ever
+                # planned here): every drop is consumable
+                return names
+            with open(ledger) as fh:
+                committed = set(fh.read().split())
+            part_re = re.compile(r"^part-([0-9a-f]{12})-\d{5}\.avro$")
+            out = []
+            for f in names:
+                m = part_re.match(f)
+                # our writer's parts gate on their job's commit; names
+                # from other producers are consumable immediately
+                if m is None or m.group(1) in committed:
+                    out.append(f)
+            return out
 
         def _rows(self, names):
             # a LIST iterator, not a generator: Spark pickles the
@@ -1981,6 +2010,17 @@ def make_avro_datasource():
                 for f in os.listdir(self.path):
                     if f.endswith(".avro") or f == "_SUCCESS":
                         os.remove(os.path.join(self.path, f))
+            # the committed-jobs LEDGER exists from plan time on: a
+            # concurrent stream reader defers this writer's part files
+            # (published eagerly per task via os.replace) until
+            # commit() appends the job token — without it, a stream
+            # could emit rows from a job abort() later rolls back
+            # (round-12 review). Stale tokens after an overwrite are
+            # harmless (their files are gone).
+            os.makedirs(self.path, exist_ok=True)
+            ledger = os.path.join(self.path, "_committed_jobs")
+            if not os.path.exists(ledger):
+                open(ledger, "a").close()
 
         def write(self, rows):
             import uuid
@@ -2094,6 +2134,12 @@ def make_avro_datasource():
             }
             with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
                 json.dump(manifest, f)
+            # publish the job to the ledger LAST: from this line on a
+            # stream reader may consume this job's part files
+            with open(
+                os.path.join(self.path, "_committed_jobs"), "a"
+            ) as f:
+                f.write(self.job + "\n")
 
         def abort(self, messages):
             # tasks publish part files eagerly via os.replace in
