@@ -1593,6 +1593,91 @@ def iter_resolved_rows(path: str, reader_fields: Fields,
         yield from zip(*cols) if cols else ()
 
 
+def read_split(path: str, start: int | None, end: int | None,
+               reader_schema: str | None):
+    """One split's worth of data for the Spark exchange — Arrow
+    RecordBatches when pyarrow is available (one per container block;
+    temporals decoded as raw ints and cast at the Arrow layer), row
+    tuples otherwise. Shared by the batch reader and the partitioned
+    STREAM reader (their per-partition work is identical; only offset
+    planning differs). Honors ``reader_schema`` resolution."""
+    reader_fields = defaults = None
+    if reader_schema is not None:
+        reader_fields, defaults = _parse_reader_schema(reader_schema)
+    try:
+        import pyarrow as pa
+    except ImportError:
+        if reader_fields is not None:
+            # resolution is implemented in the columnar decoder;
+            # without pyarrow, resolve columnar then re-hydrate
+            # temporals for the pickled row exchange
+            yield from iter_resolved_rows(
+                path, reader_fields, defaults, start, end
+            )
+            return
+        # row-by-row fallback: correct, just slower across the
+        # worker<->JVM boundary
+        yield from read_container(path, start, end)
+        return
+    from text_grabr_orc_spark.sources.avro_codegen import raw_arrow_type
+
+    # Arrow-batch exchange: one RecordBatch per container block (the
+    # block IS the batch/split unit) — the decoded python values cross
+    # the boundary columnar instead of row-pickled. Decode runs
+    # through the source-generated columnar decoder (inlined varints,
+    # per-column appends, temporals as raw ints cast to their Arrow
+    # temporal type afterwards — a metadata-level cast); avro_codegen.
+    atypes = rtypes = names = None
+    for fields, cols, n_rows in read_blocks_columns(
+        path, start, end, reader_fields, defaults
+    ):
+        if names is None:
+            names = [n for n, _, _ in fields]
+            atypes = [_arrow_type(t) for _, t, _ in fields]
+            rtypes = [raw_arrow_type(t) for _, t, _ in fields]
+        if not n_rows:
+            continue
+        if not names:
+            # zero-column schema: no arrays to build — the row path
+            # carries the count correctly (round-11 review)
+            yield from read_container(path, start, end)
+            return
+        arrays = [
+            pa.array(c, type=rt) if rt == at
+            else pa.array(c, type=rt).cast(at)
+            for c, rt, at in zip(cols, rtypes, atypes)
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, names)
+
+
+def consumable_avro_files(path: str) -> list[str]:
+    """Sorted .avro file names a STREAM may consume now: part files of
+    an in-flight tgos_avro write job (its token not yet in the
+    ``_committed_jobs`` ledger) are deferred — see the stream readers'
+    docstrings; foreign names and ledger-less directories pass
+    through."""
+    import re
+
+    try:
+        names = sorted(
+            f for f in os.listdir(path) if f.endswith(".avro")
+        )
+    except FileNotFoundError:
+        return []
+    ledger = os.path.join(path, "_committed_jobs")
+    if not os.path.exists(ledger):
+        # foreign/legacy directory (no tgos_avro writer ever planned
+        # here): every drop is consumable
+        return names
+    with open(ledger) as fh:
+        committed = set(fh.read().split())
+    part_re = re.compile(r"^part-([0-9a-f]{12})-\d{5}\.avro$")
+    return [
+        f for f in names
+        if (m := part_re.match(f)) is None or m.group(1) in committed
+    ]
+
+
 def container_fields(path: str) -> Fields:
     with open(path, "rb") as fh:
         fields, _, _ = read_header(fh)
@@ -1800,70 +1885,10 @@ def make_avro_datasource():
             return parts
 
         def read(self, partition):
-            from text_grabr_orc_spark.sources.avro_codegen import (
-                raw_arrow_type,
-            )
-            from text_grabr_orc_spark.sources.avro_io import (
-                _arrow_type,
-                iter_resolved_rows,
-                read_blocks_columns,
-                read_container,
-            )
+            from text_grabr_orc_spark.sources.avro_io import read_split
 
             path, start, end = partition.value
-            reader_fields = defaults = None
-            if self.reader_schema is not None:
-                from text_grabr_orc_spark.sources.avro_io import (
-                    _parse_reader_schema,
-                )
-
-                reader_fields, defaults = _parse_reader_schema(
-                    self.reader_schema
-                )
-            try:
-                import pyarrow as pa
-            except ImportError:
-                if reader_fields is not None:
-                    # resolution is implemented in the columnar
-                    # decoder; without pyarrow, resolve columnar then
-                    # re-hydrate temporals for the pickled row exchange
-                    yield from iter_resolved_rows(
-                        path, reader_fields, defaults, start, end
-                    )
-                    return
-                # row-by-row fallback: correct, just slower across the
-                # worker<->JVM boundary
-                yield from read_container(path, start, end)
-                return
-            # Arrow-batch exchange: one RecordBatch per container
-            # block (the block IS the batch/split unit) — the decoded
-            # python values cross the boundary columnar instead of
-            # row-pickled. Decode runs through the source-generated
-            # columnar decoder (inlined varints, per-column appends,
-            # temporals as raw ints cast to their Arrow temporal type
-            # afterwards — a metadata-level cast); see avro_codegen.
-            atypes = rtypes = names = None
-            for fields, cols, n_rows in read_blocks_columns(
-                path, start, end, reader_fields, defaults
-            ):
-                if names is None:
-                    names = [n for n, _, _ in fields]
-                    atypes = [_arrow_type(t) for _, t, _ in fields]
-                    rtypes = [raw_arrow_type(t) for _, t, _ in fields]
-                if not n_rows:
-                    continue
-                if not names:
-                    # zero-column schema: no arrays to build — the row
-                    # path carries the count correctly (round-11
-                    # review)
-                    yield from read_container(path, start, end)
-                    return
-                arrays = [
-                    pa.array(c, type=rt) if rt == at
-                    else pa.array(c, type=rt).cast(at)
-                    for c, rt, at in zip(cols, rtypes, atypes)
-                ]
-                yield pa.RecordBatch.from_arrays(arrays, names)
+            yield from read_split(path, start, end, self.reader_schema)
 
     class _AvroStreamReader(SimpleDataSourceStreamReader):
         """File-drop ingest of an .avro directory: the OFFSET is the
@@ -1909,31 +1934,11 @@ def make_avro_datasource():
             return {"seen": []}
 
         def _list(self):
-            import re
+            from text_grabr_orc_spark.sources.avro_io import (
+                consumable_avro_files,
+            )
 
-            try:
-                names = sorted(
-                    f for f in os.listdir(self.path)
-                    if f.endswith(".avro")
-                )
-            except FileNotFoundError:
-                return []
-            ledger = os.path.join(self.path, "_committed_jobs")
-            if not os.path.exists(ledger):
-                # foreign/legacy directory (no tgos_avro writer ever
-                # planned here): every drop is consumable
-                return names
-            with open(ledger) as fh:
-                committed = set(fh.read().split())
-            part_re = re.compile(r"^part-([0-9a-f]{12})-\d{5}\.avro$")
-            out = []
-            for f in names:
-                m = part_re.match(f)
-                # our writer's parts gate on their job's commit; names
-                # from other producers are consumable immediately
-                if m is None or m.group(1) in committed:
-                    out.append(f)
-            return out
+            return consumable_avro_files(self.path)
 
         def _rows(self, names):
             # a LIST iterator, not a generator: Spark pickles the
@@ -2206,11 +2211,105 @@ def make_avro_datasource():
     return AvroSource
 
 
+def make_avro_stream_datasource():
+    """PARTITIONED streaming source ``tgos_avro_stream`` — the
+    data-plane twin of ``tgos_avro``'s simple (driver-side) stream
+    reader: ``latestOffset`` plans on the driver, but every file is
+    fanned out as block-range InputPartitions read ON EXECUTORS
+    through the same split machinery as the batch reader (one
+    multi-GB drop parallelizes across tasks instead of serializing on
+    the driver). ``latestOffset`` is STATELESS over the directory —
+    the consumable-file set only grows (the ledger only appends), so
+    offsets are monotone across triggers AND across query restarts
+    with a fresh reader instance (a per-trigger cap would need the
+    committed offset, which this API does not expose — hence the
+    simple reader keeps the chunking demo and this one keeps restart
+    safety). Composes with ``reader_schema`` resolution and the
+    committed-jobs gate."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _PartitionedStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.split_bytes = int(options.get("split_bytes", 32 << 20))
+            self.reader_schema = options.get("reader_schema")
+
+        def initialOffset(self):
+            return {"seen": []}
+
+        def latestOffset(self):
+            from text_grabr_orc_spark.sources.avro_io import (
+                consumable_avro_files,
+            )
+
+            return {"seen": consumable_avro_files(self.path)}
+
+        def partitions(self, start, end):
+            from text_grabr_orc_spark.sources.avro_io import (
+                enumerate_block_ranges,
+            )
+
+            names = sorted(set(end["seen"]) - set(start["seen"]))
+            parts = []
+            for name in names:
+                p = os.path.join(self.path, name)
+                ranges = enumerate_block_ranges(p, self.split_bytes)
+                if not ranges:
+                    parts.append(InputPartition((p, None, None)))
+                for s, e in ranges:
+                    parts.append(InputPartition((p, s, e)))
+            return parts
+
+        def read(self, partition):
+            from text_grabr_orc_spark.sources.avro_io import read_split
+
+            path, start, end = partition.value
+            yield from read_split(path, start, end, self.reader_schema)
+
+        def commit(self, end):
+            pass  # nothing to clean: consumed containers stay published
+
+    class AvroStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "tgos_avro_stream"
+
+        def schema(self):
+            # same inference as the batch source: reader schema wins,
+            # else the first file's embedded writer schema
+            rs = self.options.get("reader_schema")
+            if rs is not None:
+                fields, _ = _parse_reader_schema(rs)
+                return _fields_ddl(fields)
+            path = self.options["path"]
+            try:
+                first = sorted(
+                    f for f in os.listdir(path) if f.endswith(".avro")
+                )[0]
+            except (FileNotFoundError, IndexError):
+                raise ValueError(
+                    f"tgos_avro_stream: no .avro files at {path!r}"
+                ) from None
+            return _fields_ddl(
+                container_fields(os.path.join(path, first))
+            )
+
+        def streamReader(self, schema):
+            return _PartitionedStreamReader(self.options)
+
+    return AvroStreamSource
+
+
 def register_avro_source(spark: SparkSession) -> None:
-    try:
-        spark.dataSource.register(make_avro_datasource())
-    except Exception:  # noqa: BLE001
-        pass  # already registered in this session
+    for factory in (make_avro_datasource, make_avro_stream_datasource):
+        try:
+            spark.dataSource.register(factory())
+        except Exception:  # noqa: BLE001
+            pass  # already registered in this session
 
 
 # ---------------------------------------------------------------------------
@@ -2799,4 +2898,83 @@ def streaming_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("user_id").cast("bigint").alias("user_sum"),
         F.min(ts_us).cast("bigint").alias("first_us"),
+    )
+
+
+@register(
+    "streaming_avro_ingest_partitioned",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def streaming_avro_ingest_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITIONED streaming ingest (`tgos_avro_stream`): documents
+    are published as four container files, and one trigger plans
+    block-range InputPartitions read ON EXECUTORS — the data-plane
+    path (the simple reader next door reads on the driver and
+    demonstrates per-file chunking; this one demonstrates fan-out
+    WITHIN a batch: ≥4 partitions for 4 files, more when a file spans
+    multiple sync-marker block ranges). A reader schema projects
+    three of the five written columns (skip-decode on executors), and
+    the final aggregate must hash-match the oracle computed straight
+    from parquet — partition-boundary row loss or duplication breaks
+    the count, a skip-width slip breaks every downstream value."""
+    import time
+
+    register_avro_source(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text", "n_chars"
+    )
+    out = _scratch_dir("tgos_avro_pstream", sf_dir)
+    docs.repartition(4, "doc_id").write.format("tgos_avro").option(
+        "path", out
+    ).option("codec", "deflate").mode("append").save()
+    reader = json.dumps({
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "doc_id", "type": ["null", "long"]},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "n_chars", "type": ["null", "long"]},
+        ],
+    })
+    stream = (
+        spark.readStream.format("tgos_avro_stream")
+        .option("path", out)
+        .option("reader_schema", reader)
+        .load()
+    )
+    import uuid
+
+    name = f"tgos_avro_pstream_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(out, "_stream_cp")
+        )
+        .start()
+    )
+    try:
+        expected = docs.count()
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table(name).count() >= expected:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
