@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     # projection, defaults, promotions)
     "avro_enum_roundtrip",
     "avro_reader_schema_evolution",
+    # round-13: the from-scratch snappy block codec (compress +
+    # CRC trailer on write, decompress on block-split reads)
+    "avro_snappy_roundtrip",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation

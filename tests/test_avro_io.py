@@ -1848,7 +1848,7 @@ def test_bzip2_xz_codecs_jvm_duplex_parity(spark, tmp_path):
         list(read_container(p3))
     with pytest.raises(ValueError, match="unsupported codec"):
         write_container(str(tmp_path / "bad.avro"), fields,
-                        iter(rows[:1]), codec="snappy")
+                        iter(rows[:1]), codec="zstandard")
 
 
 def test_avro_stream_reader_offsets(tmp_path):
@@ -1977,6 +1977,10 @@ def test_resolution_review_fixes(tmp_path):
     with pytest.raises(ValueError, match="no compressor"):
         _compress("zstandard", b"x")
     with pytest.raises(ValueError, match="no decompressor"):
+        _decompress("zstandard", b"x")
+    # snappy is IN subset since round 13 (sources/snappy.py), but a
+    # payload shorter than its CRC trailer still fails loudly
+    with pytest.raises(ValueError, match="CRC trailer"):
         _decompress("snappy", b"x")
 
 

@@ -57,8 +57,11 @@ nullable as a two-branch union with ``"null"`` in either declared
 order. Codecs:
 ``null``, ``deflate`` (RFC 1951 raw deflate per block, stdlib zlib),
 ``bzip2`` and ``xz`` (optional spec codecs, stdlib bz2 / lzma in XZ
-container format; snappy and zstandard stay out of subset — their
-python modules are absent here — and raise descriptively at the
+container format), and ``snappy`` — the raw format implemented from
+its public specification in ``sources/snappy.py`` (no python module
+here; JVM duplex parity pinned) with the Avro CRC32 trailer. Only
+zstandard stays out of subset (its decoder is a full entropy-coding
+engine) and raises descriptively at the
 header check). Files written here are byte-compatible with any Avro reader
 (the golden-bytes pytest pins the spec encodings; duplex parity with
 the JVM reference implementation is pytest-pinned too).
@@ -1170,10 +1173,15 @@ def _parse_reader_schema(schema_json: str) -> tuple[Fields, dict]:
 #: supported block codecs (spec §Required/Optional Codecs): null and
 #: deflate are the spec-required pair; bzip2 and xz are optional spec
 #: codecs implementable with the python stdlib (bz2 / lzma in XZ
-#: container format) — snappy and zstandard stay out of subset (their
-#: python modules are absent in this environment; documented, the
-#: header check raises descriptively).
-_CODECS = ("null", "deflate", "bzip2", "xz")
+#: container format); snappy is the FROM-SCRATCH raw-format codec in
+#: ``sources/snappy.py`` (no python module in this environment — same
+#: resolution as PNG/JPEG: implement the public wire format; JVM
+#: duplex parity pinned against snappy-java on Spark's classpath)
+#: with the Avro-specific 4-byte big-endian CRC32-of-uncompressed
+#: trailer applied here. Only zstandard stays out of subset (its
+#: decoder — FSE/Huffman entropy coding — is a full compression
+#: engine; documented, the header check raises descriptively).
+_CODECS = ("null", "deflate", "bzip2", "xz", "snappy")
 
 
 def _compress(codec: str, payload: bytes) -> bytes:
@@ -1190,6 +1198,16 @@ def _compress(codec: str, payload: bytes) -> bytes:
         import lzma
 
         return lzma.compress(payload, format=lzma.FORMAT_XZ, preset=6)
+    if codec == "snappy":
+        import zlib
+
+        from text_grabr_orc_spark.sources import snappy
+
+        # Avro spec: snappy blocks carry a 4-byte BIG-ENDIAN CRC32 of
+        # the UNCOMPRESSED data after the compressed bytes
+        return snappy.compress(payload) + zlib.crc32(payload).to_bytes(
+            4, "big"
+        )
     if codec == "null":
         return payload
     # LOUD fallthrough: a codec added to _CODECS without a branch here
@@ -1211,6 +1229,21 @@ def _decompress(codec: str, payload: bytes) -> bytes:
         import lzma
 
         return lzma.decompress(payload, format=lzma.FORMAT_XZ)
+    if codec == "snappy":
+        import zlib
+
+        from text_grabr_orc_spark.sources import snappy
+
+        if len(payload) < 4:
+            raise ValueError("snappy block too short for CRC trailer")
+        data = snappy.decompress(payload[:-4])
+        want = int.from_bytes(payload[-4:], "big")
+        if zlib.crc32(data) != want:
+            raise ValueError(
+                "snappy block CRC mismatch: decoded data does not"
+                " match the uncompressed-payload checksum"
+            )
+        return data
     if codec == "null":
         return payload
     raise ValueError(f"no decompressor for codec {codec!r}")
@@ -3092,4 +3125,54 @@ def streaming_avro_ingest_one_container(
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
         (F.countDistinct("pid") >= F.lit(4)).alias("fanout_ok"),
+    )
+
+
+@register(
+    "avro_snappy_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+           min(md5(text)) AS min_md5,
+           max(md5(text)) AS max_md5
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def avro_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents round-tripped through the FROM-SCRATCH snappy block
+    codec (``sources/snappy.py`` — raw format per Google's public
+    format_description.txt, plus the Avro CRC32-of-uncompressed
+    trailer): written with ``codec=snappy`` and small blocks, read
+    back through block-range splits (``split_bytes=4096`` fans the
+    containers into many executor splits, so every split decompresses
+    snappy blocks independently). The aggregate witnesses the TEXT
+    bytes themselves — per-lang min/max md5 and summed length — so a
+    single flipped byte anywhere in the compressed stream breaks the
+    oracle hash; the JVM duplex parity test pins the same bytes
+    against snappy-java. Closes the round-12 'snappy out of subset'
+    gap the same way PNG/JPEG/Avro closed theirs: implement the
+    public wire format."""
+    register_avro_source(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    out = _scratch_dir("tgos_avro_snappy", sf_dir)
+    docs.repartition(2, "doc_id").write.format("tgos_avro").option(
+        "path", out
+    ).option("codec", "snappy").option("block_rows", "96").mode(
+        "append"
+    ).save()
+    back = (
+        spark.read.format("tgos_avro")
+        .option("path", out)
+        .option("split_bytes", "4096")
+        .load()
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
+        F.max(F.md5(F.col("text").cast("binary"))).alias("max_md5"),
     )
