@@ -209,30 +209,31 @@ def _membw_probe() -> float | None:
     so the number is steady-state memory traffic, not page-fault
     noise. Recorded as ``membw_sec_pre`` / ``membw_sec_post``;
     tools/compare_bench.py normalizes cross-round ratios on both
-    axes. Returns None (recorded as JSON null) when numpy is absent —
-    the probe is a calibration aid and must never kill the timed pass
-    (round-12 ADVICE); compare_bench already handles a missing axis
+    axes. Returns None (recorded as JSON null) when the probe cannot
+    run — numpy absent OR its ~400 MiB working set unallocatable — a
+    calibration aid must never kill the timed pass (round-12 ADVICE +
+    round-13 review); compare_bench already handles a missing axis
     via ``mem_axis: false``."""
     try:
         import numpy as np
-    except ImportError:
+
+        n = 24_000_000  # 192 MiB of int64 + as much again of index
+        a = np.arange(n, dtype=np.int64)
+        idx = np.random.default_rng(20260816).permutation(n)
+
+        def once() -> float:
+            t0 = time.time()
+            s = int(a[idx][::4096].sum())  # random gather, full set
+            s += int((a * 3)[::4096].sum())  # sequential stream
+            assert s  # consume — the gather must not be dead-code
+            return time.time() - t0
+
+        once()  # untimed warm pass: allocator page faults paid here
+        runs = sorted(once() for _ in range(3))
+        del a, idx
+        return round(runs[1], 3)
+    except (ImportError, MemoryError):
         return None
-
-    n = 24_000_000  # 192 MiB of int64 + as much again of index
-    a = np.arange(n, dtype=np.int64)
-    idx = np.random.default_rng(20260816).permutation(n)
-
-    def once() -> float:
-        t0 = time.time()
-        s = int(a[idx][::4096].sum())  # random gather of the full set
-        s += int((a * 3)[::4096].sum())  # sequential stream
-        assert s  # consume — the gather must not be dead-code
-        return time.time() - t0
-
-    once()  # untimed warm pass: allocator page faults paid here
-    runs = sorted(once() for _ in range(3))
-    del a, idx
-    return round(runs[1], 3)
 
 
 def _warmup(spark, names, warm_dir: str) -> list[str]:

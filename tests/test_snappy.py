@@ -95,6 +95,10 @@ def test_snappy_malformed_inputs_raise():
         b"\x02\x19\x02",  # copy with nothing decoded yet
         b"\x06\x04ab\x00",  # zero-offset copy... (tag 0 = literal
         # len 1, truncated) — still must raise, not return garbage
+        b"\x80\x80\x80\x80\x80\x01",  # 6-byte preamble varint: spec
+        # caps the length at 32 bits / 5 bytes — reject at parse, not
+        # via the final length check (round-13 review)
+        b"\xff\xff\xff\xff\x1f",  # 5 bytes but > 32 bits declared
     ):
         with pytest.raises(ValueError, match="snappy"):
             decompress(bad)
@@ -116,10 +120,21 @@ def test_avro_snappy_container_roundtrip(tmp_path):
     assert list(read_container(p)) == rows
     raw = bytearray(open(p, "rb").read())
     assert b"snappy" in raw[:200]
-    # flip one byte in the middle of the first block's payload: the
-    # decoder must surface either a CRC mismatch or a malformed
-    # element — never wrong rows
-    raw[260] ^= 0xFF
+    # flip one byte INSIDE the first block's compressed payload —
+    # offset computed from the parsed header end (+2 block-header
+    # varints +20 into the payload), so schema growth can never quietly
+    # move the flip back into header metadata (round-13 review). The
+    # decoder must surface a CRC mismatch or a malformed element —
+    # never wrong rows.
+    import io
+
+    from text_grabr_orc_spark.sources.avro_io import read_header
+
+    fh = io.BytesIO(bytes(raw))
+    read_header(fh)
+    flip_at = fh.tell() + 2 + 20
+    assert flip_at < len(raw)
+    raw[flip_at] ^= 0xFF
     open(p, "wb").write(bytes(raw))
     with pytest.raises(ValueError):
         list(read_container(p))

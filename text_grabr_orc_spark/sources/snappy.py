@@ -118,8 +118,8 @@ def compress(data: bytes) -> bytes:
             key = data[i : i + 4]
             cand = table.get(key)
             table[key] = i
-            if cand is None or cand < frag_start:
-                i += 1
+            if cand is None:  # table is fresh per fragment, so any
+                i += 1        # hit is already >= frag_start
                 continue
             # extend the match greedily
             m = i + 4
@@ -156,8 +156,13 @@ def decompress(data: bytes) -> bytes:
         if not b & 0x80:
             break
         shift += 7
-        if shift > 35:
+        if shift > 28:
+            # spec: uncompressed length is a 32-bit value, at most 5
+            # varint bytes — reference decoders reject longer preambles
+            # outright rather than relying on the final length check
             raise ValueError("snappy: preamble varint too long")
+    if expected > 0xFFFFFFFF:
+        raise ValueError("snappy: preamble length exceeds 32 bits")
     out = bytearray()
     while pos < n:
         tag = mv[pos]
