@@ -2235,3 +2235,231 @@ def test_partitioned_stream_single_file_block_fanout(tmp_path):
     for part in parts:
         got.extend(_flatten_split(rdr.read(part)))
     assert sorted(got) == list(range(1000))
+
+
+def test_millis_codegen_matches_closure():
+    """The generated block codecs agree with the closure codecs on
+    the MILLIS timestamp family: identical wire bytes on write
+    (micros exchange -> floor-divided millis), identical values on
+    read (wire millis -> scaled micros / datetimes)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from text_grabr_orc_spark.sources.avro_codegen import (
+        block_decoder,
+        block_encoder,
+    )
+    from text_grabr_orc_spark.sources.avro_io import (
+        _compile_record_writer,
+        _decode_rows,
+        _EPOCH_NAIVE,
+        _EPOCH_UTC,
+    )
+
+    fields = [
+        ("id", "long", False),
+        ("ts", "tsmillis", True),
+        ("lts", "ltsmillis", False),
+    ]
+    ms = st.integers(min_value=-(2**40), max_value=2**40)
+    row_st = st.tuples(
+        st.integers(min_value=-(2**31), max_value=2**31),
+        st.one_of(st.none(), ms),
+        ms,
+    )
+    enc = block_encoder(fields)
+    dec = block_decoder(fields)
+    wr = _compile_record_writer(fields)
+
+    @given(st.lists(row_st, max_size=16))
+    @settings(max_examples=60, deadline=None)
+    def check(rows):
+        # raw exchange form: micros (millis-aligned, as produced by
+        # the decoders and consumed by the Arrow cast)
+        cols = [
+            [r[0] for r in rows],
+            [None if r[1] is None else r[1] * 1000 for r in rows],
+            [r[2] * 1000 for r in rows],
+        ]
+        crows = [
+            (
+                r[0],
+                None if r[1] is None
+                else _EPOCH_UTC + dt.timedelta(milliseconds=r[1]),
+                _EPOCH_NAIVE + dt.timedelta(milliseconds=r[2]),
+            )
+            for r in rows
+        ]
+        buf = bytearray()
+        enc(buf, cols, 0, len(rows))
+        buf2 = bytearray()
+        for cr in crows:
+            wr(buf2, cr)
+        assert bytes(buf) == bytes(buf2)
+        got = [[], [], []]
+        used = dec(memoryview(bytes(buf)), len(rows), got)
+        assert used == len(buf) and got == cols
+        ref, used2 = _decode_rows(memoryview(bytes(buf)), 0,
+                                  len(rows), fields)
+        assert used2 == used and ref == crows
+
+    check()
+
+
+def test_millis_jvm_duplex_parity(spark, tmp_path):
+    """timestamp-millis / local-timestamp-millis duplex with the real
+    Avro library, plus the spec's unknown-logical-type fallback: a JVM
+    file with a uuid logical type reads as its string base."""
+    import datetime as dt
+    import json
+
+    from text_grabr_orc_spark.sources.avro_io import _schema_json
+
+    jvm = spark._jvm
+    fields = [
+        ("id", "long", False),
+        ("ts", "tsmillis", True),
+        ("lts", "ltsmillis", False),
+    ]
+    rows = [
+        (1,
+         dt.datetime(2024, 6, 1, 12, 30, 15, 123000,
+                     tzinfo=dt.timezone.utc),
+         dt.datetime(2020, 1, 2, 3, 4, 5, 678000)),
+        (2, None, dt.datetime(1969, 12, 31, 23, 59, 59, 999000)),
+    ]
+    # python writes millis -> JVM reads the raw longs
+    p = str(tmp_path / "py_millis.avro")
+    write_container(p, fields, iter(rows))
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = []
+    while rdr.hasNext():
+        rec = rdr.next()
+        got.append((rec.get("id"), rec.get("ts"), rec.get("lts")))
+    rdr.close()
+    # JVM generic reader surfaces the raw wire longs (millis)
+    assert got == [(1, 1717245015123, 1577934245678), (2, None, -1)]
+    # JVM writes millis + a uuid-annotated string -> python reads
+    schema_json = json.dumps({
+        "type": "record", "name": "row", "fields": [
+            {"name": "ts", "type": {
+                "type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "u", "type": {
+                "type": "string", "logicalType": "uuid"}},
+        ],
+    })
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    p2 = str(tmp_path / "jvm_millis.avro")
+    dfw.create(schema, jvm.java.io.File(p2))
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("ts", jvm.java.lang.Long.valueOf(1717245015123))
+    rec.put("u", "0f0e0d0c-0b0a-0908-0706-050403020100")
+    dfw.append(rec)
+    dfw.close()
+    back = list(read_container(p2))
+    assert back == [(
+        dt.datetime(2024, 6, 1, 12, 30, 15, 123000,
+                    tzinfo=dt.timezone.utc),
+        "0f0e0d0c-0b0a-0908-0706-050403020100",
+    )]
+    # our own schema emit carries the millis logical types verbatim
+    sj = json.loads(_schema_json("row", fields))
+    assert sj["fields"][1]["type"][1]["logicalType"] == "timestamp-millis"
+    assert (sj["fields"][2]["type"]["logicalType"]
+            == "local-timestamp-millis")
+
+
+def test_millis_writer_declaration(spark, tmp_path):
+    """The datasource writer's ``millis`` option: declared timestamp
+    columns ship as millis (wire value truncated), undeclared stay
+    micros; wrong column types and unknown names raise at plan time."""
+    import datetime as dt
+
+    import pytest
+
+    from text_grabr_orc_spark.sources.avro_io import (
+        container_fields,
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1, 12, 30, 15, 123456))],
+        "id bigint, ts timestamp_ntz",
+    )
+    out = tmp_path / "ms"
+    df.coalesce(1).write.format("tgos_avro").option(
+        "path", str(out)
+    ).option("millis", '["ts"]').mode("append").save()
+    part = next(f for f in os.listdir(out) if f.endswith(".avro"))
+    assert container_fields(str(out / part)) == [
+        ("id", "long", True), ("ts", "ltsmillis", True),
+    ]
+    back = spark.read.format("tgos_avro").option(
+        "path", str(out)
+    ).load().collect()
+    # sub-millis truncated on the wire, scaled back to micros on read
+    assert back[0]["ts"] == dt.datetime(2024, 6, 1, 12, 30, 15, 123000)
+    # declaration errors are plan-time and descriptive
+    with pytest.raises(Exception, match="millis declaration"):
+        df.write.format("tgos_avro").option(
+            "path", str(tmp_path / "bad1")
+        ).option("millis", '["id"]').mode("append").save()
+    with pytest.raises(Exception, match="millis declaration"):
+        df.write.format("tgos_avro").option(
+            "path", str(tmp_path / "bad2")
+        ).option("millis", '["nope"]').mode("append").save()
+
+
+def test_unknown_logical_types_fall_back_to_base(tmp_path):
+    """Spec §Logical Types: unrecognized annotations read as the
+    underlying type — time-millis as int, time-micros as long,
+    timestamp-nanos as long — while recognized-but-wrong-base combos
+    still raise."""
+    import json
+
+    import pytest
+
+    from text_grabr_orc_spark.sources.avro_io import _parse_schema
+
+    fs = _parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "tm", "type": {
+                "type": "int", "logicalType": "time-millis"}},
+            {"name": "tu", "type": {
+                "type": "long", "logicalType": "time-micros"}},
+            {"name": "tn", "type": {
+                "type": "long", "logicalType": "timestamp-nanos"}},
+            {"name": "u", "type": {
+                "type": "string", "logicalType": "uuid"}},
+        ],
+    }))
+    assert fs == [("tm", "int", False), ("tu", "long", False),
+                  ("tn", "long", False), ("u", "string", False)]
+    # an INVALID logical-type application (decimal on boolean) also
+    # falls back to the base type — spec: "if a logical type is
+    # invalid... implementations should ignore the logical type and
+    # use the underlying Avro type"
+    fs2 = _parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "d", "type": {
+                "type": "boolean", "logicalType": "decimal"}},
+        ],
+    }))
+    assert fs2 == [("d", "boolean", False)]
+    # but a bare unsupported BASE type still raises, annotation or not
+    with pytest.raises(ValueError, match="unsupported avro type"):
+        _parse_schema(json.dumps({
+            "type": "record", "name": "r", "fields": [
+                {"name": "x", "type": {
+                    "type": "weird", "logicalType": "uuid"}},
+            ],
+        }))

@@ -215,6 +215,13 @@ def _emit_read(g: _Gen, ind: int, typ, out: str) -> None:
     if typ in ("long", "int", "tsmicros", "ltsmicros", "date"):
         _emit_read_varint(g, ind, out)
         return
+    if typ in ("tsmillis", "ltsmillis"):
+        # wire unit is MILLIS (spec timestamp-millis family); scale to
+        # micros at decode so every downstream consumer (Arrow cast,
+        # hydrator, oracle values) sees exactly one temporal unit
+        _emit_read_varint(g, ind, out)
+        g.emit(ind, f"{out} *= 1000")
+        return
     if typ == "double":
         g.emit(ind, f"{out} = _upd(mv, pos)[0]; pos += 8")
         return
@@ -440,6 +447,12 @@ def _emit_write(g: _Gen, ind: int, typ, val: str) -> None:
     if typ in ("long", "int", "tsmicros", "ltsmicros", "date"):
         _emit_write_varint(g, ind, val)
         return
+    if typ in ("tsmillis", "ltsmillis"):
+        # exchange form is MICROS; the wire stores millis — floor
+        # division truncates sub-millisecond precision exactly like
+        # the JVM's micros->millis conversion
+        _emit_write_varint(g, ind, f"(({val}) // 1000)")
+        return
     if typ == "double":
         g.emit(ind, f"buf += _pkd({val})")
         return
@@ -544,8 +557,8 @@ def raw_arrow_type(token):
         return pa.list_(raw_arrow_type(token[1]))
     if _is_gmap(token):
         return pa.map_(pa.string(), raw_arrow_type(token[1]))
-    if token in ("tsmicros", "ltsmicros"):
-        return pa.int64()
+    if token in ("tsmicros", "ltsmicros", "tsmillis", "ltsmillis"):
+        return pa.int64()  # millis already scaled to micros at decode
     if token == "date":
         return pa.int32()
     return _arrow_type(token)
@@ -691,7 +704,8 @@ def _emit_skip(g: _Gen, ind: int, typ) -> None:
     if _is_fixed(typ):
         g.emit(ind, f"pos += {int(typ[2])}")
         return
-    if typ in ("long", "int", "tsmicros", "ltsmicros", "date"):
+    if typ in ("long", "int", "tsmicros", "ltsmicros", "date",
+               "tsmillis", "ltsmillis"):
         _emit_skip_varint(g, ind)
         return
     if typ == "double":

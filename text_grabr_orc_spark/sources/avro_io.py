@@ -31,13 +31,21 @@ arrays as values), NESTED RECORDS to any depth (Spark struct columns
 symbol position varint; Spark side a string column, declared on
 write via the ``enums`` option), FIXED (wire = exactly ``size`` raw
 bytes; Spark side a binary column, declared via the ``fixed``
-option), and three logical types —
+option), and the logical types —
 ``timestamp-micros`` on long (instant, Spark TIMESTAMP),
 ``local-timestamp-micros`` on long (wall clock, Spark TIMESTAMP_NTZ —
-what the events fixture's parquet actually carries), and ``date`` on
+what the events fixture's parquet actually carries), their MILLIS
+twins ``timestamp-millis`` / ``local-timestamp-millis`` (the units
+most JVM writers emit: wire millis scale to Spark micros on read,
+and the writer's ``millis`` option declares timestamp columns to
+store as millis, truncating sub-millisecond precision exactly like
+the JVM conversion), and ``date`` on
 int (epoch days, Spark DATE), and ``decimal`` on bytes (unscaled
 two's-complement big-endian int per the spec, Spark DECIMAL(p,s) —
-exact arithmetic survives the wire). Arrays generalize past the
+exact arithmetic survives the wire). Unrecognized or invalidly
+applied logical-type annotations fall back to the underlying Avro
+type per spec §Logical Types (uuid reads as its string base,
+time-millis/-micros as int/long). Arrays generalize past the
 compact non-null-prim form: any supported item type including nested
 records and logical types, with NULL elements (Spark's
 ``containsNull``) as ``["null", item]`` unions. READ-SIDE SCHEMA
@@ -152,9 +160,9 @@ def _ddl_of(token) -> str:
         return f"map<string,{_AVRO_TO_DDL[token[4:]]}>"
     if token.startswith("mapn:"):
         return f"map<string,{_AVRO_TO_DDL[token[5:]]}>"
-    if token == "tsmicros":
+    if token in ("tsmicros", "tsmillis"):
         return "timestamp"
-    if token == "ltsmicros":
+    if token in ("ltsmicros", "ltsmillis"):
         return "timestamp_ntz"
     if token == "date":
         return "date"
@@ -254,7 +262,8 @@ def _token_valid(token) -> bool:
         return token[4:] in _AVRO_TO_DDL
     if token.startswith("mapn:"):
         return token[5:] in _AVRO_TO_DDL
-    if token in ("tsmicros", "ltsmicros", "date"):
+    if token in ("tsmicros", "ltsmicros", "tsmillis", "ltsmillis",
+                 "date"):
         return True
     if token.startswith("dec:"):
         parts = token[4:].split(":")
@@ -491,6 +500,22 @@ def _compile_reader(typ):
             return epoch + delta(microseconds=m), pos
 
         return rd_ts
+    if typ == "ltsmillis":
+        epoch, delta = _EPOCH_NAIVE, datetime.timedelta
+
+        def rd_ltsm(mv, pos, epoch=epoch, delta=delta):
+            m, pos = read_long(mv, pos)
+            return epoch + delta(milliseconds=m), pos
+
+        return rd_ltsm
+    if typ == "tsmillis":
+        epoch, delta = _EPOCH_UTC, datetime.timedelta
+
+        def rd_tsm(mv, pos, epoch=epoch, delta=delta):
+            m, pos = read_long(mv, pos)
+            return epoch + delta(milliseconds=m), pos
+
+        return rd_tsm
     if typ.startswith("array:"):
         item = _compile_reader(typ[6:])
 
@@ -774,6 +799,25 @@ def _compile_writer(typ):
             write_long(buf, _instant_to_micros(v))
 
         return wr_ts
+    if typ == "tsmillis":
+
+        def wr_tsm(buf, v):
+            # floor division truncates sub-millis, same as the JVM
+            write_long(buf, _instant_to_micros(v) // 1000)
+
+        return wr_tsm
+    if typ == "ltsmillis":
+        epoch = _EPOCH_NAIVE
+
+        def wr_ltsm(buf, v, epoch=epoch):
+            d = v - epoch
+            write_long(
+                buf,
+                (d.days * 86400 + d.seconds) * 1000
+                + d.microseconds // 1000,
+            )
+
+        return wr_ltsm
     if typ == "date":
         epoch = _EPOCH_DATE
 
@@ -996,6 +1040,10 @@ def _avro_type(token, path: str = "rec", seq: list | None = None):
         return {"type": "long", "logicalType": "timestamp-micros"}
     if token == "ltsmicros":
         return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if token == "tsmillis":
+        return {"type": "long", "logicalType": "timestamp-millis"}
+    if token == "ltsmillis":
+        return {"type": "long", "logicalType": "local-timestamp-millis"}
     if token == "date":
         return {"type": "int", "logicalType": "date"}
     if token.startswith("dec:"):
@@ -1056,10 +1104,26 @@ def _token_of_avro(t):
             and t.get("logicalType") == "local-timestamp-micros"
         ):
             return "ltsmicros"
+        if kind == "long" and t.get("logicalType") == "timestamp-millis":
+            return "tsmillis"
+        if (
+            kind == "long"
+            and t.get("logicalType") == "local-timestamp-millis"
+        ):
+            return "ltsmillis"
         if kind == "int" and t.get("logicalType") == "date":
             return "date"
         if kind == "bytes" and t.get("logicalType") == "decimal":
             return f"dec:{int(t['precision'])}:{int(t.get('scale', 0))}"
+        if kind in _AVRO_TO_DDL and "logicalType" in t:
+            # spec §Logical Types: a reader that does not recognize a
+            # logical type "should ignore [it] and use the underlying
+            # Avro type" — uuid reads as its string base, time-millis/
+            # time-micros as int/long (Spark has no TIME column in
+            # this exchange), timestamp-nanos as raw long, etc. This
+            # is the spec-mandated fallback, not silent data loss:
+            # the base-type VALUE is exactly what is on the wire.
+            return kind
         raise ValueError(f"unsupported avro type {t}")
     return t
 
@@ -1121,6 +1185,10 @@ def _default_value(token, v):
     if isinstance(token, str):
         if token in ("long", "int", "tsmicros", "ltsmicros", "date"):
             return int(v)
+        if token in ("tsmillis", "ltsmillis"):
+            # JSON default is in wire units (millis); the columnar
+            # exchange carries micros
+            return int(v) * 1000
         if token in ("float", "double"):
             return float(v)
         if token == "string":
@@ -1572,9 +1640,11 @@ def _hydrator(token):
     arrays (lists) and maps (dicts) recurse. Returns ``None`` when the
     token contains no temporal anywhere (the common case pays
     nothing)."""
-    if token == "tsmicros":
+    if token in ("tsmicros", "tsmillis"):
+        # millis are scaled to micros by the columnar decoders, so
+        # one hydrator serves both units
         return _micros_to_instant
-    if token == "ltsmicros":
+    if token in ("ltsmicros", "ltsmillis"):
         return _micros_to_local
     if token == "date":
         return lambda d: _EPOCH_DATE + datetime.timedelta(days=d)
@@ -1760,9 +1830,10 @@ def _arrow_type(token):
         return pa.map_(pa.string(), _arrow_type(token[5:]))
     if token.startswith("map:"):
         return pa.map_(pa.string(), _arrow_type(token[4:]))
-    if token == "tsmicros":
+    if token in ("tsmicros", "tsmillis"):
+        # millis reach Arrow pre-scaled to micros (see avro_codegen)
         return pa.timestamp("us", tz="UTC")
-    if token == "ltsmicros":
+    if token in ("ltsmicros", "ltsmillis"):
         return pa.timestamp("us")
     if token == "date":
         return pa.date32()
@@ -1871,6 +1942,19 @@ def _apply_named_type_decls(
             by_name[name][1],
         )
     return [(n, *by_name[n]) for n, _, _ in fields]
+
+
+def _millis_token(name: str, t):
+    """micros->millis token rewrite for a writer ``millis``
+    declaration; only timestamp-family columns qualify."""
+    if t == "tsmicros":
+        return "tsmillis"
+    if t == "ltsmicros":
+        return "ltsmillis"
+    raise ValueError(
+        f"millis declaration {name!r} needs a timestamp /"
+        f" timestamp_ntz column, got {t!r}"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2060,6 +2144,22 @@ def make_avro_datasource():
                 self.fields = _apply_named_type_decls(
                     self.fields, enums, fixed
                 )
+            # millis declaration (option ``millis`` = JSON [field...]):
+            # store the named TIMESTAMP / TIMESTAMP_NTZ columns as the
+            # spec's timestamp-millis / local-timestamp-millis instead
+            # of the micros default — the units many JVM writers emit.
+            # Sub-millisecond precision truncates on the wire (same as
+            # the JVM conversion); wrong column types raise at plan
+            # time.
+            for name in json.loads(options.get("millis", "[]")):
+                self.fields = [
+                    (n, _millis_token(n, t) if n == name else t, nul)
+                    for n, t, nul in self.fields
+                ]
+                if not any(n == name for n, _, _ in self.fields):
+                    raise ValueError(
+                        f"millis declaration {name!r}: no such column"
+                    )
             # one token per WRITE JOB (constructed on the driver,
             # pickled to every task): file names are unique across
             # jobs, so append-to-nonempty never clobbers or mixes with
@@ -3185,4 +3285,52 @@ def avro_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
         F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
         F.max(F.md5(F.col("text").cast("binary"))).alias("max_md5"),
+    )
+
+
+@register(
+    "avro_millis_interop",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(epoch_us(ts) // 1000) AS BIGINT) AS min_ms,
+           CAST(sum(epoch_us(ts) // 1000) AS BIGINT) AS sum_ms,
+           CAST(0 AS BIGINT) AS residual_us
+    FROM events
+    GROUP BY 1
+    """,
+)
+def avro_millis_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events through the spec's MILLIS timestamp family — the wire
+    unit most JVM Avro writers emit. The writer's ``millis`` option
+    declares ``ts`` as ``local-timestamp-millis`` (sub-millisecond
+    precision truncates on the wire, exactly like the JVM conversion);
+    the reader scales the wire back to Spark's micros timestamps. Two
+    oracle-pinned witnesses: ``residual_us`` (sum of read-back
+    sub-millis remainders) must be exactly 0 — 99.95% of fixture
+    events carry sub-millis micros, so a wire that secretly stayed
+    micros breaks the hash — and ``min_ms``/``sum_ms`` must equal the
+    oracle's floor-divided values, so a wrong scale factor or a
+    round-instead-of-truncate breaks it too. JVM duplex parity for
+    both millis types is pinned in tests/test_avro_io.py."""
+    from text_grabr_orc_spark.sources.events import (
+        EPOCH_US_EXPR,
+        load_events,
+    )
+
+    register_avro_source(spark)
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type")
+    out = _scratch_dir("tgos_avro_ms", sf_dir)
+    ev.repartition(4, "event_id").write.format("tgos_avro").option(
+        "path", out
+    ).option("codec", "deflate").option(
+        "millis", json.dumps(["ts"])
+    ).mode("append").save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    us = F.expr(EPOCH_US_EXPR)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.floor(us / 1000)).cast("bigint").alias("min_ms"),
+        F.sum(F.floor(us / 1000)).cast("bigint").alias("sum_ms"),
+        F.sum(us % 1000).cast("bigint").alias("residual_us"),
     )
