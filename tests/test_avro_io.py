@@ -2432,18 +2432,28 @@ def test_unknown_logical_types_fall_back_to_base(tmp_path):
 
     fs = _parse_schema(json.dumps({
         "type": "record", "name": "r", "fields": [
-            {"name": "tm", "type": {
-                "type": "int", "logicalType": "time-millis"}},
-            {"name": "tu", "type": {
-                "type": "long", "logicalType": "time-micros"}},
             {"name": "tn", "type": {
                 "type": "long", "logicalType": "timestamp-nanos"}},
             {"name": "u", "type": {
                 "type": "string", "logicalType": "uuid"}},
+            {"name": "dur", "type": {
+                "type": "int", "logicalType": "made-up-annotation"}},
         ],
     }))
-    assert fs == [("tm", "int", False), ("tu", "long", False),
-                  ("tn", "long", False), ("u", "string", False)]
+    assert fs == [("tn", "long", False), ("u", "string", False),
+                  ("dur", "int", False)]
+    # time-millis / time-micros are REAL types (Spark 4.1 TIME), not
+    # fallbacks
+    fs_t = _parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "tm", "type": {
+                "type": "int", "logicalType": "time-millis"}},
+            {"name": "tu", "type": {
+                "type": "long", "logicalType": "time-micros"}},
+        ],
+    }))
+    assert fs_t == [("tm", "timemillis", False),
+                    ("tu", "timemicros", False)]
     # an INVALID logical-type application (decimal on boolean) also
     # falls back to the base type — spec: "if a logical type is
     # invalid... implementations should ignore the logical type and
@@ -2463,3 +2473,201 @@ def test_unknown_logical_types_fall_back_to_base(tmp_path):
                     "type": "weird", "logicalType": "uuid"}},
             ],
         }))
+
+
+def test_time_of_day_codegen_matches_closure():
+    """Generated vs closure codecs on the TIME family: identical wire
+    bytes (nanos exchange -> micros/millis wire), identical values on
+    read (wire -> nanos / datetime.time)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from text_grabr_orc_spark.sources.avro_codegen import (
+        block_decoder,
+        block_encoder,
+    )
+    from text_grabr_orc_spark.sources.avro_io import (
+        _compile_record_writer,
+        _decode_rows,
+        _micros_to_time,
+    )
+
+    fields = [
+        ("id", "long", False),
+        ("tu", "timemicros", True),
+        ("tm", "timemillis", False),
+    ]
+    us_of_day = st.integers(min_value=0, max_value=86_399_999_999)
+    ms_of_day = st.integers(min_value=0, max_value=86_399_999)
+    row_st = st.tuples(st.integers(-100, 100),
+                       st.one_of(st.none(), us_of_day), ms_of_day)
+    enc = block_encoder(fields)
+    dec = block_decoder(fields)
+    wr = _compile_record_writer(fields)
+
+    @given(st.lists(row_st, max_size=16))
+    @settings(max_examples=60, deadline=None)
+    def check(rows):
+        cols = [
+            [r[0] for r in rows],
+            [None if r[1] is None else r[1] * 1000 for r in rows],
+            [r[2] * 1_000_000 for r in rows],
+        ]
+        crows = [
+            (r[0],
+             None if r[1] is None else _micros_to_time(r[1]),
+             _micros_to_time(r[2] * 1000))
+            for r in rows
+        ]
+        buf = bytearray()
+        enc(buf, cols, 0, len(rows))
+        buf2 = bytearray()
+        for cr in crows:
+            wr(buf2, cr)
+        assert bytes(buf) == bytes(buf2)
+        got = [[], [], []]
+        used = dec(memoryview(bytes(buf)), len(rows), got)
+        assert used == len(buf) and got == cols
+        ref, used2 = _decode_rows(memoryview(bytes(buf)), 0,
+                                  len(rows), fields)
+        assert used2 == used and ref == crows
+
+    check()
+    # out-of-range wire values fail loudly, not wrap
+    import pytest
+
+    with pytest.raises(ValueError):
+        _micros_to_time(-1)
+    with pytest.raises(ValueError):
+        _micros_to_time(86_400_000_000)
+
+
+def test_time_jvm_duplex_parity(spark, tmp_path):
+    """time-micros / time-millis duplex with the real Avro library."""
+    import datetime as dt
+    import json as _json
+
+    from text_grabr_orc_spark.sources.avro_io import _schema_json
+
+    jvm = spark._jvm
+    fields = [
+        ("tu", "timemicros", False),
+        ("tm", "timemillis", True),
+    ]
+    rows = [
+        (dt.time(12, 30, 15, 123456), dt.time(1, 2, 3, 456000)),
+        (dt.time(0, 0), None),
+        (dt.time(23, 59, 59, 999999), dt.time(23, 59, 59, 999000)),
+    ]
+    p = str(tmp_path / "py_time.avro")
+    write_container(p, fields, iter(rows))
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = []
+    while rdr.hasNext():
+        rec = rdr.next()
+        got.append((rec.get("tu"), rec.get("tm")))
+    rdr.close()
+    # generic reader surfaces raw wire ints: micros and millis of day
+    assert got == [
+        (45015123456, 3723456),
+        (0, None),
+        (86399999999, 86399999),
+    ]
+    # JVM writes both time logical types -> python reads
+    schema = jvm.org.apache.avro.Schema.Parser().parse(
+        _schema_json("row", fields)
+    )
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    p2 = str(tmp_path / "jvm_time.avro")
+    dfw.create(schema, jvm.java.io.File(p2))
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("tu", jvm.java.lang.Long.valueOf(45015123456))
+    rec.put("tm", jvm.java.lang.Integer.valueOf(3723456))
+    dfw.append(rec)
+    dfw.close()
+    assert list(read_container(p2)) == [
+        (dt.time(12, 30, 15, 123456), dt.time(1, 2, 3, 456000)),
+    ]
+    # schema emit carries the spec names on the spec base types
+    sj = _json.loads(_schema_json("row", fields))
+    assert sj["fields"][0]["type"] == {
+        "type": "long", "logicalType": "time-micros"}
+    assert sj["fields"][1]["type"][1] == {
+        "type": "int", "logicalType": "time-millis"}
+
+
+def test_time_datasource_roundtrip_and_declarations(spark, tmp_path):
+    """Spark TIME columns through the datasource: a real time(6)
+    column round-trips (Arrow time64[ns] exchange), a bigint
+    nanos-of-day column ships as time-micros via the ``times``
+    declaration (composable with ``millis`` -> time-millis), and
+    declaration errors raise at plan time."""
+    import datetime as dt
+
+    import pytest
+
+    from text_grabr_orc_spark.sources.avro_io import (
+        container_fields,
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    df = spark.createDataFrame(
+        [(1, dt.time(12, 30, 15, 123456)), (2, dt.time(0, 0))],
+        "id bigint, t time(6)",
+    )
+    out = tmp_path / "time_rt"
+    df.coalesce(1).write.format("tgos_avro").option(
+        "path", str(out)
+    ).mode("append").save()
+    part = next(f for f in os.listdir(out) if f.endswith(".avro"))
+    assert container_fields(str(out / part)) == [
+        ("id", "long", True), ("t", "timemicros", True),
+    ]
+    back = {
+        r["id"]: r["t"]
+        for r in spark.read.format("tgos_avro").option(
+            "path", str(out)
+        ).load().collect()
+    }
+    assert back == {1: dt.time(12, 30, 15, 123456), 2: dt.time(0, 0)}
+    # times declaration + millis flip: nanos-of-day -> time-millis
+    df2 = spark.createDataFrame(
+        [(1, 45015123456000)], "id bigint, t_ns bigint"
+    )
+    out2 = tmp_path / "time_decl"
+    df2.coalesce(1).write.format("tgos_avro").option(
+        "path", str(out2)
+    ).option("times", '{"t_ns": "micros"}').option(
+        "millis", '["t_ns"]'
+    ).mode("append").save()
+    part2 = next(f for f in os.listdir(out2) if f.endswith(".avro"))
+    assert container_fields(str(out2 / part2)) == [
+        ("id", "long", True), ("t_ns", "timemillis", True),
+    ]
+    back2 = spark.read.format("tgos_avro").option(
+        "path", str(out2)
+    ).load().collect()
+    assert back2[0]["t_ns"] == dt.time(12, 30, 15, 123000)  # truncated
+    # declaration errors: wrong type, unknown column, bad unit
+    df3 = spark.createDataFrame([(1, "x")], "id bigint, s string")
+    for frame, opts in (
+        (df3, {"times": '{"s": "micros"}',
+               "path": str(tmp_path / "b1")}),
+        (df2, {"times": '{"nope": "micros"}',
+               "path": str(tmp_path / "b2")}),
+        (df2, {"times": '{"t_ns": "seconds"}',
+               "path": str(tmp_path / "b3")}),
+    ):
+        w = frame.write.format("tgos_avro").mode("append")
+        for k, v in opts.items():
+            w = w.option(k, v)
+        with pytest.raises(Exception, match="times declaration"):
+            w.save()

@@ -222,6 +222,16 @@ def _emit_read(g: _Gen, ind: int, typ, out: str) -> None:
         _emit_read_varint(g, ind, out)
         g.emit(ind, f"{out} *= 1000")
         return
+    if typ in ("timemicros", "timemillis"):
+        # TIME-of-day: Spark's Arrow exchange for time(6) is
+        # time64[ns], so the raw form is NANOS since midnight; the
+        # wire stores micros (long) or millis (int) per the spec
+        _emit_read_varint(g, ind, out)
+        g.emit(
+            ind,
+            f"{out} *= {1000 if typ == 'timemicros' else 1_000_000}",
+        )
+        return
     if typ == "double":
         g.emit(ind, f"{out} = _upd(mv, pos)[0]; pos += 8")
         return
@@ -453,6 +463,11 @@ def _emit_write(g: _Gen, ind: int, typ, val: str) -> None:
         # the JVM's micros->millis conversion
         _emit_write_varint(g, ind, f"(({val}) // 1000)")
         return
+    if typ in ("timemicros", "timemillis"):
+        # exchange form is NANOS since midnight (Spark time64[ns])
+        d = 1000 if typ == "timemicros" else 1_000_000
+        _emit_write_varint(g, ind, f"(({val}) // {d})")
+        return
     if typ == "double":
         g.emit(ind, f"buf += _pkd({val})")
         return
@@ -557,8 +572,10 @@ def raw_arrow_type(token):
         return pa.list_(raw_arrow_type(token[1]))
     if _is_gmap(token):
         return pa.map_(pa.string(), raw_arrow_type(token[1]))
-    if token in ("tsmicros", "ltsmicros", "tsmillis", "ltsmillis"):
-        return pa.int64()  # millis already scaled to micros at decode
+    if token in ("tsmicros", "ltsmicros", "tsmillis", "ltsmillis",
+                 "timemicros", "timemillis"):
+        # millis pre-scaled to micros, time-of-day to nanos, at decode
+        return pa.int64()
     if token == "date":
         return pa.int32()
     return _arrow_type(token)
@@ -705,7 +722,7 @@ def _emit_skip(g: _Gen, ind: int, typ) -> None:
         g.emit(ind, f"pos += {int(typ[2])}")
         return
     if typ in ("long", "int", "tsmicros", "ltsmicros", "date",
-               "tsmillis", "ltsmillis"):
+               "tsmillis", "ltsmillis", "timemicros", "timemillis"):
         _emit_skip_varint(g, ind)
         return
     if typ == "double":

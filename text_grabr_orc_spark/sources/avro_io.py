@@ -39,13 +39,18 @@ twins ``timestamp-millis`` / ``local-timestamp-millis`` (the units
 most JVM writers emit: wire millis scale to Spark micros on read,
 and the writer's ``millis`` option declares timestamp columns to
 store as millis, truncating sub-millisecond precision exactly like
-the JVM conversion), and ``date`` on
+the JVM conversion), ``time-micros`` on long and ``time-millis`` on
+int (time-of-day, Spark 4.1's TIME type — Arrow exchange is
+time64[ns], the only TIME arrow type Spark's datasource accepts;
+since Spark cannot yet CAST to TIME, the writer's ``times`` option
+declares a bigint nanos-of-day column to ship as a TIME logical
+type), and ``date`` on
 int (epoch days, Spark DATE), and ``decimal`` on bytes (unscaled
 two's-complement big-endian int per the spec, Spark DECIMAL(p,s) —
 exact arithmetic survives the wire). Unrecognized or invalidly
 applied logical-type annotations fall back to the underlying Avro
 type per spec §Logical Types (uuid reads as its string base,
-time-millis/-micros as int/long). Arrays generalize past the
+timestamp-nanos as raw long). Arrays generalize past the
 compact non-null-prim form: any supported item type including nested
 records and logical types, with NULL elements (Spark's
 ``containsNull``) as ``["null", item]`` unions. READ-SIDE SCHEMA
@@ -164,6 +169,8 @@ def _ddl_of(token) -> str:
         return "timestamp"
     if token in ("ltsmicros", "ltsmillis"):
         return "timestamp_ntz"
+    if token in ("timemicros", "timemillis"):
+        return "time(6)"
     if token == "date":
         return "date"
     if token.startswith("dec:"):
@@ -222,6 +229,10 @@ def _token_of_spark(simple: str) -> str:
         return "tsmicros"
     if simple == "timestamp_ntz":
         return "ltsmicros"
+    if simple.startswith("time(") and simple.endswith(")"):
+        # Spark TIME of any declared precision (0..6); the wire's
+        # time-micros holds all of them
+        return "timemicros"
     if simple == "date":
         return "date"
     if simple.startswith("decimal(") and simple.endswith(")"):
@@ -263,7 +274,7 @@ def _token_valid(token) -> bool:
     if token.startswith("mapn:"):
         return token[5:] in _AVRO_TO_DDL
     if token in ("tsmicros", "ltsmicros", "tsmillis", "ltsmillis",
-                 "date"):
+                 "timemicros", "timemillis", "date"):
         return True
     if token.startswith("dec:"):
         parts = token[4:].split(":")
@@ -342,6 +353,35 @@ def _local_to_micros(dt: datetime.datetime) -> int:
 
 def _micros_to_local(m: int) -> datetime.datetime:
     return _EPOCH_NAIVE + datetime.timedelta(microseconds=m)
+
+
+def _micros_to_time(us: int) -> datetime.time:
+    """micros-since-midnight -> datetime.time; out-of-range values
+    (negative or >= 24h) raise via datetime.time's own validation —
+    a corrupt wire long must not wrap silently."""
+    if us < 0:
+        raise ValueError(f"time-of-day out of range: {us} micros")
+    s, us_r = divmod(us, 1_000_000)
+    h, rem = divmod(s, 3600)
+    m, sec = divmod(rem, 60)
+    return datetime.time(h, m, sec, us_r)
+
+
+def _nanos_to_time(ns: int) -> datetime.time:
+    """nanos-since-midnight (the Arrow time64[ns] exchange form) ->
+    datetime.time (micros precision — time(6))."""
+    return _micros_to_time(ns // 1000)
+
+
+def _time_to_micros(v) -> int:
+    """datetime.time (row exchange) OR int nanos-of-day (a ``times``-
+    declared bigint column on the row fallback) -> micros since
+    midnight."""
+    if isinstance(v, int):
+        return v // 1000
+    return (
+        (v.hour * 60 + v.minute) * 60 + v.second
+    ) * 1_000_000 + v.microsecond
 
 
 # ---------------------------------------------------------------------------
@@ -516,6 +556,20 @@ def _compile_reader(typ):
             return epoch + delta(milliseconds=m), pos
 
         return rd_tsm
+    if typ == "timemicros":
+
+        def rd_tus(mv, pos):
+            v, pos = read_long(mv, pos)
+            return _micros_to_time(v), pos
+
+        return rd_tus
+    if typ == "timemillis":
+
+        def rd_tms(mv, pos):
+            v, pos = read_long(mv, pos)
+            return _micros_to_time(v * 1000), pos
+
+        return rd_tms
     if typ.startswith("array:"):
         item = _compile_reader(typ[6:])
 
@@ -818,6 +872,18 @@ def _compile_writer(typ):
             )
 
         return wr_ltsm
+    if typ == "timemicros":
+
+        def wr_tus(buf, v):
+            write_long(buf, _time_to_micros(v))
+
+        return wr_tus
+    if typ == "timemillis":
+
+        def wr_tms(buf, v):
+            write_long(buf, _time_to_micros(v) // 1000)
+
+        return wr_tms
     if typ == "date":
         epoch = _EPOCH_DATE
 
@@ -1044,6 +1110,10 @@ def _avro_type(token, path: str = "rec", seq: list | None = None):
         return {"type": "long", "logicalType": "timestamp-millis"}
     if token == "ltsmillis":
         return {"type": "long", "logicalType": "local-timestamp-millis"}
+    if token == "timemicros":
+        return {"type": "long", "logicalType": "time-micros"}
+    if token == "timemillis":
+        return {"type": "int", "logicalType": "time-millis"}
     if token == "date":
         return {"type": "int", "logicalType": "date"}
     if token.startswith("dec:"):
@@ -1111,6 +1181,10 @@ def _token_of_avro(t):
             and t.get("logicalType") == "local-timestamp-millis"
         ):
             return "ltsmillis"
+        if kind == "long" and t.get("logicalType") == "time-micros":
+            return "timemicros"
+        if kind == "int" and t.get("logicalType") == "time-millis":
+            return "timemillis"
         if kind == "int" and t.get("logicalType") == "date":
             return "date"
         if kind == "bytes" and t.get("logicalType") == "decimal":
@@ -1189,6 +1263,10 @@ def _default_value(token, v):
             # JSON default is in wire units (millis); the columnar
             # exchange carries micros
             return int(v) * 1000
+        if token == "timemicros":
+            return int(v) * 1000  # wire micros -> exchange nanos
+        if token == "timemillis":
+            return int(v) * 1_000_000
         if token in ("float", "double"):
             return float(v)
         if token == "string":
@@ -1646,6 +1724,8 @@ def _hydrator(token):
         return _micros_to_instant
     if token in ("ltsmicros", "ltsmillis"):
         return _micros_to_local
+    if token in ("timemicros", "timemillis"):
+        return _nanos_to_time  # columnar raw form is nanos-of-day
     if token == "date":
         return lambda d: _EPOCH_DATE + datetime.timedelta(days=d)
     if _is_record(token):
@@ -1835,6 +1915,10 @@ def _arrow_type(token):
         return pa.timestamp("us", tz="UTC")
     if token in ("ltsmicros", "ltsmillis"):
         return pa.timestamp("us")
+    if token in ("timemicros", "timemillis"):
+        # Spark's datasource exchange accepts time64[ns] ONLY (us is
+        # rejected with UNSUPPORTED_ARROWTYPE — probed on 4.1.2)
+        return pa.time64("ns")
     if token == "date":
         return pa.date32()
     if token.startswith("dec:"):
@@ -1946,14 +2030,37 @@ def _apply_named_type_decls(
 
 def _millis_token(name: str, t):
     """micros->millis token rewrite for a writer ``millis``
-    declaration; only timestamp-family columns qualify."""
+    declaration; timestamp-family and TIME columns qualify."""
     if t == "tsmicros":
         return "tsmillis"
     if t == "ltsmicros":
         return "ltsmillis"
+    if t == "timemicros":
+        return "timemillis"
     raise ValueError(
         f"millis declaration {name!r} needs a timestamp /"
-        f" timestamp_ntz column, got {t!r}"
+        f" timestamp_ntz / time column, got {t!r}"
+    )
+
+
+def _times_token(name: str, t, unit: str):
+    """bigint nanos-of-day -> TIME token rewrite for a writer
+    ``times`` declaration (Spark cannot yet CAST to its TIME type, so
+    a pipeline derives nanos-of-day as bigint — matching the
+    time64[ns] Arrow exchange — and declares it here; wire stores
+    micros or millis per ``unit``)."""
+    if t != "long":
+        raise ValueError(
+            f"times declaration {name!r} needs a bigint"
+            f" nanos-of-day column, got {t!r}"
+        )
+    if unit == "micros":
+        return "timemicros"
+    if unit == "millis":
+        return "timemillis"
+    raise ValueError(
+        f"times declaration {name!r}: unit must be 'micros' or"
+        f" 'millis', got {unit!r}"
     )
 
 
@@ -2151,6 +2258,21 @@ def make_avro_datasource():
             # Sub-millisecond precision truncates on the wire (same as
             # the JVM conversion); wrong column types raise at plan
             # time.
+            # times declaration first (bigint nanos-of-day -> TIME
+            # logical types), so ``millis`` can then flip a declared
+            # time-micros to time-millis in one pass
+            for name, unit in json.loads(
+                options.get("times", "{}")
+            ).items():
+                if not any(n == name for n, _, _ in self.fields):
+                    raise ValueError(
+                        f"times declaration {name!r}: no such column"
+                    )
+                self.fields = [
+                    (n, _times_token(n, t, unit) if n == name else t,
+                     nul)
+                    for n, t, nul in self.fields
+                ]
             for name in json.loads(options.get("millis", "[]")):
                 self.fields = [
                     (n, _millis_token(n, t) if n == name else t, nul)
@@ -3333,4 +3455,61 @@ def avro_millis_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.floor(us / 1000)).cast("bigint").alias("min_ms"),
         F.sum(F.floor(us / 1000)).cast("bigint").alias("sum_ms"),
         F.sum(us % 1000).cast("bigint").alias("residual_us"),
+    )
+
+
+@register(
+    "avro_time_of_day_interop",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(CAST(ts AS TIME)) AS min_t,
+           max(CAST(ts AS TIME)) AS max_t
+    FROM events
+    GROUP BY 1
+    """,
+)
+def avro_time_of_day_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro ``time-micros`` -> Spark's new TIME type (4.1): event
+    wall-clock times-of-day ship through the wire as micros since
+    midnight and come back as real ``time(6)`` columns (Arrow
+    time64[ns] exchange — the only TIME arrow type Spark's datasource
+    accepts, probed). Spark 4.1.2 cannot yet CAST to TIME, so the
+    pipeline derives nanos-of-day as bigint and the writer's ``times``
+    declaration types the wire — the same declaration pattern as
+    enums/fixed. The oracle compares real TIME values (DuckDB
+    ``CAST(ts AS TIME)``) against the round-tripped Spark TIME min/max
+    per event type: a wrong scale factor, a dropped microsecond, or a
+    wrap past midnight all break the hash."""
+    from text_grabr_orc_spark.sources.events import (
+        EPOCH_US_EXPR,
+        load_events,
+    )
+
+    register_avro_source(spark)
+    # TIME expressions (agg, sort, comparisons) are feature-gated in
+    # Spark 4.1; the flag is runtime-settable and the TYPE itself
+    # (schema, Arrow exchange, collect) works regardless — probed on
+    # 4.1.2. Set it here so the query runs under the driver's vanilla
+    # session too.
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        (
+            (F.expr(EPOCH_US_EXPR) % F.lit(86_400_000_000))
+            * F.lit(1000)
+        ).alias("t_ns"),
+    )
+    out = _scratch_dir("tgos_avro_time", sf_dir)
+    ev.repartition(4, "event_id").write.format("tgos_avro").option(
+        "path", out
+    ).option("codec", "deflate").option(
+        "times", json.dumps({"t_ns": "micros"})
+    ).mode("append").save()
+    back = spark.read.format("tgos_avro").option("path", out).load()
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("t_ns").alias("min_t"),
+        F.max("t_ns").alias("max_t"),
     )
