@@ -2671,3 +2671,82 @@ def test_time_datasource_roundtrip_and_declarations(spark, tmp_path):
             w = w.option(k, v)
         with pytest.raises(Exception, match="times declaration"):
             w.save()
+
+
+def test_time_range_guards_review_fixes(tmp_path):
+    """Round-13 review: (1) out-of-range time-of-day is rejected on
+    BOTH write paths (codegen for times-declared bigints, closure for
+    the row fallback) and on codegen decode (the int64->time64 Arrow
+    cast does not validate); (2) an invalid decimal annotation
+    (missing precision) falls back to plain bytes per spec instead of
+    a raw KeyError; (3) duplicate millis declarations raise clearly."""
+    import json
+
+    import pytest
+
+    from text_grabr_orc_spark.sources import avro_codegen as cg
+    from text_grabr_orc_spark.sources.avro_io import (
+        _parse_schema,
+        _time_to_micros,
+        write_long,
+    )
+
+    # (1a) codegen encoder rejects out-of-range nanos
+    enc = cg.block_encoder([("t", "timemicros", False)])
+    for bad in (-1, 86_400_000_000_000):
+        with pytest.raises(ValueError, match="time-of-day"):
+            enc(bytearray(), [[bad]], 0, 1)
+    # ...in-range still writes
+    buf = bytearray()
+    enc(buf, [[45015123456000]], 0, 1)
+    # (1b) codegen decoder rejects an out-of-range wire value
+    dec = cg.block_decoder([("t", "timemicros", False)])
+    wire = bytearray()
+    write_long(wire, 86_400_000_000)  # exactly 24h: invalid
+    with pytest.raises(ValueError, match="time-of-day"):
+        dec(memoryview(bytes(wire)), 1, [[]])
+    # (1c) closure row-fallback int path rejects too
+    with pytest.raises(ValueError, match="time-of-day"):
+        _time_to_micros(-1)
+    assert _time_to_micros(45015123456000) == 45015123456
+    # (2) invalid decimal annotation -> plain bytes base (spec)
+    fs = _parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "d", "type": {
+                "type": "bytes", "logicalType": "decimal"}},
+            {"name": "d2", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": "garbage"}},
+        ],
+    }))
+    assert fs == [("d", "bytes", False), ("d2", "bytes", False)]
+    # (3) duplicate millis declaration raises clearly at plan time
+    # (writer constructed directly: no session needed)
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    from text_grabr_orc_spark.sources.avro_io import (
+        make_avro_datasource,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("ts", TimestampNTZType()),
+    ])
+    src = make_avro_datasource()({
+        "path": str(tmp_path / "dup"),
+        "millis": '["ts", "ts"]',
+    })
+    with pytest.raises(ValueError, match="duplicate millis"):
+        src.writer(schema, False)
+    # membership is validated BEFORE any rewrite for both options
+    for opts in ({"millis": '["nope"]'}, {"times": '{"nope": "micros"}'}):
+        src2 = make_avro_datasource()(
+            {"path": str(tmp_path / "nm"), **opts}
+        )
+        with pytest.raises(ValueError, match="no such column"):
+            src2.writer(schema, False)

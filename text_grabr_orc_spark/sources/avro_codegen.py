@@ -225,11 +225,20 @@ def _emit_read(g: _Gen, ind: int, typ, out: str) -> None:
     if typ in ("timemicros", "timemillis"):
         # TIME-of-day: Spark's Arrow exchange for time(6) is
         # time64[ns], so the raw form is NANOS since midnight; the
-        # wire stores micros (long) or millis (int) per the spec
+        # wire stores micros (long) or millis (int) per the spec.
+        # Range-guard HERE because the downstream int64->time64 cast
+        # does NOT validate (probed) — a corrupt wire value would
+        # silently reach Spark as an invalid TIME (round-13 review)
         _emit_read_varint(g, ind, out)
         g.emit(
             ind,
             f"{out} *= {1000 if typ == 'timemicros' else 1_000_000}",
+        )
+        g.emit(ind, f"if not 0 <= {out} < 86_400_000_000_000:")
+        g.emit(
+            ind + 1,
+            f"raise ValueError('time-of-day out of range: %d ns'"
+            f" % {out})",
         )
         return
     if typ == "double":
@@ -464,7 +473,16 @@ def _emit_write(g: _Gen, ind: int, typ, val: str) -> None:
         _emit_write_varint(g, ind, f"(({val}) // 1000)")
         return
     if typ in ("timemicros", "timemillis"):
-        # exchange form is NANOS since midnight (Spark time64[ns])
+        # exchange form is NANOS since midnight (Spark time64[ns]).
+        # Range-guard: a ``times``-declared bigint column can carry
+        # arbitrary ints, and an out-of-range Avro time value crashes
+        # spec-conforming readers (round-13 review)
+        g.emit(ind, f"if not 0 <= ({val}) < 86_400_000_000_000:")
+        g.emit(
+            ind + 1,
+            f"raise ValueError('time-of-day out of range: %r ns'"
+            f" % ({val},))",
+        )
         d = 1000 if typ == "timemicros" else 1_000_000
         _emit_write_varint(g, ind, f"(({val}) // {d})")
         return

@@ -376,8 +376,11 @@ def _nanos_to_time(ns: int) -> datetime.time:
 def _time_to_micros(v) -> int:
     """datetime.time (row exchange) OR int nanos-of-day (a ``times``-
     declared bigint column on the row fallback) -> micros since
-    midnight."""
+    midnight. Int inputs are range-checked: an out-of-range Avro time
+    value crashes spec-conforming readers (round-13 review)."""
     if isinstance(v, int):
+        if not 0 <= v < 86_400_000_000_000:
+            raise ValueError(f"time-of-day out of range: {v} ns")
         return v // 1000
     return (
         (v.hour * 60 + v.minute) * 60 + v.second
@@ -1188,7 +1191,16 @@ def _token_of_avro(t):
         if kind == "int" and t.get("logicalType") == "date":
             return "date"
         if kind == "bytes" and t.get("logicalType") == "decimal":
-            return f"dec:{int(t['precision'])}:{int(t.get('scale', 0))}"
+            try:
+                return (
+                    f"dec:{int(t['precision'])}:{int(t.get('scale', 0))}"
+                )
+            except (KeyError, TypeError, ValueError):
+                # missing/garbage precision makes the ANNOTATION
+                # invalid, not the file: spec §Logical Types mandates
+                # falling back to the base type (plain bytes), same as
+                # decimal-on-boolean below (round-13 review)
+                pass
         if kind in _AVRO_TO_DDL and "logicalType" in t:
             # spec §Logical Types: a reader that does not recognize a
             # logical type "should ignore [it] and use the underlying
@@ -2260,28 +2272,36 @@ def make_avro_datasource():
             # time.
             # times declaration first (bigint nanos-of-day -> TIME
             # logical types), so ``millis`` can then flip a declared
-            # time-micros to time-millis in one pass
-            for name, unit in json.loads(
-                options.get("times", "{}")
-            ).items():
-                if not any(n == name for n, _, _ in self.fields):
-                    raise ValueError(
-                        f"times declaration {name!r}: no such column"
-                    )
+            # time-micros to time-millis. Both loops validate
+            # membership FIRST, then rewrite in one pass (round-13
+            # review: check-after-rewrite only worked by accident and
+            # a duplicate name produced a misleading error).
+            times = json.loads(options.get("times", "{}"))
+            millis = json.loads(options.get("millis", "[]"))
+            if len(set(millis)) != len(millis):
+                raise ValueError(
+                    f"duplicate millis declaration in {millis!r}"
+                )
+            names = {n for n, _, _ in self.fields}
+            for label, declared in (("times", times), ("millis", millis)):
+                for name in declared:
+                    if name not in names:
+                        raise ValueError(
+                            f"{label} declaration {name!r}:"
+                            f" no such column"
+                        )
+            if times:
                 self.fields = [
-                    (n, _times_token(n, t, unit) if n == name else t,
-                     nul)
+                    (n, _times_token(n, t, times[n]) if n in times
+                     else t, nul)
                     for n, t, nul in self.fields
                 ]
-            for name in json.loads(options.get("millis", "[]")):
+            if millis:
+                ms = set(millis)
                 self.fields = [
-                    (n, _millis_token(n, t) if n == name else t, nul)
+                    (n, _millis_token(n, t) if n in ms else t, nul)
                     for n, t, nul in self.fields
                 ]
-                if not any(n == name for n, _, _ in self.fields):
-                    raise ValueError(
-                        f"millis declaration {name!r}: no such column"
-                    )
             # one token per WRITE JOB (constructed on the driver,
             # pickled to every task): file names are unique across
             # jobs, so append-to-nonempty never clobbers or mixes with
