@@ -140,8 +140,13 @@ BENCH_QUERIES = [
     "avro_enum_roundtrip",
     "avro_reader_schema_evolution",
     # round-13: the from-scratch snappy block codec (compress +
-    # CRC trailer on write, decompress on block-split reads)
+    # CRC trailer on write, decompress on block-split reads), the
+    # millis timestamp family (wire truncation + rescale), and
+    # time-of-day through Spark 4.1's TIME type (~1.7 s steady each
+    # at sf0.1, measured at close)
     "avro_snappy_roundtrip",
+    "avro_millis_interop",
+    "avro_time_of_day_interop",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation
