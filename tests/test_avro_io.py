@@ -1847,8 +1847,11 @@ def test_bzip2_xz_codecs_jvm_duplex_parity(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported codec"):
         list(read_container(p3))
     with pytest.raises(ValueError, match="unsupported codec"):
+        # "brotli" is not an Avro spec codec; "zstandard" IS in
+        # subset as of round 13 (sources/zstd.py) so it no longer
+        # serves as the unknown-name probe
         write_container(str(tmp_path / "bad.avro"), fields,
-                        iter(rows[:1]), codec="zstandard")
+                        iter(rows[:1]), codec="brotli")
 
 
 def test_avro_stream_reader_offsets(tmp_path):
@@ -1973,10 +1976,14 @@ def test_resolution_review_fixes(tmp_path):
         make_avro_datasource()(
             {"path": str(tmp_path), "max_files_per_batch": "0"}
         ).simpleStreamReader("id bigint")
-    # codec fallthrough is loud
+    # codec fallthrough is loud (zstandard is IN subset since round
+    # 13's sources/zstd.py; an unknown name still trips the guard)
     with pytest.raises(ValueError, match="no compressor"):
-        _compress("zstandard", b"x")
+        _compress("brotli", b"x")
     with pytest.raises(ValueError, match="no decompressor"):
+        _decompress("brotli", b"x")
+    # and a zstandard payload that is not a frame fails loudly
+    with pytest.raises(ValueError, match="zstd"):
         _decompress("zstandard", b"x")
     # snappy is IN subset since round 13 (sources/snappy.py), but a
     # payload shorter than its CRC trailer still fails loudly

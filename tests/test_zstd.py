@@ -1,0 +1,327 @@
+"""From-scratch Zstandard (RFC 8878) codec: XXH64 parity, store-mode
+frame golden bytes, full-decoder parity against zstd-jni at many
+levels (simple and streaming APIs), malformed-input rejection, frame
+features (skippable/concatenated/dictionary/checksum), the Avro
+``zstandard`` block codec, and JVM duplex parity via zstd-jni on
+Spark's classpath."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from text_grabr_orc_spark.sources.avro_io import (
+    _compress,
+    _decompress,
+    read_container,
+    write_container,
+)
+from text_grabr_orc_spark.sources.zstd import (
+    _LL_DEFAULT,
+    _ML_DEFAULT,
+    _OF_DEFAULT,
+    compress,
+    decompress,
+    xxh64,
+)
+
+
+def test_xxh64_reference_vectors():
+    """Known-answer vectors for XXH64 (the published test vectors for
+    seed 0 / prime seed are pinned indirectly: Spark's ``xxhash64``
+    expression is the cross-check in the JVM test below; here the
+    algebraic edges are pinned: empty, <4, <8, <32, >=32 bytes)."""
+    # stability pins (computed once from this implementation, then
+    # cross-checked against Spark's xxhash64 in the JVM parity test)
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    # each length class takes a different code path
+    for n in (0, 1, 3, 4, 7, 8, 31, 32, 33, 100):
+        data = bytes(range(n % 256))[:n] or b""
+        h = xxh64(data)
+        assert 0 <= h < (1 << 64)
+        assert xxh64(data) == h  # deterministic
+
+
+def test_store_frame_golden_bytes():
+    """The store-mode encoder's frame layout is pinned byte-by-byte
+    for a tiny payload (RFC 8878 §3.1.1): magic, single-segment FHD
+    with checksum, 1-byte FCS, one raw last block, XXH64 trailer."""
+    frame = compress(b"abc")
+    assert frame[:4] == bytes.fromhex("28b52ffd")  # magic, little-endian
+    assert frame[4] == (1 << 5) | (1 << 2)  # single-segment + checksum
+    assert frame[5] == 3  # FCS: 3 bytes
+    # block header: size 3 << 3 | type raw (0) | last (1)
+    assert frame[6:9] == ((3 << 3) | 1).to_bytes(3, "little")
+    assert frame[9:12] == b"abc"
+    assert frame[12:16] == (xxh64(b"abc") & 0xFFFFFFFF).to_bytes(4, "little")
+    assert decompress(frame) == b"abc"
+
+
+def test_store_rle_block_for_runs():
+    """A single-byte run becomes an RLE block (1 content byte), not a
+    raw copy — and round-trips."""
+    data = b"x" * 100_000
+    frame = compress(data)
+    assert len(frame) < 50  # header + 1 RLE block + checksum
+    assert decompress(frame) == data
+
+
+def test_empty_and_boundary_sizes_roundtrip():
+    for n in (0, 1, 255, 256, 257, 65535, 65536, 65792, 131072, 131073,
+              300_000):
+        data = bytes((i * 131 + 17) % 256 for i in range(n))
+        assert decompress(compress(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=4096))
+def test_roundtrip_property(data):
+    assert decompress(compress(data)) == data
+
+
+def test_predefined_distributions_sum_to_table_size():
+    """The three RFC 8878 predefined sequence distributions are pinned
+    by symbol count and normalized sum (a one-entry slip here decodes
+    every predefined-mode frame wrong — it happened in review)."""
+    for probs, al, n_sym in (
+        (_LL_DEFAULT[0], _LL_DEFAULT[1], 36),
+        (_OF_DEFAULT[0], _OF_DEFAULT[1], 29),
+        (_ML_DEFAULT[0], _ML_DEFAULT[1], 53),
+    ):
+        assert len(probs) == n_sym
+        assert sum(abs(p) for p in probs) == 1 << al
+
+
+def test_concatenated_and_skippable_frames():
+    a, b = b"first frame " * 10, b"second frame " * 20
+    blob = compress(a) + compress(b)
+    assert decompress(blob) == a + b
+    # skippable frame between them is skipped (magic 0x184D2A5x)
+    skip = (0x184D2A51).to_bytes(4, "little") + (5).to_bytes(4, "little")
+    skip += b"\x00" * 5
+    assert decompress(compress(a) + skip + compress(b)) == a + b
+    # a blob of ONLY skippable frames is not a zstd payload
+    with pytest.raises(ValueError, match="skippable"):
+        decompress(skip)
+
+
+def test_malformed_inputs_raise_value_error():
+    with pytest.raises(ValueError):
+        decompress(b"")
+    with pytest.raises(ValueError, match="magic"):
+        decompress(b"\x00\x01\x02\x03\x04\x05\x06\x07")
+    valid = compress(b"payload bytes " * 30)
+    # every truncation raises (never returns partial data silently)
+    for cut in range(len(valid)):
+        with pytest.raises(ValueError):
+            decompress(valid[:cut])
+    # checksum mismatch is loud
+    bad = bytearray(valid)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        decompress(bytes(bad))
+    # reserved frame-header bit
+    bad = bytearray(valid)
+    bad[4] |= 0x08
+    with pytest.raises(ValueError, match="reserved"):
+        decompress(bytes(bad))
+
+
+def test_dictionary_frames_rejected_descriptively():
+    """A frame demanding a dictionary must raise, not decode garbage:
+    craft a header with Dictionary_ID_flag=1 and a nonzero id."""
+    frame = bytearray(compress(b"x" * 300))
+    # FHD for the >=256 path sits at offset 4; set DID flag to 1 and
+    # splice a 1-byte dictionary id after the window descriptor
+    fhd = frame[4]
+    frame2 = bytes(frame[:4]) + bytes([fhd | 1]) + bytes([frame[5]]) + b"\x07" + bytes(frame[6:])
+    with pytest.raises(ValueError, match="dictionar"):
+        decompress(frame2)
+
+
+def test_garbage_fuzz_never_crashes():
+    rng = random.Random(20260816)
+    for _ in range(1500):
+        blob = rng.randbytes(rng.randrange(0, 120))
+        try:
+            decompress(blob)
+        except ValueError:
+            pass  # the only acceptable failure mode
+    for _ in range(1500):
+        blob = bytes.fromhex("28b52ffd") + rng.randbytes(rng.randrange(0, 100))
+        try:
+            decompress(blob)
+        except ValueError:
+            pass
+
+
+def _jvm_simple_compress(spark, payload: bytes, level: int) -> bytes:
+    return bytes(spark._jvm.com.github.luben.zstd.Zstd.compress(
+        payload, level
+    ))
+
+
+def test_jvm_full_decoder_parity(spark):
+    """The real test of the from-scratch decoder: zstd-jni compresses
+    at many levels (exercising raw/RLE/compressed blocks, predefined
+    and FSE sequence tables, 1- and 4-stream Huffman literals,
+    treeless reuse), and this decoder must reproduce every payload
+    byte-exactly."""
+    rng = random.Random(7)
+    base = b"lorem ipsum dolor sit amet, consectetur adipiscing elit "
+    cases = {
+        "run": b"a" * 50_000,
+        "text": base * 3000,
+        "json": b'{"id": 123, "tags": ["a","b"], "ok": true}\n' * 3000,
+        "mixed": base * 1000 + rng.randbytes(30_000) + base * 500,
+        "rand": rng.randbytes(150_000),
+        "short": b"abcabcabcabc",
+    }
+    for name, payload in cases.items():
+        for level in (-3, 1, 3, 9, 19):
+            comp = _jvm_simple_compress(spark, payload, level)
+            assert decompress(comp) == payload, (name, level)
+
+
+def test_jvm_streaming_frames_parity(spark):
+    """ZstdOutputStream frames (no frame content size, optional
+    checksum, multi-block) decode byte-exactly too."""
+    jvm = spark._jvm
+    rng = random.Random(13)
+    payload = (b"spark zstd streaming interop " * 9000)[:200_000]
+    for cks in (False, True):
+        bos = jvm.java.io.ByteArrayOutputStream()
+        zos = jvm.com.github.luben.zstd.ZstdOutputStream(bos, 6)
+        zos.setChecksum(cks)
+        zos.write(bytearray(payload))
+        zos.close()
+        assert decompress(bytes(bos.toByteArray())) == payload
+    # flip fuzz over a checksummed frame: ValueError or nothing wrong
+    bos = jvm.java.io.ByteArrayOutputStream()
+    zos = jvm.com.github.luben.zstd.ZstdOutputStream(bos, 9)
+    zos.setChecksum(True)
+    zos.write(bytearray(b"the quick brown fox " * 500))
+    zos.close()
+    frame = bytes(bos.toByteArray())
+    want = b"the quick brown fox " * 500
+    for i in range(len(frame)):
+        b = bytearray(frame)
+        b[i] ^= 0xFF
+        try:
+            assert decompress(bytes(b)) == want
+        except ValueError:
+            pass
+
+
+def test_jvm_reads_our_store_frames(spark):
+    """Duplex direction 2: the real library decodes our store-mode
+    frames byte-exactly (raw blocks, RLE blocks, FCS, checksum)."""
+    J = spark._jvm.com.github.luben.zstd.Zstd
+    rng = random.Random(31)
+    for payload in (b"", b"x", b"hello world", b"r" * 70_000,
+                    rng.randbytes(200_000),
+                    b"text block " * 30_000):
+        frame = compress(payload)
+        got = bytes(J.decompress(frame, max(1, len(payload))))
+        assert got == payload
+
+
+def test_avro_zstandard_block_roundtrip(tmp_path):
+    """The Avro codec table carries zstandard with no extra trailer;
+    containers written with it read back exactly, and a corrupted
+    block raises."""
+    payload = b"avro zstandard block payload " * 64
+    framed = _compress("zstandard", payload)
+    assert framed[:4] == bytes.fromhex("28b52ffd")
+    assert _decompress("zstandard", framed) == payload
+    fields = [("id", "long", False), ("t", "string", True)]
+    rows = [(i, None if i % 5 == 0 else "doc text " * 8)
+            for i in range(500)]
+    p = str(tmp_path / "z.avro")
+    write_container(p, fields, iter(rows), codec="zstandard",
+                    block_rows=64)
+    assert list(read_container(p)) == rows
+    raw = bytearray(open(p, "rb").read())
+    assert b"zstandard" in raw[:300]
+    import io
+
+    from text_grabr_orc_spark.sources.avro_io import read_header
+
+    fh = io.BytesIO(bytes(raw))
+    read_header(fh)
+    flip_at = fh.tell() + 2 + 20  # past the two block-header varints
+    assert flip_at < len(raw)
+    raw[flip_at] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError):
+        list(read_container(p))
+
+
+def test_avro_zstandard_jvm_duplex_parity(spark, tmp_path):
+    """Python-written zstandard containers read by the real Avro
+    library (CodecFactory.zstandardCodec -> zstd-jni), and JVM-written
+    zstandard containers (fully compressed frames) read back here —
+    full duplex, the same pin every other codec carries."""
+    from text_grabr_orc_spark.sources.avro_io import _schema_json
+
+    fields = [("id", "long", False), ("t", "string", True)]
+    rows = [(i, None if i % 7 == 0 else "lorem ipsum " * 10)
+            for i in range(300)]
+    jvm = spark._jvm
+    p = str(tmp_path / "py_zstd.avro")
+    write_container(p, fields, iter(rows), codec="zstandard",
+                    block_rows=64)
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    assert str(rdr.getMetaString("avro.codec")) == "zstandard"
+    got = []
+    while rdr.hasNext():
+        rec = rdr.next()
+        t = rec.get("t")
+        got.append((rec.get("id"), None if t is None else str(t)))
+    rdr.close()
+    assert got == rows
+    # JVM writes zstandard (high level -> dense entropy frames)
+    schema = jvm.org.apache.avro.Schema.Parser().parse(
+        _schema_json("row", fields)
+    )
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.zstandardCodec(19))
+    p2 = str(tmp_path / "jvm_zstd.avro")
+    dfw.create(schema, jvm.java.io.File(p2))
+    for i in range(500):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", jvm.java.lang.Long.valueOf(i))
+        rec.put("t", None if i % 3 == 0 else f"jvm row {i} " * 6)
+        dfw.append(rec)
+    dfw.close()
+    assert list(read_container(p2)) == [
+        (i, None if i % 3 == 0 else f"jvm row {i} " * 6)
+        for i in range(500)
+    ]
+
+
+def test_xxh64_matches_spark_expression(spark):
+    """Spark's ``xxhash64`` expression is XXH64 with seed 42 over the
+    binary input — an independent JVM cross-check of the from-scratch
+    hash used for frame checksums."""
+    from pyspark.sql import functions as F
+
+    payloads = [b"", b"a", b"hello zstd world", bytes(range(256)) * 5]
+    df = spark.createDataFrame(
+        [(bytearray(p),) for p in payloads], "b binary"
+    )
+    got = [r[0] for r in df.select(F.xxhash64("b")).collect()]
+    for p, h_spark in zip(payloads, got):
+        ours = xxh64(p, seed=42)
+        ours_signed = ours - (1 << 64) if ours >= (1 << 63) else ours
+        assert ours_signed == h_spark
