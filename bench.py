@@ -147,6 +147,12 @@ BENCH_QUERIES = [
     "avro_snappy_roundtrip",
     "avro_millis_interop",
     "avro_time_of_day_interop",
+    # round-13 close: the from-scratch RFC 8878 zstandard codec —
+    # store-mode frames written, every block recompressed by real
+    # zstd-jni, and the full FSE/Huffman decoder run on executors
+    # over block-range splits (~5 s steady at sf0.1: ~2.7 s
+    # driver-side recompression + entropy decode on every byte)
+    "avro_zstandard_roundtrip",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation

@@ -144,6 +144,25 @@ def test_dictionary_frames_rejected_descriptively():
         decompress(frame2)
 
 
+def test_no_fcs_bomb_hits_output_backstop(monkeypatch):
+    """A no-FCS frame of repeated max-size RLE blocks expands ~32000x
+    per input byte; the total-output backstop must fire loudly instead
+    of accumulating gigabytes (round-13 review). The limit is patched
+    down so the test stays fast — the guard logic is identical."""
+    from text_grabr_orc_spark.sources import zstd as zmod
+
+    frame = bytearray()
+    frame += bytes.fromhex("28b52ffd")
+    frame.append(0)  # FHD: no FCS, no checksum, not single-segment
+    frame.append(0x38)  # window descriptor: 128 KiB
+    rle = ((131072 << 3) | (1 << 1)).to_bytes(3, "little") + b"A"
+    for _ in range(15):
+        frame += rle  # 15 x 128 KiB regenerated, never marked last
+    monkeypatch.setattr(zmod, "_OUTPUT_LIMIT", 1 << 20)
+    with pytest.raises(ValueError, match="decoder limit"):
+        zmod.decompress(bytes(frame))
+
+
 def test_garbage_fuzz_never_crashes():
     rng = random.Random(20260816)
     for _ in range(1500):

@@ -48,6 +48,11 @@ _SKIP_MAGIC_LO = 0x184D2A50
 _SKIP_MAGIC_HI = 0x184D2A5F
 _BLOCK_MAX = 128 * 1024
 _WINDOW_LIMIT = 1 << 27  # zstd's own default decoder limit (128 MiB)
+#: total decoded bytes one decompress() call may produce: a backstop
+#: against no-FCS zstd bombs (~32000x expansion), far above any real
+#: Avro block (bounded by block_rows) yet small enough to fail loudly
+#: before exhausting executor memory
+_OUTPUT_LIMIT = 1 << 31
 
 # ---------------------------------------------------------------- XXH64
 
@@ -162,21 +167,6 @@ class _BackBits:
         self.pos = p  # negative: exhausted
         return v << (-p)
 
-    def peek_pad(self, n: int) -> int:
-        """Peek ``n`` bits without consuming, zero-padded at the end."""
-        p = self.pos - n
-        if p >= 0:
-            self._ensure(p)
-            return (self.win >> (p - self.b0 * 8)) & ((1 << n) - 1)
-        avail = self.pos
-        if avail <= 0:
-            return 0
-        self._ensure(0)
-        return (self.win & ((1 << avail) - 1)) << (-p)
-
-    def skip(self, n: int) -> None:
-        self.pos -= n
-
 
 class _FwdBits:
     """Forward little-endian bitstream (FSE table descriptions only)."""
@@ -237,7 +227,6 @@ def _fse_read_distribution(data, max_symbol: int, max_log: int):
             continue
         # variable-width probability read (threshold coding)
         nbits = remaining.bit_length()
-        lo_mask = (1 << (nbits - 1)) - 1
         max_small = (1 << nbits) - 1 - remaining
         low = bs.read(nbits - 1)
         if low < max_small:
@@ -843,6 +832,11 @@ def decompress(data: bytes) -> bytes:
     pos = 0
     saw_frame = False
     while pos < n:
+        if len(out_all) > _OUTPUT_LIMIT:
+            raise ValueError(
+                "zstd: decoded output exceeds the decoder limit"
+                f" {_OUTPUT_LIMIT} bytes"
+            )
         if pos + 4 > n:
             raise ValueError("zstd: truncated frame magic")
         magic = int.from_bytes(mv[pos : pos + 4], "little")
@@ -859,13 +853,15 @@ def decompress(data: bytes) -> bytes:
         if magic != _MAGIC:
             raise ValueError(f"zstd: bad frame magic 0x{magic:08x}")
         saw_frame = True
-        pos = _decode_frame(mv, pos, out_all)
+        pos = _decode_frame(mv, pos, out_all,
+                            _OUTPUT_LIMIT - len(out_all))
     if not saw_frame:
         raise ValueError("zstd: input contains only skippable frames")
     return bytes(out_all)
 
 
-def _decode_frame(mv, pos: int, out_all: bytearray) -> int:
+def _decode_frame(mv, pos: int, out_all: bytearray,
+                  budget: int) -> int:
     n = len(mv)
     if pos >= n:
         raise ValueError("zstd: missing frame header descriptor")
@@ -956,6 +952,15 @@ def _decode_frame(mv, pos: int, out_all: bytearray) -> int:
                 f"zstd: decoded output exceeds the declared frame"
                 f" content size {fcs}"
             )
+        if len(out) > budget:
+            # total-output backstop: a no-FCS frame of repeated RLE
+            # blocks expands ~32000x per input byte — without this, a
+            # crafted 1 MiB payload OOMs the reader before any
+            # per-block check can fire (round-13 review)
+            raise ValueError(
+                "zstd: decoded output exceeds the decoder limit"
+                f" {_OUTPUT_LIMIT} bytes"
+            )
         if last:
             break
     if fcs is not None and len(out) != fcs:
@@ -967,7 +972,7 @@ def _decode_frame(mv, pos: int, out_all: bytearray) -> int:
             raise ValueError("zstd: truncated content checksum")
         want = int.from_bytes(mv[pos : pos + 4], "little")
         pos += 4
-        got = xxh64(bytes(out)) & 0xFFFFFFFF
+        got = xxh64(out) & 0xFFFFFFFF
         if got != want:
             raise ValueError(
                 "zstd: content checksum mismatch: decoded data does not"
