@@ -73,9 +73,9 @@ order. Codecs:
 container format), ``snappy`` — the raw format implemented from
 its public specification in ``sources/snappy.py`` (no python module
 here; JVM duplex parity pinned) with the Avro CRC32 trailer — and
-``zstandard`` — the full RFC 8878 decoder plus a spec-valid
-store-mode encoder in ``sources/zstd.py`` (same resolution; JVM
-duplex parity pinned against zstd-jni both directions).
+``zstandard`` — the full RFC 8878 decoder plus a real
+predefined-FSE compressor in ``sources/zstd.py`` (same resolution;
+JVM duplex parity pinned against zstd-jni both directions).
 Files written here are byte-compatible with any Avro reader
 (the golden-bytes pytest pins the spec encodings; duplex parity with
 the JVM reference implementation is pytest-pinned too).
@@ -1339,8 +1339,8 @@ def _parse_reader_schema(schema_json: str) -> tuple[Fields, dict]:
 #: with the Avro-specific 4-byte big-endian CRC32-of-uncompressed
 #: trailer applied here; zstandard is the FROM-SCRATCH RFC 8878
 #: codec in ``sources/zstd.py`` — full decoder (FSE/Huffman/
-#: sequences/XXH64) for JVM-written frames, spec-valid store-mode
-#: encoder for the write path (JVM duplex parity pinned against
+#: sequences/XXH64) for JVM-written frames, real predefined-FSE
+#: compressor for the write path (JVM duplex parity pinned against
 #: zstd-jni on Spark's classpath). The whole spec codec set is now
 #: in subset.
 _CODECS = ("null", "deflate", "bzip2", "xz", "snappy", "zstandard")
@@ -3458,7 +3458,8 @@ def avro_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def avro_zstandard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents through the FROM-SCRATCH Zstandard codec
     (``sources/zstd.py`` — RFC 8878), exercising BOTH halves: the
-    writer emits ``codec=zstandard`` store-mode frames, then every
+    writer emits ``codec=zstandard`` frames (the from-scratch
+    predefined-FSE compressor), then every
     block is recompressed on the driver by the REAL library (zstd-jni
     via py4j, level 3 — fully entropy-coded FSE/Huffman frames), and
     the read back through 4 KiB block-range splits runs the full
@@ -3480,7 +3481,7 @@ def avro_zstandard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).option("codec", "zstandard").option("block_rows", "96").mode(
         "append"
     ).save()
-    # driver-side rewrite: store-mode frames -> real zstd-jni frames
+    # driver-side rewrite: our frames -> real zstd-jni frames
     # (block-bulk py4j calls; the container header — including the
     # "zstandard" codec metadata — and sync markers are kept verbatim)
     jzstd = spark._jvm.com.github.luben.zstd.Zstd
