@@ -1053,11 +1053,10 @@ def _default_ctables():
 def _ll_code(ll: int) -> int:
     if ll < 16:
         return ll
-    hi = ll.bit_length() - 1  # codes 16+ follow power-of-two bands
     for code in range(35, 15, -1):
         if ll >= _LL_EXTRA[code][0]:
             return code
-    return hi  # unreachable
+    raise AssertionError("unreachable: code 16 baseline is 16")
 
 
 def _ml_code(ml: int) -> int:
@@ -1066,7 +1065,7 @@ def _ml_code(ml: int) -> int:
     for code in range(52, 31, -1):
         if ml >= _ML_EXTRA[code][0]:
             return code
-    return 0  # unreachable
+    raise AssertionError("unreachable: code 32 baseline is 35")
 
 
 def _find_sequences(data, base: int, end: int):
@@ -1085,9 +1084,9 @@ def _find_sequences(data, base: int, end: int):
     runs: list[tuple[int, int]] = []
     table: dict[bytes, int] = {}
     i = lit = base
-    limit = end - 8  # last position a min-match key fits
+    limit = end - 7  # i < limit keeps every 8-byte key in bounds
     while i < limit:
-        key = bytes(data[i : i + 8])
+        key = data[i : i + 8]
         cand = table.get(key)
         table[key] = i
         if cand is None:
@@ -1105,7 +1104,7 @@ def _find_sequences(data, base: int, end: int):
         seqs.append((i - lit, m - i, i - cand))
         runs.append((lit, i))
         if m - 1 < limit:
-            table[bytes(data[m - 1 : m + 7])] = m - 1
+            table[data[m - 1 : m + 7]] = m - 1
         i = lit = m
     runs.append((lit, end))  # trailing literals (no sequence)
     return seqs, runs
@@ -1229,7 +1228,7 @@ def _encode_block(data, base: int, end: int) -> bytes | None:
 
 def compress(data: bytes) -> bytes:
     """Zstandard frame with real LZ compression: per 128 KiB block, a
-    greedy 4-byte-hash matcher emits sequences coded with the three
+    greedy 8-byte-hash matcher emits sequences coded with the three
     PREDEFINED FSE distributions over raw literals (RFC 8878
     §3.1.1.3, all modes Predefined — no custom table descriptions
     needed); single-byte runs become RLE blocks; blocks the matcher
