@@ -119,6 +119,36 @@ def test_compressor_emits_compressed_blocks_with_ratio():
     assert decompress(z2) == rnd
 
 
+def test_package_merge_kraft_equality():
+    """The length-limited Huffman lengths must satisfy Kraft EQUALITY
+    at the limit (the decoder's implied-last-weight rule rejects
+    anything else) with max length 11, over random frequency sets."""
+    from text_grabr_orc_spark.sources.zstd import _package_merge
+
+    rng = random.Random(42)
+    for _ in range(200):
+        n = rng.randrange(2, 256)
+        items = [(rng.randrange(1, 100_000), s) for s in range(n)]
+        lens = _package_merge(items, 11)
+        assert max(lens.values()) <= 11
+        assert sum(1 << (11 - nb) for nb in lens.values()) == 1 << 11
+
+
+def test_huffman_literals_cover_high_bytes_via_fse_weights():
+    """Literals with bytes > 128 cannot use the direct 4-bit weight
+    description (capped at 128 listed weights); the FSE-compressed
+    weight description covers them — pinned by ratio on UTF-8 text
+    plus round-trip (JVM parity rides the duplex tests)."""
+    utf8 = ("σπινθήρας γράμματα κόσμος διακριτικός " * 400).encode()
+    rnd = random.Random(9)
+    # shuffle word order so the matcher leaves literal residue
+    words = utf8.split()
+    body = b" ".join(rnd.choice(words) for _ in range(4000))
+    z = compress(body)
+    assert decompress(z) == body
+    assert len(z) < len(body) * 0.8  # Huffman literals engaged
+
+
 def test_concatenated_and_skippable_frames():
     a, b = b"first frame " * 10, b"second frame " * 20
     blob = compress(a) + compress(b)

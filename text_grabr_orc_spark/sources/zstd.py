@@ -21,17 +21,22 @@ What is implemented:
   backward bitstreams, repeat-offset history, and overlapping LZ77
   match execution.  Every malformed-input path raises ``ValueError``
   descriptively — never silent garbage.
-- ``compress``: a REAL compressor — per 128 KiB block, a greedy
-  8-byte-hash LZ matcher (the snappy encoder's shape; min-match 8
-  measured better than 4 on BOTH ratio and speed for text) emits
-  zstd sequences coded with a from-scratch FSE *encoder* against the
-  three predefined distributions, over raw literals; single-byte
-  runs become RLE blocks and incompressible chunks fall back to raw.
-  Frames carry the content size and XXH64 checksum.  Text lands at
-  ~25-45% of input (the C library's level 3 reaches ~28% with custom
-  Huffman/FSE tables this encoder deliberately does not build);
-  every conforming decoder (zstd-jni, libzstd, this module) reads
-  the output back bit-exactly.
+- ``compress``: a REAL compressor with BOTH zstd entropy stages —
+  per 128 KiB block, a greedy 8-byte-hash LZ matcher (the snappy
+  encoder's shape; min-match 8 measured better than 4 on BOTH ratio
+  and speed for text) emits zstd sequences coded by a from-scratch
+  FSE *encoder* against the three predefined distributions, and the
+  literals are Huffman-coded with package-merge length-limited
+  canonical codes (direct 4-bit weight description, or an
+  FSE-compressed weight description — normalization, table
+  description writer, two interleaved encode states — when the
+  alphabet extends past 128 or it is simply smaller); single-byte
+  runs become RLE blocks, and anything the entropy stages cannot
+  shrink falls back to raw forms.  Frames carry the content size and
+  XXH64 checksum.  Corpus text lands at ~31% of input (the C
+  library's level 3 reaches ~28% with per-block custom sequence
+  tables); every conforming decoder (zstd-jni, libzstd, this module)
+  reads the output back bit-exactly.
 
 Throughput is pure-Python (the Huffman/FSE hot loops run ~1-5 MB/s
 on literals-heavy frames); Avro blocks are bounded (``block_rows``),
@@ -1110,28 +1115,318 @@ def _find_sequences(data, base: int, end: int):
     return seqs, runs
 
 
+
+def _package_merge(hist_items, max_len: int):
+    """Optimal length-limited prefix-code lengths via boundary
+    package-merge: ``hist_items`` is [(freq, symbol), ...] with at
+    least two entries; returns {symbol: nb_bits} satisfying Kraft
+    EQUALITY at ``max_len`` (the decoder's implied-last-weight rule
+    requires the lengths to complete a power of two exactly)."""
+    items = sorted(hist_items, key=lambda t: t[0])
+    pool = list(items)
+    for _ in range(max_len - 1):
+        packages = [
+            (pool[i][0] + pool[i + 1][0], (pool[i], pool[i + 1]))
+            for i in range(0, len(pool) - 1, 2)
+        ]
+        pool = sorted(items + packages, key=lambda t: t[0])
+    lengths = {s: 0 for _, s in items}
+
+    def touch(item) -> None:
+        x = item[1]
+        if type(x) is tuple:
+            touch(x[0])
+            touch(x[1])
+        else:
+            lengths[x] += 1
+
+    for it in pool[: 2 * len(items) - 2]:
+        touch(it)
+    return lengths
+
+
+
+def _fse_normalize(hist, al: int):
+    """Normalize symbol counts to probabilities summing to ``1 <<
+    al`` (largest share absorbs the rounding difference).  Returns a
+    dense prob list over 0..max_symbol or None when the adjustment
+    would starve a symbol."""
+    size = 1 << al
+    total = sum(c for _, c in hist)
+    probs = {s: max(1, c * size // total) for s, c in hist}
+    big = max(hist, key=lambda t: t[1])[0]
+    probs[big] += size - sum(probs.values())
+    if probs[big] < 1:
+        return None
+    return [probs.get(s, 0) for s in range(max(probs) + 1)]
+
+
+def _fse_write_distribution(probs, al: int) -> bytes:
+    """FSE table description (RFC 8878 §4.1.1) — the exact mirror of
+    ``_fse_read_distribution``: 4-bit accuracy-log nibble, threshold-
+    coded probabilities (+1 wire offset, short form when the value
+    fits), 2-bit repeat fields after a zero."""
+    acc = 0
+    nbits_acc = 0
+    out = bytearray()
+
+    def put(v: int, n: int) -> None:
+        nonlocal acc, nbits_acc
+        acc |= v << nbits_acc
+        nbits_acc += n
+        while nbits_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits_acc -= 8
+
+    put(al - 5, 4)
+    remaining = (1 << al) + 1
+    i = 0
+    while remaining > 1 and i < len(probs):
+        p = probs[i]
+        i += 1
+        value = p + 1  # wire offset: -1 encodes as 0, 0 as 1, ...
+        nb = remaining.bit_length()
+        threshold = 1 << (nb - 1)
+        max_small = 2 * threshold - 1 - remaining
+        enc = value + max_small if value >= threshold else value
+        put(enc, nb if value >= max_small else nb - 1)
+        remaining -= p if p > 0 else -p if p < 0 else 0
+        if p == 0:
+            # repeat-zero runs: 2-bit fields, 3 = continue
+            run = 0
+            while i < len(probs) and probs[i] == 0 and remaining > 1:
+                run += 1
+                i += 1
+            while run >= 3:
+                put(3, 2)
+                run -= 3
+            put(run, 2)
+    if nbits_acc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _fse_compress_weights(weights) -> bytes | None:
+    """FSE-compressed Huffman weight description payload (RFC 8878
+    §4.2.1.2): a custom distribution over the weight alphabet plus the
+    two-interleaved-state backward stream, mirroring the decoder in
+    ``_fse_decode_interleaved``.  Returns description+stream bytes or
+    None when the alphabet degenerates (a single distinct weight gives
+    zero-bit state transitions, which the stream-exhaustion
+    termination rule cannot encode)."""
+    n = len(weights)
+    if n < 2:
+        return None
+    hist_map: dict[int, int] = {}
+    for w in weights:
+        hist_map[w] = hist_map.get(w, 0) + 1
+    if len(hist_map) < 2:
+        return None
+    al = 6  # HUF weight tables cap at accuracy log 6
+    probs = _fse_normalize(sorted(hist_map.items()), al)
+    if probs is None or max(probs) == 1 << al:
+        return None
+    desc = _fse_write_distribution(probs, al)
+    table, symbol_tt = _fse_build_ctable(probs, al)
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+
+    def put(v: int, nb: int) -> None:
+        nonlocal acc, nbits
+        acc |= v << nbits
+        nbits += nb
+
+    def init_state(code: int) -> int:
+        d_nb, d_fs = symbol_tt[code]
+        nb_out = (d_nb + (1 << 15)) >> 16
+        v = (nb_out << 16) - d_nb
+        return table[(v >> nb_out) + d_fs]
+
+    def enc(state: int, code: int) -> int:
+        d_nb, d_fs = symbol_tt[code]
+        nb = (state + d_nb) >> 16
+        put(state & ((1 << nb) - 1), nb)
+        return table[(state >> nb) + d_fs]
+
+    # zstd FSE_compress order: process backward; even indices decode
+    # from state1, odd from state2
+    ip = n
+    if n & 1:
+        ip -= 1
+        s1 = init_state(weights[ip])
+        ip -= 1
+        s2 = init_state(weights[ip])
+        ip -= 1
+        s1 = enc(s1, weights[ip])
+    else:
+        ip -= 1
+        s2 = init_state(weights[ip])
+        ip -= 1
+        s1 = init_state(weights[ip])
+    while ip > 0:
+        ip -= 1
+        s2 = enc(s2, weights[ip])
+        ip -= 1
+        s1 = enc(s1, weights[ip])
+    put(s2 & ((1 << al) - 1), al)
+    put(s1 & ((1 << al) - 1), al)
+    put(1, 1)  # sentinel
+    stream += acc.to_bytes((nbits + 7) >> 3, "little")
+    payload = desc + bytes(stream)
+    if len(payload) >= 128 or len(payload) >= n // 2 + (n & 1):
+        return None  # direct 4-bit form would be no larger
+    return payload
+
+
+def _huf_encode_literals(lit_bytes) -> bytes | None:
+    """Compressed_Literals_Block section (type 2): length-limited
+    canonical Huffman over the block's literals, direct 4-bit weight
+    description, 1 stream for small payloads / 4 jump-tabled streams
+    otherwise.  Returns the complete literals section or None when
+    Huffman cannot be described (highest byte > 128 — the direct
+    description lists weights up to the implied-last symbol, capped
+    at 128 entries) or does not pay."""
+    n = len(lit_bytes)
+    if n < 64:
+        return None
+    hist = [0] * 256
+    for s in set(lit_bytes):
+        hist[s] = lit_bytes.count(s)
+    present = [s for s in range(256) if hist[s]]
+    max_sym = present[-1]
+    if len(present) < 2:
+        return None
+    lengths = _package_merge([(hist[s], s) for s in present], 11)
+    max_bits = max(lengths.values())
+    weights = [0] * (max_sym + 1)
+    for s, nb in lengths.items():
+        weights[s] = max_bits + 1 - nb
+    # worth it? estimated stream + table must beat raw literals
+    comp_bits = sum(hist[s] * nb for s, nb in lengths.items())
+    if comp_bits // 8 + 1 + (max_sym + 1) // 2 + 16 >= n:
+        return None
+    # canonical codes: same rank layout the decode table uses
+    # (longest codes from cell 0, symbols ascending within a weight)
+    rank_cells = [0] * (max_bits + 2)
+    for s in present:
+        rank_cells[weights[s]] += 1 << (weights[s] - 1)
+    acc = 0
+    starts = [0] * (max_bits + 2)
+    for w in range(1, max_bits + 2):
+        starts[w] = acc
+        acc += rank_cells[w]
+    codes = [None] * 256
+    for s in present:
+        w = weights[s]
+        nb = max_bits + 1 - w
+        codes[s] = (starts[w] >> (max_bits - nb), nb)
+        starts[w] += 1 << (w - 1)
+    # tree description: FSE-compressed weights when they are smaller
+    # (and the only option past 128 listed weights), else the direct
+    # 4-bit form — both list symbols 0..max_sym-1, the last present
+    # symbol's weight is implied
+    fse_payload = _fse_compress_weights(weights[:max_sym])
+    if fse_payload is not None:
+        desc = bytearray([len(fse_payload)]) + fse_payload
+    elif max_sym <= 128:
+        desc = bytearray([127 + max_sym])
+        for i in range(0, max_sym, 2):
+            w2 = weights[i + 1] if i + 1 < max_sym else 0
+            desc.append((weights[i] << 4) | w2)
+    else:
+        return None  # >128 weights and no FSE win: raw literals
+
+    def stream(chunk) -> bytes:
+        # decoder reads the FIRST literal from the stream top, so the
+        # last literal's code is written first (zstd HUF encode order)
+        sacc = 0
+        snb = 0
+        out = bytearray()
+        for b in reversed(chunk):
+            val, nb = codes[b]
+            sacc |= val << snb
+            snb += nb
+            if snb >= 64:
+                n8 = snb >> 3
+                out += (sacc & ((1 << (n8 * 8)) - 1)).to_bytes(
+                    n8, "little"
+                )
+                sacc >>= n8 * 8
+                snb -= n8 * 8
+        sacc |= 1 << snb  # sentinel
+        snb += 1
+        out += sacc.to_bytes((snb + 7) >> 3, "little")
+        return bytes(out)
+
+    if n <= 1023:  # Size_Format 00: one stream, 10-bit sizes
+        s = stream(lit_bytes)
+        comp = len(desc) + len(s)
+        if comp > 1023 or comp >= n:
+            return None
+        h = 2 | (n << 4) | (comp << 14)
+        return h.to_bytes(3, "little") + bytes(desc) + s
+    per = (n + 3) // 4
+    s1 = stream(lit_bytes[:per])
+    s2 = stream(lit_bytes[per : 2 * per])
+    s3 = stream(lit_bytes[2 * per : 3 * per])
+    s4 = stream(lit_bytes[3 * per :])
+    if max(len(s1), len(s2), len(s3)) > 0xFFFF:
+        return None
+    comp = len(desc) + 6 + len(s1) + len(s2) + len(s3) + len(s4)
+    if comp >= n:
+        return None
+    jump = (
+        len(s1).to_bytes(2, "little")
+        + len(s2).to_bytes(2, "little")
+        + len(s3).to_bytes(2, "little")
+    )
+    if n <= 16383 and comp <= 16383:  # Size_Format 10: 14-bit sizes
+        h = 2 | (2 << 2) | (n << 4) | (comp << 18)
+        hb = h.to_bytes(4, "little")
+    else:  # Size_Format 11: 18-bit sizes
+        h = 2 | (3 << 2) | (n << 4) | (comp << 22)
+        hb = h.to_bytes(5, "little")
+    return hb + bytes(desc) + jump + s1 + s2 + s3 + s4
+
+
 def _encode_block(data, base: int, end: int) -> bytes | None:
     """One compressed block: raw literals + predefined-FSE-coded
     sequences (RFC 8878 §3.1.1.3 with all three modes = Predefined).
     Returns None when compression would not beat a raw block."""
     seqs, runs = _find_sequences(data, base, end)
     n_seq = len(seqs)
-    if n_seq == 0 or n_seq > 0x7EFF:
+    if n_seq > 0x7EFF:
         return None
-    n_lit = sum(e - s for s, e in runs)
-    # literals section: Raw_Literals_Block, smallest header that fits
-    lits = bytearray()
-    if n_lit < 32:
-        lits.append(n_lit << 3)
-    elif n_lit < 4096:
-        lits.append(((n_lit & 0x0F) << 4) | 0x04)
-        lits.append(n_lit >> 4)
-    else:
-        lits.append(((n_lit & 0x0F) << 4) | 0x0C)
-        lits.append((n_lit >> 4) & 0xFF)
-        lits.append(n_lit >> 12)
+    lit_bytes = bytearray()
     for s, e in runs:
-        lits += data[s:e]
+        lit_bytes += data[s:e]
+    n_lit = len(lit_bytes)
+    # literals section: Huffman-compressed when it pays, else raw
+    huf = _huf_encode_literals(lit_bytes)
+    if huf is not None:
+        lits = bytearray(huf)
+    else:
+        if n_seq == 0:
+            return None  # no matches, no literal entropy win: raw block
+        lits = bytearray()
+        if n_lit < 32:
+            lits.append(n_lit << 3)
+        elif n_lit < 4096:
+            lits.append(((n_lit & 0x0F) << 4) | 0x04)
+            lits.append(n_lit >> 4)
+        else:
+            lits.append(((n_lit & 0x0F) << 4) | 0x0C)
+            lits.append((n_lit >> 4) & 0xFF)
+            lits.append(n_lit >> 12)
+        lits += lit_bytes
+    if n_seq == 0:
+        # literals-only compressed block: Number_of_Sequences = 0
+        block = bytes(lits) + b"\x00"
+        if len(block) >= end - base:
+            return None
+        return block
     # sequences section header
     head = bytearray()
     if n_seq < 128:
