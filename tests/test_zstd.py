@@ -134,19 +134,80 @@ def test_package_merge_kraft_equality():
         assert sum(1 << (11 - nb) for nb in lens.values()) == 1 << 11
 
 
-def test_huffman_literals_cover_high_bytes_via_fse_weights():
-    """Literals with bytes > 128 cannot use the direct 4-bit weight
-    description (capped at 128 listed weights); the FSE-compressed
-    weight description covers them — pinned by ratio on UTF-8 text
-    plus round-trip (JVM parity rides the duplex tests)."""
-    utf8 = ("σπινθήρας γράμματα κόσμος διακριτικός " * 400).encode()
-    rnd = random.Random(9)
-    # shuffle word order so the matcher leaves literal residue
-    words = utf8.split()
-    body = b" ".join(rnd.choice(words) for _ in range(4000))
-    z = compress(body)
-    assert decompress(z) == body
-    assert len(z) < len(body) * 0.8  # Huffman literals engaged
+def _skewed_payload(rng, alphabet, n):
+    """Matchless-but-skewed bytes: random draws from a weighted small
+    alphabet — no repeated 8-grams for the LZ matcher, plenty of
+    literal entropy slack for Huffman."""
+    w = [len(alphabet) - i for i in range(len(alphabet))]
+    return bytes(rng.choices(alphabet, weights=w, k=n))
+
+
+def test_huffman_literals_direct_weights_engage():
+    """A matchless ASCII payload must go through the Huffman literals
+    path with the direct 4-bit weight description — asserted on the
+    section bytes themselves, not just the ratio, so a silent fallback
+    to raw literals fails the test (round-13 review: the previous
+    version never engaged the path it claimed to pin)."""
+    from text_grabr_orc_spark.sources.zstd import _huf_encode_literals
+
+    rng = random.Random(4)
+    payload = _skewed_payload(rng, list(b"etaoinshrdlucm"), 40_000)
+    sec = _huf_encode_literals(payload)
+    assert sec is not None, "Huffman literals did not engage"
+    assert sec[0] & 3 == 2  # Compressed_Literals_Block
+    assert len(sec) < len(payload)
+    # a UNIFORM alphabet contiguous from byte 0 gives a single
+    # distinct weight with no zero-weight gaps — the FSE weight form
+    # cannot describe a one-symbol distribution, so the direct 4-bit
+    # description (headerByte >= 128) must carry it
+    uni = bytes(rng.choices(list(range(16)), k=40_000))
+    sec_u = _huf_encode_literals(uni)
+    assert sec_u is not None
+    assert sec_u[5] >= 128  # direct weight description headerByte
+    assert decompress(compress(uni)) == uni
+    # whole-frame: literals-only compressed block, self round-trip
+    z = compress(payload)
+    assert len(z) < len(payload) * 0.85
+    assert (int.from_bytes(z[8:11], "little") >> 1) & 3 == 2
+    assert decompress(z) == payload
+
+
+def test_huffman_literals_fse_weights_cover_high_bytes():
+    """Literals whose alphabet extends past symbol 128 cannot use the
+    direct weight description; the FSE-compressed weight description
+    (headerByte < 128) must carry them — asserted on the section
+    bytes, decoded back through the module's own literals decoder."""
+    from text_grabr_orc_spark.sources.zstd import (
+        _FrameState,
+        _decode_literals,
+        _huf_encode_literals,
+    )
+
+    rng = random.Random(5)
+    payload = _skewed_payload(rng, list(range(150, 190)), 40_000)
+    sec = _huf_encode_literals(payload)
+    assert sec is not None, "FSE-weight Huffman literals did not engage"
+    assert sec[0] & 3 == 2
+    assert sec[5] < 128  # FSE-compressed weight description
+    lits, pos = _decode_literals(bytes(sec), 0, _FrameState())
+    assert bytes(lits) == payload
+    assert pos == len(sec)
+    z = compress(payload)
+    assert len(z) < len(payload)
+    assert decompress(z) == payload
+
+
+def test_huffman_literals_jvm_parity(spark):
+    """zstd-jni decodes frames whose literals ride BOTH weight
+    description forms (direct and FSE-compressed) byte-exactly."""
+    J = spark._jvm.com.github.luben.zstd.Zstd
+    rng = random.Random(6)
+    for alphabet in (list(b"etaoinshrdlucm"), list(range(150, 190))):
+        for n in (1500, 40_000, 200_000):
+            payload = _skewed_payload(rng, alphabet, n)
+            z = compress(payload)
+            assert bytes(J.decompress(z, n)) == payload
+            assert decompress(z) == payload
 
 
 def test_concatenated_and_skippable_frames():

@@ -1392,9 +1392,12 @@ def _huf_encode_literals(lit_bytes) -> bytes | None:
 
 
 def _encode_block(data, base: int, end: int) -> bytes | None:
-    """One compressed block: raw literals + predefined-FSE-coded
-    sequences (RFC 8878 §3.1.1.3 with all three modes = Predefined).
-    Returns None when compression would not beat a raw block."""
+    """One compressed block: literals (Huffman-coded via
+    ``_huf_encode_literals`` when that pays, raw otherwise) +
+    predefined-FSE-coded sequences (RFC 8878 §3.1.1.3, all three
+    sequence modes Predefined); a matchless block with compressible
+    literals becomes a literals-only block (Number_of_Sequences = 0).
+    Returns None when no form beats a raw block."""
     seqs, runs = _find_sequences(data, base, end)
     n_seq = len(seqs)
     if n_seq > 0x7EFF:
@@ -1522,15 +1525,18 @@ def _encode_block(data, base: int, end: int) -> bytes | None:
 
 
 def compress(data: bytes) -> bytes:
-    """Zstandard frame with real LZ compression: per 128 KiB block, a
+    """Zstandard frame with both entropy stages: per 128 KiB block, a
     greedy 8-byte-hash matcher emits sequences coded with the three
-    PREDEFINED FSE distributions over raw literals (RFC 8878
-    §3.1.1.3, all modes Predefined — no custom table descriptions
-    needed); single-byte runs become RLE blocks; blocks the matcher
-    cannot shrink fall back to raw. Frame content size and the XXH64
-    content checksum are always present. Every conforming decoder
-    (zstd-jni, the C library, this module) reads the output back
-    byte-exactly; text typically lands at 25-40% of input."""
+    PREDEFINED FSE distributions, over literals that are Huffman-
+    coded when that pays (package-merge lengths; direct or
+    FSE-compressed weight description) and raw otherwise; blocks
+    with no matches but skewed literals become literals-only
+    compressed blocks; single-byte runs become RLE blocks; anything
+    the entropy stages cannot shrink falls back to raw. Frame
+    content size and the XXH64 content checksum are always present.
+    Every conforming decoder (zstd-jni, the C library, this module)
+    reads the output back byte-exactly; corpus text lands at ~31%
+    of input."""
     data = bytes(data)
     n = len(data)
     out = bytearray()
