@@ -153,6 +153,9 @@ BENCH_QUERIES = [
     # over block-range splits (~5 s steady at sf0.1: ~2.7 s
     # driver-side recompression + entropy decode on every byte)
     "avro_zstandard_roundtrip",
+    # round-13 close: multi-branch unions as one-hot structs through
+    # the writer's unions declaration (~2.3 s steady at sf0.1)
+    "avro_union_interop",
 ]
 
 #: queries whose wall time is dominated by fixed per-invocation

@@ -111,6 +111,7 @@ def _emit_read(g: _Gen, ind: int, typ, out: str) -> None:
         _is_fixed,
         _is_gmap,
         _is_record,
+        _is_union,
     )
 
     if _is_record(typ):
@@ -192,6 +193,39 @@ def _emit_read(g: _Gen, ind: int, typ, out: str) -> None:
         else:
             _emit_read(g, body, item, it)
             g.emit(body, f"{out}[{k}] = {it}")
+        return
+    if _is_union(typ):  # multi-branch union -> one-hot tuple
+        null_branch = int(typ[2])
+        n_members = len(typ[1])
+        n_branches = n_members + (1 if null_branch >= 0 else 0)
+        br = f"_br{g.uid()}"
+        _emit_read_varint(g, ind, br)
+        g.emit(ind, f"if not 0 <= {br} < {n_branches}:")
+        g.emit(
+            ind + 1,
+            f"raise ValueError('union branch %d out of range' % {br})",
+        )
+        parts = [f"_u{g.uid()}" for _ in range(n_members)]
+        if null_branch >= 0:
+            g.emit(ind, f"if {br} == {null_branch}:")
+            g.emit(ind + 1, f"{out} = None")
+            g.emit(ind, "else:")
+            body = ind + 1
+        else:
+            body = ind
+        g.emit(body, " = ".join(parts) + " = None")
+        for m, mt in enumerate(typ[1]):
+            branch = m if null_branch < 0 or m < null_branch else m + 1
+            kw = "if" if m == 0 else "elif"
+            g.emit(body, f"{kw} {br} == {branch}:")
+            _emit_read(g, body + 1, mt, parts[m])
+        g.emit(
+            body,
+            f"{out} = ("
+            + ", ".join(parts)
+            + ("," if len(parts) == 1 else "")
+            + ")",
+        )
         return
     if _is_enum(typ):
         syms = g.const(typ[2])
@@ -347,6 +381,7 @@ def _emit_write(g: _Gen, ind: int, typ, val: str) -> None:
         _is_fixed,
         _is_gmap,
         _is_record,
+        _is_union,
     )
 
     if _is_record(typ):
@@ -363,6 +398,10 @@ def _emit_write(g: _Gen, ind: int, typ, val: str) -> None:
                 g.emit(ind, "else:")
                 g.emit(ind + 1, f"_ba({2 * (1 - nb)})")
                 _emit_write(g, ind + 1, t, fv)
+            elif _is_union(t):
+                # a union takes None at the FIELD level — its own
+                # branch index (or descriptive error) handles it
+                _emit_write(g, ind, t, fv)
             else:
                 g.emit(ind, f"if {fv} is None:")
                 # message built host-side and repr'd into the source:
@@ -438,6 +477,50 @@ def _emit_write(g: _Gen, ind: int, typ, val: str) -> None:
             )
             _emit_write(g, body, item, x)
         g.emit(ind, "_ba(0)")
+        return
+    if _is_union(typ):  # one-hot dict/tuple -> branch + value
+        null_branch = int(typ[2])
+        n_members = len(typ[1])
+        vals = f"_uv{g.uid()}"
+        live = f"_ul{g.uid()}"
+        g.emit(ind, f"if {val} is None:")
+        if null_branch >= 0:
+            g.emit(ind + 1, f"_ba({2 * null_branch})")
+        else:
+            g.emit(
+                ind + 1,
+                "raise ValueError('null value for a union with no"
+                " null branch')",
+            )
+        g.emit(ind, "else:")
+        ind += 1
+        # Arrow to_pylist hands structs over as dicts; the row-based
+        # writer path hands tuples/Rows — accept both
+        names = g.const(tuple(f"member{i}" for i in range(n_members)))
+        g.emit(
+            ind,
+            f"{vals} = tuple({val}[n] for n in {names})"
+            f" if hasattr({val}, 'keys') else tuple({val})",
+        )
+        g.emit(
+            ind,
+            f"{live} = [_j for _j, _x in enumerate({vals})"
+            f" if _x is not None]",
+        )
+        g.emit(ind, f"if len({live}) != 1:")
+        g.emit(
+            ind + 1,
+            f"raise ValueError('union value must set exactly one"
+            f" member, got %d of {n_members}' % len({live}))",
+        )
+        for m, mt in enumerate(typ[1]):
+            branch = m if null_branch < 0 or m < null_branch else m + 1
+            kw = "if" if m == 0 else "elif"
+            g.emit(ind, f"{kw} {live}[0] == {m}:")
+            _emit_write_varint(g, ind + 1, branch)
+            mv_ = f"_uw{g.uid()}"
+            g.emit(ind + 1, f"{mv_} = {vals}[{m}]")
+            _emit_write(g, ind + 1, mt, mv_)
         return
     if _is_enum(typ):
         idx = g.const({s: i for i, s in enumerate(typ[2])})
@@ -555,10 +638,17 @@ def _build_encoder(fields):
             g.emit(3, f"_ba({2 * (1 - nb)})")
             _emit_write(g, 3, t, fv)
         else:
-            g.emit(2, f"if {fv} is None:")
-            msg = f"null in non-nullable field {name}"
-            g.emit(3, f"raise ValueError({msg!r})")
-            _emit_write(g, 2, t, fv)
+            from text_grabr_orc_spark.sources.avro_io import _is_union
+
+            if _is_union(t):
+                # a union takes None at the FIELD level — its own
+                # branch index (or descriptive error) handles it
+                _emit_write(g, 2, t, fv)
+            else:
+                g.emit(2, f"if {fv} is None:")
+                msg = f"null in non-nullable field {name}"
+                g.emit(3, f"raise ValueError({msg!r})")
+                _emit_write(g, 2, t, fv)
     ns = dict(g.consts)
     exec("\n".join(g.lines), ns)  # noqa: S102 — self-generated source
     return ns["_enc_fn"]
@@ -582,6 +672,7 @@ def raw_arrow_type(token):
         _is_arr,
         _is_gmap,
         _is_record,
+        _is_union,
     )
 
     if _is_record(token):
@@ -590,6 +681,11 @@ def raw_arrow_type(token):
         return pa.list_(raw_arrow_type(token[1]))
     if _is_gmap(token):
         return pa.map_(pa.string(), raw_arrow_type(token[1]))
+    if _is_union(token):
+        return pa.struct(
+            [(f"member{i}", raw_arrow_type(t))
+             for i, t in enumerate(token[1])]
+        )
     if token in ("tsmicros", "ltsmicros", "tsmillis", "ltsmillis",
                  "timemicros", "timemillis"):
         # millis pre-scaled to micros, time-of-day to nanos, at decode
@@ -683,6 +779,7 @@ def _emit_skip(g: _Gen, ind: int, typ) -> None:
         _is_fixed,
         _is_gmap,
         _is_record,
+        _is_union,
     )
 
     if _is_record(typ):
@@ -732,6 +829,18 @@ def _emit_skip(g: _Gen, ind: int, typ) -> None:
             _emit_skip(g, body + 1, item)
         else:
             _emit_skip(g, body, item)
+        return
+    if _is_union(typ):
+        null_branch = int(typ[2])
+        br = f"_br{g.uid()}"
+        _emit_read_varint(g, ind, br)
+        for m, mt in enumerate(typ[1]):
+            branch = m if null_branch < 0 or m < null_branch else m + 1
+            kw = "if" if m == 0 else "elif"
+            g.emit(ind, f"{kw} {br} == {branch}:")
+            _emit_skip(g, ind + 1, mt)
+        # null branch (or out-of-range, which decode paths reject —
+        # skip tolerates it as zero-byte like null)
         return
     if _is_enum(typ):
         _emit_skip_varint(g, ind)

@@ -60,12 +60,18 @@ fields (codec-level column pruning — see avro_codegen._emit_skip),
 fill reader-only fields from their defaults, and honor the spec
 promotions (int→long/float/double, long→float/double, float→double,
 string↔bytes); parity with the JVM resolving decoder is
-pytest-pinned. The only remaining
-exclusions are shapes Spark itself cannot represent losslessly:
-multi-branch (non-null) unions, recursive named-type references, and
-the ``[T,"null"]`` declaration order INSIDE array items / map values
-(fields honor both orders; see NULL_SECOND) — all raise
-descriptively at schema parse, never silently misread. Each field optionally
+pytest-pinned. MULTI-BRANCH UNIONS (field-level) map to one-hot
+``struct<member0:T0, member1:T1, ...>`` columns — the spark-avro
+convention for complex unions: reading a foreign union fills exactly
+the decoded branch's member (NULL struct for the null branch), and
+the writer's ``unions`` option declares struct columns to ship as
+real Avro unions with null as branch 0 (exactly one non-null member
+per row enforced). The only remaining exclusions are shapes Spark
+itself cannot represent losslessly: recursive named-type references,
+union-typed array items / map values, and the ``[T,"null"]``
+declaration order INSIDE array items / map values (fields honor both
+orders; see NULL_SECOND) — all raise descriptively at schema parse,
+never silently misread. Each field optionally
 nullable as a two-branch union with ``"null"`` in either declared
 order. Codecs:
 ``null``, ``deflate`` (RFC 1951 raw deflate per block, stdlib zlib),
@@ -160,6 +166,11 @@ def _ddl_of(token) -> str:
         return "binary"
     if _is_gmap(token):  # generalized map: any supported value type
         return f"map<string,{_ddl_of(token[1])}>"
+    if _is_union(token):  # multi-branch union -> one-hot struct
+        inner = ",".join(
+            f"member{i}:{_ddl_of(t)}" for i, t in enumerate(token[1])
+        )
+        return f"struct<{inner}>"
     if token.startswith("array:"):
         return f"array<{_AVRO_TO_DDL[token[6:]]}>"
     if token.startswith("map:"):
@@ -268,6 +279,17 @@ def _token_valid(token) -> bool:
         return isinstance(token[2], int) and token[2] > 0
     if _is_gmap(token):
         return _token_valid(token[1])
+    if _is_union(token):
+        # spec: unions may not immediately contain unions, and two
+        # branches is the nullable form handled by the field flag
+        return (
+            len(token[1]) >= 2
+            and isinstance(token[2], int)
+            and -1 <= token[2] <= len(token[1])
+            and all(
+                not _is_union(t) and _token_valid(t) for t in token[1]
+            )
+        )
     if token.startswith("array:"):
         return token[6:] in _AVRO_TO_DDL
     if token.startswith("map:"):
@@ -444,6 +466,31 @@ def _compile_reader(typ):
             return tuple(out), pos
 
         return rd_rec
+    if _is_union(typ):  # multi-branch union -> one-hot tuple
+        members = [_compile_reader(t) for t in typ[1]]
+        null_branch = typ[2]
+        n_branches = len(members) + (1 if null_branch >= 0 else 0)
+        blank = (None,) * len(members)
+
+        def rd_union(mv, pos, members=members,
+                     null_branch=null_branch,
+                     n_branches=n_branches, blank=blank):
+            branch, pos = read_long(mv, pos)
+            if not 0 <= branch < n_branches:
+                raise ValueError(
+                    f"union branch {branch} out of range"
+                    f" (0..{n_branches - 1})"
+                )
+            if branch == null_branch:
+                return None, pos
+            m = branch if null_branch < 0 or branch < null_branch \
+                else branch - 1
+            v, pos = members[m](mv, pos)
+            out = list(blank)
+            out[m] = v
+            return tuple(out), pos
+
+        return rd_union
     if _is_enum(typ):
         symbols = typ[2]
 
@@ -645,18 +692,22 @@ def _compile_reader(typ):
 def _compile_record_writer(fields):
     """``fn(buf, row) -> None`` encoding one record of ``fields``."""
     subs = [
-        (name, _compile_writer(t), _null_branch(nul) if nul else None)
+        (name, _compile_writer(t), _null_branch(nul) if nul else None,
+         # a multi-branch union takes None at the FIELD level (no
+         # outer wrapping — its writer encodes the null branch, or
+         # raises its own descriptive error when there is none)
+         _is_union(t))
         for name, t, nul in fields
     ]
 
     def wr_rec(buf, row, subs=subs):
-        for (name, fn, nb), v in zip(subs, row):
+        for (name, fn, nb, union_null), v in zip(subs, row):
             if nb is not None:
                 if v is None:
                     write_long(buf, nb)
                     continue
                 write_long(buf, 1 - nb)
-            elif v is None:
+            elif v is None and not union_null:
                 raise ValueError(f"null in non-nullable field {name}")
             fn(buf, v)
 
@@ -697,6 +748,33 @@ def _compile_writer(typ):
             wr(buf, v)
 
         return wr_nested
+    if _is_union(typ):  # one-hot tuple/Row -> branch + value
+        members = [_compile_writer(t) for t in typ[1]]
+        null_branch = typ[2]
+
+        def wr_union(buf, v, members=members,
+                     null_branch=null_branch):
+            if v is None:
+                if null_branch < 0:
+                    raise ValueError(
+                        "null value for a union with no null branch"
+                    )
+                write_long(buf, null_branch)
+                return
+            vals = tuple(v)
+            live = [i for i, x in enumerate(vals) if x is not None]
+            if len(live) != 1:
+                raise ValueError(
+                    f"union value must set exactly one member, got"
+                    f" {len(live)} of {len(vals)}"
+                )
+            m = live[0]
+            branch = m if null_branch < 0 or m < null_branch \
+                else m + 1
+            write_long(buf, branch)
+            members[m](buf, vals[m])
+
+        return wr_union
     if _is_enum(typ):
         index = {s: i for i, s in enumerate(typ[2])}
 
@@ -990,6 +1068,35 @@ def _null_branch(nul) -> int:
     return 1 if nul == NULL_SECOND else 0
 
 
+def _is_union(token) -> bool:
+    """Multi-branch union token ('union', member_tokens, null_branch)
+    — an Avro union beyond the nullable two-branch form. Spark has no
+    union type, so it maps to ``struct<member0:T0, member1:T1, ...>``
+    with exactly one non-null member per value (the spark-avro
+    convention for complex unions): ``members`` holds the NON-null
+    branch tokens in declared order, ``null_branch`` the declared
+    position of the "null" branch (-1 when absent — then the struct
+    itself is never None). Wire = zigzag varint branch index, then
+    the branch value (spec §Unions)."""
+    return (
+        isinstance(token, tuple)
+        and len(token) == 3
+        and token[0] == "union"
+    )
+
+
+def _union_member_of_branch(token, branch: int) -> int:
+    """Declared branch index -> member position (skipping null)."""
+    nb = token[2]
+    return branch if nb < 0 or branch < nb else branch - 1
+
+
+def _union_branch_of_member(token, member: int) -> int:
+    """Member position -> declared branch index."""
+    nb = token[2]
+    return member if nb < 0 or member < nb else member + 1
+
+
 def _is_record(token) -> bool:
     """Nested-record token: a (possibly empty) list of field triples.
     Records are built as LISTS by every producer in this module; a
@@ -1100,6 +1207,14 @@ def _avro_type(token, path: str = "rec", seq: list | None = None):
         _, vt, nul = token
         v = _avro_type(vt, f"{path}_value", seq)
         return {"type": "map", "values": ["null", v] if nul else v}
+    if _is_union(token):
+        branches = [
+            _avro_type(t, f"{path}_u{i}", seq)
+            for i, t in enumerate(token[1])
+        ]
+        if token[2] >= 0:
+            branches.insert(token[2], "null")
+        return branches
     if token.startswith("array:"):
         return {"type": "array", "items": token[6:]}
     if token.startswith("map:"):
@@ -1236,17 +1351,43 @@ def _parse_fields(field_list) -> Fields:
     for f in field_list:
         t = f["type"]
         if isinstance(t, list):
-            if len(t) != 2 or "null" not in t:
+            if len(t) == 2 and "null" in t:
+                # the nullable two-branch form rides the field flag;
+                # record WHICH branch is null: [T,"null"] is legal and
+                # produced by other writers; decoding it with the
+                # default branch-0=null assumption would shift values
+                if t[1] == "null" and t[0] != "null":
+                    fields.append(
+                        (f["name"], _token_of_avro(t[0]), NULL_SECOND)
+                    )
+                else:
+                    fields.append(
+                        (f["name"], _token_of_avro(t[1]), True)
+                    )
+                continue
+            if len(t) < 2:
                 raise ValueError(f"unsupported union {t}")
-            # record WHICH branch is null: [T,"null"] is legal and
-            # produced by other writers; decoding it with the default
-            # branch-0=null assumption would shift every value
-            if t[1] == "null" and t[0] != "null":
-                fields.append(
-                    (f["name"], _token_of_avro(t[0]), NULL_SECOND)
-                )
-            else:
-                fields.append((f["name"], _token_of_avro(t[1]), True))
+            # multi-branch union -> one-hot struct (member per
+            # non-null branch, declared order preserved)
+            null_branch = -1
+            members = []
+            for i, bt in enumerate(t):
+                if bt == "null":
+                    if null_branch != -1:
+                        raise ValueError(
+                            f"union {t} declares null twice"
+                        )
+                    null_branch = i
+                    continue
+                if isinstance(bt, list):
+                    raise ValueError(
+                        f"union may not contain a union: {t}"
+                    )
+                members.append(_token_of_avro(bt))
+            fields.append(
+                (f["name"], ("union", tuple(members), null_branch),
+                 False)
+            )
         else:
             fields.append((f["name"], _token_of_avro(t), False))
     for _, t, _ in fields:
@@ -1772,6 +1913,18 @@ def _hydrator(token):
         return lambda v, item=item: [
             None if x is None else item(x) for x in v
         ]
+    if _is_union(token):
+        subs = [_hydrator(t) for t in token[1]]
+        if not any(subs):
+            return None
+
+        def hy_union(v, subs=subs):
+            return tuple(
+                x if c is None or x is None else c(x)
+                for x, c in zip(v, subs)
+            )
+
+        return hy_union
     if isinstance(token, str) and token.startswith("array:"):
         return None  # primitive items: never temporal
     if _is_gmap(token):
@@ -1929,6 +2082,11 @@ def _arrow_type(token):
         return pa.binary()
     if _is_gmap(token):
         return pa.map_(pa.string(), _arrow_type(token[1]))
+    if _is_union(token):  # one-hot struct of the non-null members
+        return pa.struct(
+            [(f"member{i}", _arrow_type(t))
+             for i, t in enumerate(token[1])]
+        )
     if token.startswith("array:"):
         return pa.list_(_arrow_type(token[6:]))
     if token.startswith("mapn:"):
@@ -2051,6 +2209,24 @@ def _apply_named_type_decls(
             by_name[name][1],
         )
     return [(n, *by_name[n]) for n, _, _ in fields]
+
+
+def _union_token_of(name: str, token):
+    """Writer ``unions`` declaration: a struct column's token ->
+    multi-branch union token with a null branch at position 0."""
+    if not _is_record(token) or len(token) < 2:
+        raise ValueError(
+            f"unions declaration {name!r}: column must be a struct"
+            " with at least two members"
+        )
+    members = []
+    for _n, t, _nul in token:
+        if _is_record(t) and not _token_valid(t):
+            raise ValueError(
+                f"unions declaration {name!r}: unsupported member"
+            )
+        members.append(t)
+    return ("union", tuple(members), 0)
 
 
 def _millis_token(name: str, t):
@@ -2313,6 +2489,25 @@ def make_avro_datasource():
                 ms = set(millis)
                 self.fields = [
                     (n, _millis_token(n, t) if n in ms else t, nul)
+                    for n, t, nul in self.fields
+                ]
+            # union declaration (option ``unions`` = JSON [field...]):
+            # a STRUCT column ships as a multi-branch Avro union with
+            # "null" as branch 0 (the spark-avro complex-union
+            # convention) — each row must set exactly ONE non-null
+            # member, or be NULL for the null branch; anything else
+            # fails the write.
+            unions = json.loads(options.get("unions", "[]"))
+            for name in unions:
+                if name not in names:
+                    raise ValueError(
+                        f"unions declaration {name!r}: no such column"
+                    )
+            if unions:
+                us = set(unions)
+                self.fields = [
+                    (n, _union_token_of(n, t) if n in us else t,
+                     False if n in us else nul)
                     for n, t, nul in self.fields
                 ]
             # one token per WRITE JOB (constructed on the driver,
@@ -3518,6 +3713,73 @@ def avro_zstandard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
         F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
         F.max(F.md5(F.col("text").cast("binary"))).alias("max_md5"),
+    )
+
+
+@register(
+    "avro_union_interop",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN event_id % 3 = 0 THEN 1 END)
+                AS BIGINT) AS n_str,
+           CAST(count(CASE WHEN event_id % 3 = 1 THEN 1 END)
+                AS BIGINT) AS n_num,
+           CAST(count(CASE WHEN event_id % 3 = 2 THEN 1 END)
+                AS BIGINT) AS n_null,
+           CAST(sum(CASE WHEN event_id % 3 = 0
+                         THEN length(event_type) END)
+                AS BIGINT) AS sum_len,
+           ROUND(sum(CASE WHEN event_id % 3 = 1 THEN value END), 2)
+               AS sum_val
+    FROM events
+    """,
+)
+def avro_union_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-BRANCH Avro unions end-to-end: each event carries a
+    ``["null", string, double]`` union payload — the event type for
+    one third of rows, the numeric value for another, the null
+    branch for the rest. The writer's ``unions`` declaration turns
+    the one-hot ``struct<member0,member1>`` column into a REAL Avro
+    union on the wire (JVM-readable — duplex pinned in
+    tests/test_avro_unions.py); reading back restores the struct and
+    the aggregate witnesses branch counts AND both members' values
+    (summed string lengths, rounded value sum), so a shifted branch
+    index or a value decoded under the wrong member breaks the
+    oracle hash. Closes the 'multi-branch unions' exclusion that
+    stood since round 8."""
+    register_avro_source(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    payload = F.when(
+        F.col("event_id") % 3 < 2,
+        F.struct(
+            F.when(
+                F.col("event_id") % 3 == 0, F.col("event_type")
+            ).alias("member0"),
+            F.when(
+                F.col("event_id") % 3 == 1, F.col("value")
+            ).alias("member1"),
+        ),
+    )
+    out = _scratch_dir("tgos_avro_union", sf_dir)
+    ev.select("event_id", payload.alias("u")).repartition(
+        4, "event_id"
+    ).write.format("tgos_avro").option("path", out).option(
+        "unions", json.dumps(["u"])
+    ).option("codec", "deflate").mode("append").save()
+    back = (
+        spark.read.format("tgos_avro")
+        .option("path", out)
+        .load()
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("u.member0").alias("n_str"),
+        F.count("u.member1").alias("n_num"),
+        F.count_if(F.col("u").isNull()).alias("n_null"),
+        F.sum(F.length("u.member0")).cast("bigint").alias("sum_len"),
+        F.round(F.sum("u.member1"), 2).alias("sum_val"),
     )
 
 
