@@ -234,6 +234,86 @@ def test_union_jvm_duplex_parity(spark, tmp_path):
             assert u is None
 
 
+def test_union_declaration_validates_member_names_and_types():
+    """Round-13 review: the encoders map member values by the
+    member0..N names, so the declaration must reject other names at
+    PLAN time (not KeyError mid-task), and the spec's union
+    uniqueness rule (one schema per wire type) must fail the plan
+    before the JVM parser rejects the written file."""
+    from text_grabr_orc_spark.sources.avro_io import _union_token_of
+
+    with pytest.raises(ValueError, match="member0"):
+        _union_token_of("u", [("s", "string", True), ("n", "long", True)])
+    with pytest.raises(ValueError, match="in order"):
+        _union_token_of(
+            "u", [("member1", "string", True), ("member0", "long", True)]
+        )
+    with pytest.raises(ValueError, match="wire type"):
+        _union_token_of(
+            "u",
+            [("member0", "string", True), ("member1", "string", True)],
+        )
+    # logical types do NOT distinguish: timestamp + long both wire long
+    with pytest.raises(ValueError, match="wire type"):
+        _union_token_of(
+            "u",
+            [("member0", "tsmicros", True), ("member1", "long", True)],
+        )
+    ok = _union_token_of(
+        "u", [("member0", "string", True), ("member1", "long", True)]
+    )
+    assert ok == ("union", ("string", "long"), 0)
+
+
+def test_union_closure_writer_accepts_one_hot_dicts(tmp_path):
+    """Round-13 review: tuple(dict) silently encoded the KEY strings;
+    dict values must map by member name like the record writer."""
+    p = str(tmp_path / "d.avro")
+    write_container(
+        p, FIELDS,
+        iter([(1, {"member0": "x", "member1": None}),
+              (2, {"member1": 42}), (3, None)]),
+    )
+    assert list(read_container(p)) == [
+        (1, ("x", None)), (2, (None, 42)), (3, None)
+    ]
+
+
+def test_union_inside_array_rejected_at_write(tmp_path):
+    """Union-typed array items are excluded (docstring); the writer
+    must fail fast instead of emitting a self-unreadable file."""
+    fields = [("a", ("arr", UNION, False), False)]
+    with pytest.raises(ValueError, match="unsupported"):
+        write_container(
+            str(tmp_path / "x.avro"), fields, iter([([("s", None)],)])
+        )
+
+
+def test_union_skip_raises_on_corrupt_branch():
+    """Round-13 review: a corrupt branch index in a PROJECTED-AWAY
+    union column must raise, not skip zero bytes and desync the
+    stream into silently wrong values for other columns."""
+    from text_grabr_orc_spark.sources.avro_codegen import (
+        block_encoder,
+        resolved_block_decoder,
+    )
+    from text_grabr_orc_spark.sources.avro_io import write_long
+
+    fields = [("u", UNION, False), ("id", "long", False)]
+    enc = block_encoder(fields)
+    good = bytearray()
+    enc(good, [[{"member0": "x", "member1": None}], [7]], 0, 1)
+    rdec = resolved_block_decoder(fields, [("id", "long", False)])
+    cols = [[]]
+    assert rdec(memoryview(bytes(good)), 1, cols) == len(good)
+    assert cols == [[7]]
+    bad = bytearray()
+    write_long(bad, 9)  # union branch 9 of 3
+    write_long(bad, 7)
+    with pytest.raises(ValueError, match="out of range"):
+        rdec(memoryview(bytes(bad)), 1, [[]])
+
+
 def test_union_temporal_member_hydrates(tmp_path):
     """A timestamp member inside a union re-hydrates to a datetime on
     the row exchange (the _hydrator recursion covers unions)."""

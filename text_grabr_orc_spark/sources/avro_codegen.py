@@ -205,6 +205,10 @@ def _emit_read(g: _Gen, ind: int, typ, out: str) -> None:
             ind + 1,
             f"raise ValueError('union branch %d out of range' % {br})",
         )
+        from text_grabr_orc_spark.sources.avro_io import (
+            _union_branch_of_member,
+        )
+
         parts = [f"_u{g.uid()}" for _ in range(n_members)]
         if null_branch >= 0:
             g.emit(ind, f"if {br} == {null_branch}:")
@@ -215,7 +219,7 @@ def _emit_read(g: _Gen, ind: int, typ, out: str) -> None:
             body = ind
         g.emit(body, " = ".join(parts) + " = None")
         for m, mt in enumerate(typ[1]):
-            branch = m if null_branch < 0 or m < null_branch else m + 1
+            branch = _union_branch_of_member(typ, m)
             kw = "if" if m == 0 else "elif"
             g.emit(body, f"{kw} {br} == {branch}:")
             _emit_read(g, body + 1, mt, parts[m])
@@ -513,8 +517,12 @@ def _emit_write(g: _Gen, ind: int, typ, val: str) -> None:
             f"raise ValueError('union value must set exactly one"
             f" member, got %d of {n_members}' % len({live}))",
         )
+        from text_grabr_orc_spark.sources.avro_io import (
+            _union_branch_of_member,
+        )
+
         for m, mt in enumerate(typ[1]):
-            branch = m if null_branch < 0 or m < null_branch else m + 1
+            branch = _union_branch_of_member(typ, m)
             kw = "if" if m == 0 else "elif"
             g.emit(ind, f"{kw} {live}[0] == {m}:")
             _emit_write_varint(g, ind + 1, branch)
@@ -619,6 +627,8 @@ def block_encoder(fields):
 
 
 def _build_encoder(fields):
+    from text_grabr_orc_spark.sources.avro_io import _is_union
+
     g = _Gen()
     g.emit(0, "def _enc_fn(buf, cols, i0, i1):")
     g.emit(1, "_ba = buf.append")
@@ -638,8 +648,6 @@ def _build_encoder(fields):
             g.emit(3, f"_ba({2 * (1 - nb)})")
             _emit_write(g, 3, t, fv)
         else:
-            from text_grabr_orc_spark.sources.avro_io import _is_union
-
             if _is_union(t):
                 # a union takes None at the FIELD level — its own
                 # branch index (or descriptive error) handles it
@@ -831,16 +839,29 @@ def _emit_skip(g: _Gen, ind: int, typ) -> None:
             _emit_skip(g, body, item)
         return
     if _is_union(typ):
+        from text_grabr_orc_spark.sources.avro_io import (
+            _union_branch_of_member,
+        )
+
         null_branch = int(typ[2])
         br = f"_br{g.uid()}"
         _emit_read_varint(g, ind, br)
         for m, mt in enumerate(typ[1]):
-            branch = m if null_branch < 0 or m < null_branch else m + 1
+            branch = _union_branch_of_member(typ, m)
             kw = "if" if m == 0 else "elif"
             g.emit(ind, f"{kw} {br} == {branch}:")
             _emit_skip(g, ind + 1, mt)
-        # null branch (or out-of-range, which decode paths reject —
-        # skip tolerates it as zero-byte like null)
+        if null_branch >= 0:
+            g.emit(ind, f"elif {br} != {null_branch}:")
+        else:
+            g.emit(ind, "else:")
+        # a corrupt branch index in a projected-away column would
+        # otherwise desync the stream and silently corrupt OTHER
+        # columns (round-13 review) — skip must raise like decode
+        g.emit(
+            ind + 1,
+            f"raise ValueError('union branch %d out of range' % {br})",
+        )
         return
     if _is_enum(typ):
         _emit_skip_varint(g, ind)

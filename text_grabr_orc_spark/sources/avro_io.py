@@ -263,7 +263,10 @@ def _token_of_spark(simple: str) -> str:
 
 def _token_valid(token) -> bool:
     if _is_arr(token):
-        return _token_valid(token[1])
+        # union-typed items are excluded (module docstring): reject
+        # at validation so the writer cannot emit self-unreadable
+        # files (round-13 review)
+        return not _is_union(token[1]) and _token_valid(token[1])
     if _is_record(token):  # nested record
         return all(
             isinstance(f, (list, tuple))
@@ -278,7 +281,7 @@ def _token_valid(token) -> bool:
     if _is_fixed(token):
         return isinstance(token[2], int) and token[2] > 0
     if _is_gmap(token):
-        return _token_valid(token[1])
+        return not _is_union(token[1]) and _token_valid(token[1])
     if _is_union(token):
         # spec: unions may not immediately contain unions, and two
         # branches is the nullable form handled by the field flag
@@ -289,6 +292,8 @@ def _token_valid(token) -> bool:
             and all(
                 not _is_union(t) and _token_valid(t) for t in token[1]
             )
+            and len({_union_branch_signature(t) for t in token[1]})
+            == len(token[1])
         )
     if token.startswith("array:"):
         return token[6:] in _AVRO_TO_DDL
@@ -471,9 +476,12 @@ def _compile_reader(typ):
         null_branch = typ[2]
         n_branches = len(members) + (1 if null_branch >= 0 else 0)
         blank = (None,) * len(members)
+        b2m = tuple(
+            -1 if b == null_branch else _union_member_of_branch(typ, b)
+            for b in range(n_branches)
+        )
 
-        def rd_union(mv, pos, members=members,
-                     null_branch=null_branch,
+        def rd_union(mv, pos, members=members, b2m=b2m,
                      n_branches=n_branches, blank=blank):
             branch, pos = read_long(mv, pos)
             if not 0 <= branch < n_branches:
@@ -481,10 +489,9 @@ def _compile_reader(typ):
                     f"union branch {branch} out of range"
                     f" (0..{n_branches - 1})"
                 )
-            if branch == null_branch:
+            m = b2m[branch]
+            if m < 0:
                 return None, pos
-            m = branch if null_branch < 0 or branch < null_branch \
-                else branch - 1
             v, pos = members[m](mv, pos)
             out = list(blank)
             out[m] = v
@@ -748,11 +755,15 @@ def _compile_writer(typ):
             wr(buf, v)
 
         return wr_nested
-    if _is_union(typ):  # one-hot tuple/Row -> branch + value
+    if _is_union(typ):  # one-hot tuple/Row/dict -> branch + value
         members = [_compile_writer(t) for t in typ[1]]
         null_branch = typ[2]
+        names = tuple(f"member{i}" for i in range(len(members)))
+        m2b = tuple(
+            _union_branch_of_member(typ, m) for m in range(len(members))
+        )
 
-        def wr_union(buf, v, members=members,
+        def wr_union(buf, v, members=members, names=names, m2b=m2b,
                      null_branch=null_branch):
             if v is None:
                 if null_branch < 0:
@@ -761,7 +772,13 @@ def _compile_writer(typ):
                     )
                 write_long(buf, null_branch)
                 return
-            vals = tuple(v)
+            if isinstance(v, dict):
+                # one-hot dicts key by member name, like wr_nested —
+                # tuple(dict) would silently encode the KEYS
+                # (round-13 review)
+                vals = tuple(v.get(n) for n in names)
+            else:
+                vals = tuple(v)
             live = [i for i, x in enumerate(vals) if x is not None]
             if len(live) != 1:
                 raise ValueError(
@@ -769,9 +786,7 @@ def _compile_writer(typ):
                     f" {len(live)} of {len(vals)}"
                 )
             m = live[0]
-            branch = m if null_branch < 0 or m < null_branch \
-                else m + 1
-            write_long(buf, branch)
+            write_long(buf, m2b[m])
             members[m](buf, vals[m])
 
         return wr_union
@@ -1642,6 +1657,12 @@ def write_container(
     byte-reproducible too)."""
     if codec not in _CODECS:
         raise ValueError(f"unsupported codec {codec!r}")
+    for n, t, _nul in fields:
+        # fail fast on tokens the READER rejects (e.g. union-typed
+        # array items) instead of emitting a self-unreadable file
+        # (round-13 review)
+        if not _token_valid(t):
+            raise ValueError(f"unsupported avro type {t} in field {n!r}")
     sync = _resolve_sync(sync, path, sync_name)
     with open(path, "wb") as fh:
         fh.write(_container_header(fields, name, sync, codec))
@@ -2211,20 +2232,75 @@ def _apply_named_type_decls(
     return [(n, *by_name[n]) for n, _, _ in fields]
 
 
+def _union_branch_signature(token) -> str:
+    """Wire-type signature for the spec's union-uniqueness rule
+    (§Unions: at most one schema of each type, EXCEPT the named types
+    record/enum/fixed, distinguished by name). Logical types do NOT
+    distinguish — two longs are duplicates even if one is a
+    timestamp, and the JVM Schema.Parser rejects them."""
+    if _is_record(token):
+        return "record"  # writer-built records get unique names, but
+        # two record members still collide for a READER matching by
+        # position-less type — keep them unique per union anyway
+    if _is_enum(token):
+        return f"enum:{token[1]}"
+    if _is_fixed(token):
+        return f"fixed:{token[1]}"
+    if _is_arr(token) or (
+        isinstance(token, str) and token.startswith("array:")
+    ):
+        return "array"
+    if _is_gmap(token) or (
+        isinstance(token, str)
+        and (token.startswith("map:") or token.startswith("mapn:"))
+    ):
+        return "map"
+    if token in ("tsmicros", "ltsmicros", "tsmillis", "ltsmillis",
+                 "timemicros"):
+        return "long"
+    if token in ("timemillis", "date"):
+        return "int"
+    if isinstance(token, str) and token.startswith("dec:"):
+        return "bytes"
+    return str(token)
+
+
 def _union_token_of(name: str, token):
     """Writer ``unions`` declaration: a struct column's token ->
-    multi-branch union token with a null branch at position 0."""
+    multi-branch union token with a null branch at position 0. The
+    struct's fields MUST be named member0..memberN-1 in order (the
+    same one-hot shape the reader produces) — the encoders map
+    member values by those names, so anything else is rejected at
+    plan time instead of crashing or mispairing mid-task."""
     if not _is_record(token) or len(token) < 2:
         raise ValueError(
             f"unions declaration {name!r}: column must be a struct"
             " with at least two members"
         )
-    members = []
-    for _n, t, _nul in token:
-        if _is_record(t) and not _token_valid(t):
+    for i, (mn, _t, _nul) in enumerate(token):
+        if mn != f"member{i}":
             raise ValueError(
-                f"unions declaration {name!r}: unsupported member"
+                f"unions declaration {name!r}: struct fields must be"
+                f" named member0..member{len(token) - 1} in order"
+                f" (field {i} is {mn!r})"
             )
+    members = []
+    sigs = set()
+    for _n, t, _nul in token:
+        if _is_union(t):
+            raise ValueError(
+                f"unions declaration {name!r}: a union may not"
+                " contain a union"
+            )
+        sig = _union_branch_signature(t)
+        if sig in sigs:
+            # spec §Unions: the JVM parser rejects such a schema
+            # ("Duplicate in union") — fail the PLAN, not the readers
+            raise ValueError(
+                f"unions declaration {name!r}: two members share the"
+                f" wire type {sig!r}, which Avro unions forbid"
+            )
+        sigs.add(sig)
         members.append(t)
     return ("union", tuple(members), 0)
 
