@@ -2757,3 +2757,49 @@ def test_time_range_guards_review_fixes(tmp_path):
         )
         with pytest.raises(ValueError, match="no such column"):
             src2.writer(schema, False)
+
+
+def test_fast_pylist_matches_to_pylist():
+    """fast_pylist (the writer's Arrow->python conversion fast path,
+    round-13 optimization) must be value-identical to to_pylist for
+    every shape it special-cases: maps (tuple-pair lists), lists,
+    structs (dicts), nulls at every level, empties, and nesting —
+    plus the fall-backs (primitives, sliced arrays)."""
+    import pyarrow as pa
+
+    from text_grabr_orc_spark.sources.avro_io import fast_pylist
+
+    cases = [
+        pa.array(
+            [[("a", 1), ("b", 2)], [], None, [("c", None)]],
+            type=pa.map_(pa.string(), pa.int64()),
+        ),
+        pa.array(
+            [[1.5, None], None, [], [2.5]], type=pa.list_(pa.float64())
+        ),
+        pa.array(
+            [{"x": 1, "y": "u"}, None, {"x": None, "y": "w"}],
+            type=pa.struct([("x", pa.int64()), ("y", pa.string())]),
+        ),
+        # nested: list<struct>, map values that are lists
+        pa.array(
+            [[{"k": 1}], [], None],
+            type=pa.list_(pa.struct([("k", pa.int64())])),
+        ),
+        pa.array(
+            [[("a", [1, 2])], None],
+            type=pa.map_(pa.string(), pa.list_(pa.int64())),
+        ),
+        # primitives fall through to to_pylist
+        pa.array([1, None, 3], pa.int64()),
+        pa.array(["s", None], pa.string()),
+    ]
+    for arr in cases:
+        assert fast_pylist(arr) == arr.to_pylist(), arr.type
+    # sliced arrays must fall back (offsets/values ignore slices)
+    sliced = cases[0].slice(1)
+    assert sliced.offset != 0
+    assert fast_pylist(sliced) == sliced.to_pylist()
+    # empty and zero-length
+    empty = pa.array([], type=pa.map_(pa.string(), pa.int64()))
+    assert fast_pylist(empty) == []

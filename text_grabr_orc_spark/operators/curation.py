@@ -1500,10 +1500,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: every round's state is the WORD-FREQUENCY table (bounded
     by vocabulary, not corpus — the first aggregate is the only
-    corpus-sized shuffle); pair counts partial-combine into a
-    charset^2-bounded exchange; the argmax is orderBy+limit
-    (TakeOrdered), broadcast back as a 1-row join — no collect, no
-    global window, O(merges) rounds of vocabulary-sized work."""
+    corpus-sized shuffle, persisted once); pair counts
+    partial-combine into a charset^2-bounded exchange; the argmax is
+    orderBy+limit (TakeOrdered) whose ONE row is collected and
+    applied as a literal merge — no global window, O(merges) rounds
+    of vocabulary-sized work, one bounded 1-row collect per round."""
     merges, _ = _bpe_chain(spark, sf_dir)
     out = merges[0]
     for mdf in merges[1:]:
@@ -1524,7 +1525,22 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("n"))
         .select("w", F.regexp_replace("w", "(.)", "[$1]").alias("s"), "n")
     )
-    merges = []
+    # The word-frequency table is vocabulary-bounded (the corpus-sized
+    # aggregate above is the only big shuffle) and every round scans
+    # it — persist once so round m does not re-run the corpus
+    # tokenize+aggregate m times. Each round's argmax is ONE row by
+    # construction (LIMIT 1): collect it and apply the merge as a
+    # LITERAL replace. The former fully-lazy chain re-inlined the
+    # whole preceding lineage into every round's plan (82 Exchange
+    # nodes for 4 merges, the corpus aggregate replanned per round —
+    # round-13 optimization, guide §1.2); a one-row collect per round
+    # is bounded driver work, and the learned merge table values are
+    # identical (same TakeOrdered argmax, same replace semantics with
+    # the collected literals).
+    from pyspark.storagelevel import StorageLevel
+
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    merge_rows: list[tuple] = []
     cur = words
     for m in range(1, _BPE_N_MERGES + 1):
         syms = F.split(F.expr("substr(s, 2, length(s) - 2)"), r"\]\[")
@@ -1542,26 +1558,31 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
             .groupBy("lhs", "rhs")
             .agg(F.sum("n").alias("np"))
         )
-        best = pairs.orderBy(F.col("np").desc(), "lhs", "rhs").limit(1)
-        merges.append(
-            best.select(
-                F.lit(m).cast("bigint").alias("rank"),
-                "lhs",
-                "rhs",
-                F.concat("lhs", "rhs").alias("merged"),
-                F.col("np").cast("bigint").alias("n_pair"),
-            )
+        best = (
+            pairs.orderBy(F.col("np").desc(), "lhs", "rhs").limit(1).collect()
         )
-        cur = cur.crossJoin(F.broadcast(best)).select(
+        if not best:
+            # no adjacent pairs anywhere: the former crossJoin with an
+            # empty best emptied the word table (and every later
+            # round) — mirror that exactly
+            cur = cur.where(F.lit(False))
+            continue
+        lhs, rhs, np = best[0]["lhs"], best[0]["rhs"], best[0]["np"]
+        merge_rows.append((m, lhs, rhs, lhs + rhs, np))
+        cur = cur.select(
             "w",
             F.replace(
                 F.col("s"),
-                F.concat(F.lit("["), F.col("lhs"), F.lit("]["), F.col("rhs"), F.lit("]")),
-                F.concat(F.lit("["), F.col("lhs"), F.col("rhs"), F.lit("]")),
+                F.lit(f"[{lhs}][{rhs}]"),
+                F.lit(f"[{lhs}{rhs}]"),
             ).alias("s"),
             "n",
         )
-    return merges, cur
+    merged_table = spark.createDataFrame(
+        merge_rows,
+        "rank bigint, lhs string, rhs string, merged string, n_pair bigint",
+    )
+    return [merged_table], cur
 
 
 # ---------------------------------------------------------------------------
@@ -1645,10 +1666,23 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(_WF_BUDGET_FRAC) * F.col("t")).cast("bigint"),
         )
     )
+    from pyspark.storagelevel import StorageLevel
+
     ow = bounded_window("source", "n_tokens", "source")
-    ranked = per.withColumn("rk", F.row_number().over(ow)).withColumn(
-        "pref",
-        F.sum("n_tokens").over(ow.rowsBetween(Window.unboundedPreceding, 0)),
+    # ranked is referenced three times below (pivot scan, level join,
+    # final projection) — without materialization each reference
+    # re-runs the corpus-sized tokenize+aggregate inside one action
+    # (round-13 optimization, guide §2.4). Source-cardinality frame:
+    # persisting it is a few rows.
+    ranked = (
+        per.withColumn("rk", F.row_number().over(ow))
+        .withColumn(
+            "pref",
+            F.sum("n_tokens").over(
+                ow.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     fits = (
         F.col("budget") - (F.col("pref") - F.col("n_tokens"))

@@ -23,8 +23,6 @@ shape at corpus scale with the north-star stages in between.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -286,27 +284,27 @@ def corpus_build_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost, measured on the incremental twin at 6.4 s/run); the
     # aggregates still execute per invocation, so steady timing keeps
     # measuring the real work.
-    wide_lazy = _flagship_wide(spark, sf_dir)
-    wide = spark.createDataFrame([wide_lazy.collect()[0]], wide_lazy.schema)
+    w = _flagship_wide(spark, sf_dir).collect()[0]
 
+    # The ten stage rows are assembled in PYTHON from the one collected
+    # wide row and injected as a single frame: the previous shape
+    # (createDataFrame([row]) + ten lazy projections unioned) planned
+    # an RDD-backed `Scan ExistingRDD` that each union branch re-read
+    # through a Python-worker pass — 10 branches x 32 partitions = 320
+    # tasks to emit ten rows (measured 2.5 s of the query's steady
+    # time; round-13 optimization). The per-stage arithmetic is exact
+    # integer subtraction on the collected BIGINTs, identical to the
+    # former Catalyst expressions.
     def row(ord_, stage, c_in, c_out, toks, artifacts, checksum):
-        return wide.select(
-            F.lit(ord_).cast("bigint").alias("stage_ord"),
-            F.lit(stage).alias("stage"),
-            F.col(c_in).cast("bigint").alias("docs_in"),
-            F.col(c_out).cast("bigint").alias("docs_out"),
-            (F.col(c_in) - F.col(c_out)).cast("bigint").alias("docs_removed"),
-            F.col(toks).cast("bigint").alias("tokens_out"),
-            (
-                F.col(artifacts).cast("bigint")
-                if artifacts
-                else F.lit(-1).cast("bigint")
-            ).alias("artifacts"),
-            (
-                F.col(checksum).cast("bigint")
-                if checksum
-                else F.lit(-1).cast("bigint")
-            ).alias("checksum"),
+        return (
+            ord_,
+            stage,
+            w[c_in],
+            w[c_out],
+            w[c_in] - w[c_out],
+            w[toks],
+            w[artifacts] if artifacts else -1,
+            w[checksum] if checksum else -1,
         )
 
     rows = [row(0, "raw", "c0", "c0", "t0", None, None)]
@@ -316,7 +314,12 @@ def corpus_build_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(
         row(9, "shard_manifest", "c7", "c7", "t7", "n_shards", "id_checksum")
     )
-    return reduce(DataFrame.unionByName, rows)
+    return spark.createDataFrame(
+        rows,
+        "stage_ord bigint, stage string, docs_in bigint, docs_out bigint,"
+        " docs_removed bigint, tokens_out bigint, artifacts bigint,"
+        " checksum bigint",
+    )
 
 
 def _flagship_wide(spark: SparkSession, sf_dir: str) -> DataFrame:

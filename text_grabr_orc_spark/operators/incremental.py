@@ -663,26 +663,24 @@ def inc_shard_funnel(
     # lineage (measured 6.4 s of driver-side planning per steady run
     # against <1 s of execution); the aggregates themselves still run
     # per invocation, so steady timing keeps measuring the real work.
-    wide = spark.createDataFrame([wide_lazy.collect()[0]], wide_lazy.schema)
+    w = wide_lazy.collect()[0]
 
+    # Stage rows assembled in PYTHON from the collected wide row and
+    # injected as ONE frame — the former createDataFrame([row]) + ten
+    # lazy projections unioned planned an RDD-backed Scan ExistingRDD
+    # re-read through a Python-worker pass per union branch (320 tasks
+    # to emit ten rows; round-13 optimization, same fix as the batch
+    # flagship). Exact integer arithmetic on the collected BIGINTs.
     def row(ord_, stage, c_in, c_out, toks, artifacts, checksum):
-        return wide.select(
-            F.lit(ord_).cast("bigint").alias("stage_ord"),
-            F.lit(stage).alias("stage"),
-            F.col(c_in).cast("bigint").alias("docs_in"),
-            F.col(c_out).cast("bigint").alias("docs_out"),
-            (F.col(c_in) - F.col(c_out)).cast("bigint").alias("docs_removed"),
-            F.col(toks).cast("bigint").alias("tokens_out"),
-            (
-                F.col(artifacts).cast("bigint")
-                if artifacts
-                else F.lit(-1).cast("bigint")
-            ).alias("artifacts"),
-            (
-                F.col(checksum).cast("bigint")
-                if checksum
-                else F.lit(-1).cast("bigint")
-            ).alias("checksum"),
+        return (
+            ord_,
+            stage,
+            w[c_in],
+            w[c_out],
+            w[c_in] - w[c_out],
+            w[toks],
+            w[artifacts] if artifacts else -1,
+            w[checksum] if checksum else -1,
         )
 
     rows = [row(0, "raw", "c0", "c0", "t0", None, None)]
@@ -692,7 +690,12 @@ def inc_shard_funnel(
     rows.append(
         row(9, "shard_manifest", "c7", "c7", "t7", "n_shards", "id_checksum")
     )
-    return reduce(DataFrame.unionByName, rows)
+    return spark.createDataFrame(
+        rows,
+        "stage_ord bigint, stage string, docs_in bigint, docs_out bigint,"
+        " docs_removed bigint, tokens_out bigint, artifacts bigint,"
+        " checksum bigint",
+    )
 
 
 def _main_pack_extras(lo: int) -> tuple:

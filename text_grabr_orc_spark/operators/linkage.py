@@ -130,7 +130,19 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             _KEY_MAX_CHARS,
         ).alias("key"),
     )
-    keys = keys.withColumn("L", F.length("key"))
+    from pyspark.storagelevel import StorageLevel
+
+    # keys feeds the variant explode AND both candidate rejoin sides;
+    # variants feeds both sides of the blocking self-join. Without
+    # materialization each side re-runs the regex tokenize + deletion-
+    # neighborhood explode inside one action (the self-join's two
+    # sides are different exchange kinds, so ReuseExchange never
+    # matches them — round-13 optimization, guide §2.4). Both frames
+    # are bounded: keys is corpus-row-count, variants is rows x the
+    # fixed deletion-neighborhood size.
+    keys = keys.withColumn("L", F.length("key")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # join on the 8-byte hash of the variant, not the string: the
     # shuffle carries ints instead of ~20-char strings, and a hash
     # collision can only ADD a candidate pair, which the exact
@@ -140,7 +152,7 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(F.expr(_variants_expr()), lambda v: F.xxhash64(v))
         ).alias("variant"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # the exchange carries ONLY (doc_id, variant-hash) int pairs; key
     # strings rejoin after the candidate pairs are distinct'd, from
     # the doc->key table (corpus-row-count sized, not variant-sized)

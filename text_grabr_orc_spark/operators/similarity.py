@@ -1206,7 +1206,18 @@ def similarity_topk_ivf_pq(
     ADC sum (order-proof), ties break on (distance, code | id) — the
     same contract the judge-verified pq/pq_trained oracles use.
     """
-    emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
+    from pyspark.storagelevel import StorageLevel
+
+    # the widened (e, n) frame is referenced by the centroid set, the
+    # assignment, the residuals, the codebook, the queries and the
+    # probes — 22 separate parquet re-scans each re-running the
+    # float->double transform before this persist (round-13
+    # optimization, guide §2.4)
+    emb = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "e", "n")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cent = F.broadcast(
         emb.filter(F.col("vec_id") % centroid_stride == 0).select(
             F.col("vec_id").alias("centroid_id"),
@@ -2295,9 +2306,11 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-query scan ranked by TakeOrderedAndProject (at 100 TB
     the pool would come from the ANN index instead, same contract).
     Everything after operates on the {pool}-row pool and its
-    {pool}x{pool} pair matrix, localCheckpointed once; the {k}
-    unrolled steps are map-side aggregates over those tiny frames —
-    rerank cost is independent of corpus size by construction."""
+    {pool}x{pool} pair matrix: both are k-bounded, so the greedy
+    {k}-step rerank runs on the DRIVER over the collected pool (the
+    former lazy unrolling grew the analyzed plan exponentially in k —
+    184 Exchange nodes executed as tiny shuffle jobs) — rerank cost
+    is independent of corpus size by construction."""
     emb = _emb(spark, sf_dir).select("vec_id", "e", "n")
     q = F.broadcast(
         emb.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
@@ -2311,7 +2324,8 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "e", "n", rel.alias("rel"))
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(_MMR_POOL)
-        .localCheckpoint()  # 12 rows; reused by every unrolled step
+        .localCheckpoint()  # <= {pool} rows; feeds the pair job and
+        # the driver-side greedy below without a second corpus scan
     )
     a = pool.select(
         F.col("vec_id").alias("ia"), F.col("e").alias("ea"), F.col("n").alias("na")
@@ -2320,51 +2334,57 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("ib"), F.col("e").alias("eb"), F.col("n").alias("nb")
     )
     sim = cosine_from_parts(dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb"))
-    pairs = (
-        a.join(b, F.col("ia") != F.col("ib"))
-        .select("ia", "ib", sim.alias("s"))
-        .localCheckpoint()  # 132 rows
-    )
-    slim = pool.select("vec_id", "rel")
+    pairs = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia", "ib", sim.alias("s")
+    )  # 132 rows, collected once below — no checkpoint needed
     lam = _MMR_LAMBDA
-
-    def argmax(cand: DataFrame) -> DataFrame:
-        """One greedy pick: max_by over struct(mmr, -vec_id) == the
-        oracle's ORDER BY mmr DESC, vec_id LIMIT 1."""
-        return cand.agg(
-            F.max_by(
-                F.struct("vec_id", "mmr", "rel"),
-                F.struct(F.col("mmr"), (-F.col("vec_id")).alias("tb")),
-            ).alias("p")
-        ).select("p.vec_id", "p.mmr", "p.rel")
-
-    selected = argmax(
-        slim.select("vec_id", (F.lit(lam) * F.col("rel")).alias("mmr"), "rel")
-    ).withColumn("pick", F.lit(1))
-    for t in range(2, _MMR_K + 1):
-        sel_ids = selected.select(F.col("vec_id").alias("ib"))
-        cand = (
-            slim.join(selected.select("vec_id"), "vec_id", "left_anti")
-            .join(
-                pairs.join(sel_ids, "ib")
-                .groupBy("ia")
-                .agg(F.max("s").alias("ms")),
-                F.col("vec_id") == F.col("ia"),
-            )
-            .select(
-                "vec_id",
+    # The greedy rerank itself runs on the DRIVER over the collected
+    # pool (<= {pool} rows) and pair matrix (<= {pool}*({pool}-1)
+    # rows) — both k-bounded by construction, independent of corpus
+    # size (the ONLY corpus-sized work above is the pool scan). The
+    # previous fully-lazy unrolling re-referenced the growing
+    # `selected` plan twice per step, so the analyzed plan grew
+    # exponentially in k (184 Exchange nodes for k=4, each executed
+    # as its own tiny shuffle job — round-13 optimization, guide
+    # §1.2/§5: the per-step argmax over a dozen rows is exactly the
+    # "driver does no DATA work" amount of driver work). The floats
+    # below reproduce the former Spark expressions bit-for-bit:
+    # Python and the JVM both evaluate IEEE-754 binary64 `lam*rel -
+    # (1-lam)*ms` (two ops, no FMA), max() over doubles is exact, and
+    # the argmax key (mmr, -vec_id) is the same lexicographic
+    # struct(mmr, tb) order max_by used; the oracle-visible rounding
+    # still happens in Spark on the assembled rows.
+    pool_rows = pool.select("vec_id", "rel").collect()
+    pair_rows = pairs.collect()
+    rel_of = {r["vec_id"]: r["rel"] for r in pool_rows}
+    sim_of = {(r["ia"], r["ib"]): r["s"] for r in pair_rows}
+    picked: list[tuple] = []  # (pick, vec_id, mmr, rel)
+    chosen: list = []
+    for t in range(1, _MMR_K + 1):
+        cands = [v for v in rel_of if v not in chosen]
+        if not chosen:
+            scored = [(lam * rel_of[v], v) for v in cands]
+        else:
+            scored = [
                 (
-                    F.lit(lam) * F.col("rel")
-                    - F.lit(1 - lam) * F.col("ms")
-                ).alias("mmr"),
-                "rel",
-            )
-        )
-        selected = selected.unionByName(
-            argmax(cand).withColumn("pick", F.lit(t))
-        )
-    return selected.select(
-        F.col("pick").cast("bigint"),
+                    lam * rel_of[v]
+                    - (1 - lam) * max(sim_of[(v, s)] for s in chosen),
+                    v,
+                )
+                for v in cands
+            ]
+        if not scored:
+            # mirror the former agg-over-empty max_by: one all-null row
+            picked.append((t, None, None, None))
+            continue
+        mmr_v, vid = max(scored, key=lambda p: (p[0], -p[1]))
+        picked.append((t, vid, mmr_v, rel_of[vid]))
+        chosen.append(vid)
+    out = spark.createDataFrame(
+        picked, "pick bigint, vec_id bigint, mmr double, rel double"
+    )
+    return out.select(
+        "pick",
         "vec_id",
         F.round("mmr", 6).alias("mmr"),
         F.round("rel", 6).alias("rel"),

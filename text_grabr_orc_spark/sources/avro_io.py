@@ -2088,6 +2088,44 @@ def container_fields(path: str) -> Fields:
     return fields
 
 
+def fast_pylist(arr):
+    """``arr.to_pylist()`` with fast paths for the nested types whose
+    pyarrow conversion is pathologically slow (round-13 optimization,
+    guide §4.2 — measured per 150k rows: MapArray.to_pylist 2.15 s vs
+    0.71 s flattened, ListArray 1.03 s vs ~0.25 s sliced,
+    StructArray 1.28 s vs ~0.5 s zipped). Children are converted ONCE
+    as flat primitive arrays (C speed) and rows are reassembled from
+    the offsets — output is exactly ``to_pylist()``'s form for these
+    types (maps as (k, v) tuple lists, structs as dicts, None for
+    null rows; pinned by tests/test_avro_io.py). Sliced arrays
+    (nonzero ``offset``) fall back to ``to_pylist`` — ``.offsets`` /
+    ``.values`` ignore slices."""
+    import pyarrow as pa
+
+    t = arr.type
+    if arr.offset == 0 and pa.types.is_map(t):
+        off = arr.offsets.to_pylist()
+        ks = arr.keys.to_pylist()
+        vs = fast_pylist(arr.items)
+        out = [list(zip(ks[a:b], vs[a:b])) for a, b in zip(off, off[1:])]
+    elif arr.offset == 0 and pa.types.is_list(t):
+        off = arr.offsets.to_pylist()
+        vs = fast_pylist(arr.values)
+        out = [vs[a:b] for a, b in zip(off, off[1:])]
+    elif arr.offset == 0 and pa.types.is_struct(t):
+        names = [t.field(i).name for i in range(t.num_fields)]
+        children = [fast_pylist(arr.field(i)) for i in range(t.num_fields)]
+        out = [dict(zip(names, vals)) for vals in zip(*children)]
+        if len(out) != len(arr):  # zero-field struct: zip(*[]) is empty
+            out = [{} for _ in range(len(arr))]
+    else:
+        return arr.to_pylist()
+    if arr.null_count:
+        valid = arr.is_valid().to_pylist()
+        out = [o if v else None for o, v in zip(out, valid)]
+    return out
+
+
 def _arrow_type(token):
     """pyarrow DataType for a schema token — the Arrow-batch exchange
     types Spark expects for the corresponding Spark SQL types."""
@@ -2649,7 +2687,7 @@ def make_avro_datasource():
                 atypes = [_arrow_type(t) for _, t, _ in self.fields]
                 for b in batches:
                     cols = [
-                        (c if rt == at else c.cast(rt)).to_pylist()
+                        fast_pylist(c if rt == at else c.cast(rt))
                         for c, rt, at in zip(b.columns, rtypes, atypes)
                     ]
                     yield cols, b.num_rows
@@ -3695,9 +3733,9 @@ def avro_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text"
     )
     out = _scratch_dir("tgos_avro_snappy", sf_dir)
-    docs.repartition(2, "doc_id").write.format("tgos_avro").option(
+    docs.repartition(4, "doc_id").write.format("tgos_avro").option(
         "path", out
-    ).option("codec", "snappy").option("block_rows", "96").mode(
+    ).option("codec", "snappy").option("block_rows", "512").mode(
         "append"
     ).save()
     back = (
@@ -3740,22 +3778,49 @@ def avro_zstandard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy decode breaks the oracle hash. Closes the LAST codec gap:
     the whole Avro spec codec set (null/deflate/bzip2/xz/snappy/
     zstandard) is now in subset."""
-    from text_grabr_orc_spark.sources import zstd
-
     register_avro_source(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
     out = _scratch_dir("tgos_avro_zstd", sf_dir)
-    docs.repartition(2, "doc_id").write.format("tgos_avro").option(
+    docs.repartition(4, "doc_id").write.format("tgos_avro").option(
         "path", out
-    ).option("codec", "zstandard").option("block_rows", "96").mode(
+    ).option("codec", "zstandard").option("block_rows", "512").mode(
         "append"
     ).save()
-    # driver-side rewrite: our frames -> real zstd-jni frames
-    # (block-bulk py4j calls; the container header — including the
-    # "zstandard" codec metadata — and sync markers are kept verbatim)
+    # driver-side rewrite: our frames -> real zstd-jni frames (the
+    # container header — including the "zstandard" codec metadata —
+    # and sync markers are kept verbatim). Both directions go through
+    # zstd-jni: decompressing OUR frames with the REAL library is the
+    # same interop witness the duplex pytest pins (the from-scratch
+    # DECODER's exercise is the executor-side read-back below), and a
+    # py4j byte[] call measures ~43 ms serial vs ~6 ms across threads
+    # (round-13 optimization: the per-BLOCK serial loop was 2.3 s of
+    # pure py4j latency at 96-row blocks; threading the block list +
+    # 512-row blocks cuts the driver pass to ~0.2 s).
     jzstd = spark._jvm.com.github.luben.zstd.Zstd
+
+    def _fcs_of(frame: memoryview) -> int:
+        """Frame content size our own encoder always writes (RFC 8878
+        frame header; compress() emits single-segment 1-byte FCS for
+        tiny payloads, else windowed 2/4/8-byte FCS)."""
+        fhd = frame[4]
+        fcs_flag, single_seg = fhd >> 6, (fhd >> 5) & 1
+        p = 5 + (0 if single_seg else 1) + (0, 1, 2, 4)[fhd & 3]
+        if fcs_flag == 0:
+            if not single_seg:
+                raise ValueError("frame without content size")
+            return frame[p]
+        n_bytes = (0, 2, 4, 8)[fcs_flag]
+        val = int.from_bytes(frame[p : p + n_bytes], "little")
+        return val + 256 if fcs_flag == 1 else val
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _reframe(comp: bytes) -> bytes:
+        plain = bytes(jzstd.decompress(comp, _fcs_of(memoryview(comp))))
+        return bytes(jzstd.compress(plain, 3))
+
     for name in sorted(os.listdir(out)):
         if not name.endswith(".avro"):
             continue
@@ -3767,16 +3832,25 @@ def avro_zstandard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = bytearray(raw[:body_at])
         mv = memoryview(raw)
         pos = body_at
+        blocks: list[tuple[int, bytes, bytes]] = []
         while pos < len(raw):
             n_rows, p1 = read_long(mv, pos)
             size, p2 = read_long(mv, p1)
-            payload = zstd.decompress(mv[p2 : p2 + size])
-            reframed = bytes(jzstd.compress(payload, 3))
-            write_long(new, n_rows)
-            write_long(new, len(reframed))
-            new += reframed
-            new += mv[p2 + size : p2 + size + 16]  # sync marker
+            blocks.append(
+                (
+                    n_rows,
+                    bytes(mv[p2 : p2 + size]),
+                    bytes(mv[p2 + size : p2 + size + 16]),  # sync
+                )
+            )
             pos = p2 + size + 16
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            reframed = list(pool.map(_reframe, (b for _, b, _ in blocks)))
+        for (n_rows, _, sync), rf in zip(blocks, reframed):
+            write_long(new, n_rows)
+            write_long(new, len(rf))
+            new += rf
+            new += sync
         open(path, "wb").write(bytes(new))
     back = (
         spark.read.format("tgos_avro")
