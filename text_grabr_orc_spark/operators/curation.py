@@ -565,7 +565,15 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("cn"),
         )
     )
-    assigned = _nearest_centroid_assign(emb, cent)
+    from pyspark.storagelevel import StorageLevel
+
+    # both pair-join sides reference the assignment — persist so the
+    # broadcast centroid-scoring pass runs once per build, not once
+    # per side (round-13 optimization, guide §2.4; same fix as
+    # knn_graph_ivf)
+    assigned = _nearest_centroid_assign(emb, cent).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = assigned.select(
         F.col("centroid_id"),
         F.col("vec_id").alias("vec_a"),

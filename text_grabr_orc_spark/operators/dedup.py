@@ -961,6 +961,11 @@ def dedup_embedding_rhp_highsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("vec_id", "band_idx")
         .agg(F.sum("term").cast("bigint").alias("band_val"))
+        # both candidate-join sides reference this frame — persist so
+        # the O(n·bands·r) hyperplane-dot pass runs once per build,
+        # not once per side (round-13 optimization, guide §2.4);
+        # n x bands rows of three ints
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

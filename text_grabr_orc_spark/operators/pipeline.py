@@ -726,6 +726,14 @@ def chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % _SEM_B
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # v feeds the norm table AND both sides of the adjacent-window
+    # self-join; nr is referenced three times below (shifted copy,
+    # break join, chunk-id join). Un-materialized, each reference
+    # re-ran the corpus tokenize + per-token md5 inside one action
+    # (10 parquet scans in the plan — round-13 optimization, guide
+    # §2.4). Both frames are bounded by windows x occupied buckets.
     v = (
         pos.select(
             "doc_id",
@@ -734,11 +742,12 @@ def chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "win", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nr = v.groupBy("doc_id", "win").agg(
         F.sum(F.col("c") * F.col("c")).alias("nrm"),
         F.sum("c").alias("ntok"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = v.alias("a"), v.alias("b")
     dt = (
         a.join(

@@ -1663,8 +1663,15 @@ def triplet_mining_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("anchor_id", "same").orderBy(
         F.col("cos").desc(), F.col("cand")
     )
-    top = scored.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") == 1
+    from pyspark.storagelevel import StorageLevel
+
+    # p and n below both filter this frame — persist so the anchor x
+    # corpus scoring pass runs once, not once per argmax consumer
+    # (round-13 optimization, guide §2.4); one row per (anchor, same)
+    top = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     p = top.filter(F.col("same")).select(
         "anchor_id",
@@ -1778,8 +1785,16 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("cn"),
         )
     )
-    assigned = _nearest_centroid_assign(emb, cent).select(
-        "vec_id", "e", "n", "centroid_id"
+    from pyspark.storagelevel import StorageLevel
+
+    # both sides of the in-cell self-join reference the assignment —
+    # un-materialized, the O(n*sqrt(n)) centroid-scoring pass ran
+    # TWICE per action (round-13 optimization, guide §2.4); the
+    # persisted frame is one narrow row per vector
+    assigned = (
+        _nearest_centroid_assign(emb, cent)
+        .select("vec_id", "e", "n", "centroid_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = assigned.select(
         F.col("vec_id").alias("src"),
