@@ -148,10 +148,11 @@ BENCH_QUERIES = [
     "avro_millis_interop",
     "avro_time_of_day_interop",
     # round-13 close: the from-scratch RFC 8878 zstandard codec —
-    # store-mode frames written, every block recompressed by real
-    # zstd-jni, and the full FSE/Huffman decoder run on executors
-    # over block-range splits (~5 s steady at sf0.1: ~2.7 s
-    # driver-side recompression + entropy decode on every byte)
+    # fully entropy-coded frames written, every block reframed by real
+    # zstd-jni (threaded driver pass, round-13 optimization), and the
+    # full FSE/Huffman decoder run on executors over block-range
+    # splits (~2 s steady at sf0.1; was ~5 s with the serial
+    # per-block py4j loop at 96-row blocks)
     "avro_zstandard_roundtrip",
     # round-13 close: multi-branch unions as one-hot structs through
     # the writer's unions declaration (~2.3 s steady at sf0.1)

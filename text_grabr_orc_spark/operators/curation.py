@@ -914,12 +914,20 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes are map-side expressions plus two tiny equi-joins; the
     per-doc rollup is one shuffle keyed by doc_id."""
     docs = load_table(spark, sf_dir, "documents")
+    from pyspark.storagelevel import StorageLevel
+
+    # the gram table feeds the benchmark slice (twice, via the two
+    # bloom-position projections) AND the corpus probe side —
+    # un-materialized, the tokenize+shingle explode ran 3x+ inside one
+    # action (12 parquet scans in the plan; round-13 optimization,
+    # guide §2.4)
     grams = (
         docs.select("doc_id", tokens("text").alias("toks"))
         .select(
             "doc_id", shingles_from_tokens(F.col("toks"), _DECON_N).alias("grams")
         )
         .select("doc_id", F.explode("grams").alias("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bench_g = (
         grams.filter(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()

@@ -2192,7 +2192,10 @@ def dedup_longest_common_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "p",
         F.array_join(F.slice("toks", F.col("p"), _LCS_W), " ").alias("g"),
-    )
+        # g feeds the df-cap aggregate AND the postings join below —
+        # persist so the tokenize + gram-slice explode runs once per
+        # build, not once per consumer (round-13 optimization, §2.4)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     keep = g.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") <= _LCS_DF_CAP
     ).select("g")

@@ -1785,16 +1785,8 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("cn"),
         )
     )
-    from pyspark.storagelevel import StorageLevel
-
-    # both sides of the in-cell self-join reference the assignment —
-    # un-materialized, the O(n*sqrt(n)) centroid-scoring pass ran
-    # TWICE per action (round-13 optimization, guide §2.4); the
-    # persisted frame is one narrow row per vector
-    assigned = (
-        _nearest_centroid_assign(emb, cent)
-        .select("vec_id", "e", "n", "centroid_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = _nearest_centroid_assign(emb, cent).select(
+        "vec_id", "e", "n", "centroid_id"
     )
     a = assigned.select(
         F.col("vec_id").alias("src"),

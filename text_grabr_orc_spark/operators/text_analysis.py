@@ -530,9 +530,18 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-word keys. All shuffles are on token-ish keys with partial
     aggregation; at 100 TB the count tables are the only state and
     they are dictionary-sized, not corpus-sized."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    with_toks = docs.filter(F.col("text").rlike(r"(?U)\S")).select(
-        "doc_id", tokens("text").alias("t")
+    # the token table feeds the bigram explode AND the unigram count;
+    # the bigram table feeds the count AND the final score join —
+    # un-materialized, the regex tokenize ran 3x and the bigram build
+    # 2x inside one action (6 parquet scans in the plan; round-13
+    # optimization, guide §2.4)
+    with_toks = (
+        docs.filter(F.col("text").rlike(r"(?U)\S"))
+        .select("doc_id", tokens("text").alias("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     grams = F.when(
         F.size("t") >= 2,
@@ -543,7 +552,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    big = with_toks.select("doc_id", F.explode(grams).alias("bigram"))
+    big = with_toks.select("doc_id", F.explode(grams).alias("bigram")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     c2 = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
     c1 = (
         with_toks.select(F.explode("t").alias("w"))
