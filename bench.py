@@ -29,6 +29,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from text_grabr_orc_spark import registry
 from text_grabr_orc_spark.session import get_spark
 
+
+def _opcache_evictions() -> int:
+    try:
+        from text_grabr_orc_spark.opcache import eviction_count
+
+        return eviction_count()
+    except Exception:  # noqa: BLE001 — probe must never fail the bench
+        return -1
+
+
 #: headline set: one per operator family (SURVEY.md §2 / §7 M5)
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -381,6 +391,10 @@ def main() -> None:
         "membw_sec_pre": membw_pre,
         "membw_sec_post": membw_post,
         "warmup_failed": warmup_failed,
+        # opcache FIFO churn probe (round-14, VERDICT r13 #9): evicted
+        # entries across the whole run — 0 means the 12-entry cap
+        # never bit and a size bump would buy nothing
+        "opcache_evictions": _opcache_evictions(),
         "sf": sf_val,
     }
     print(json.dumps(full))
@@ -414,10 +428,19 @@ def main() -> None:
     except OSError as exc:
         print(f"# BENCH_FULL.jsonl append failed: {exc}", file=sys.stderr)
     # Compact summary as the LAST stdout line: the driver's artifact
-    # keeps the TAIL of stdout and the full per-query line above has
-    # been truncated past parseability three rounds running
-    # (BENCH_r05..r07 all "parsed": null) — the tail line must carry
-    # the headline on its own. Same driver contract shape.
+    # keeps a 2000-char TAIL of stdout and parses its last line, so
+    # the full per-query line above has been truncated past
+    # parseability whenever it came last (BENCH_r05..r07 all
+    # "parsed": null) — the tail line must carry the headline on its
+    # own. Round-14 (verdict #2): the driver's PERF comparator reads
+    # per-query timings from this same parsed line, so it now ALSO
+    # carries a `queries` dict — as many entries as fit the tail
+    # budget, slowest first (the complete set never fits: the 84
+    # query names alone are ~1.75k chars before any JSON syntax, and
+    # the contract forbids renaming). The elided remainder (fastest,
+    # floor-bound queries) is counted in `n_queries_elided` and fully
+    # present in the previous stdout line, BENCH_FULL.jsonl and
+    # BENCH_SUMMARY.json.
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(batch_wall, 3),
@@ -426,10 +449,9 @@ def main() -> None:
         "cold_total_sec": cold_total,
         "cache_build_total_sec": cache_build_total,
         "streaming_sec": round(stream_wall, 3),
-        "curve_exponents": {
-            k: v.get("exponent") for k, v in curve.items()
-        },
-        "curve_fit_kinds": {k: v.get("fit") for k, v in curve.items()},
+        # the per-family exponent/fit maps moved to BENCH_SUMMARY.json
+        # ("full" payload) to make room for `queries`; the ALARM
+        # signals a summary-only reader must not miss stay here.
         "curve_alarms": [
             k for k, v in curve.items() if v.get("alarm")
         ],
@@ -462,8 +484,25 @@ def main() -> None:
         "membw_sec_post": membw_post,
         "warmup_failed": warmup_failed,
         "sf": sf_val,
-        "note": "compact tail summary; full per-query JSON is the previous stdout line",
+        "note": "tail summary; COMPLETE per-query JSON is the previous stdout line",
     }
+    # Fill `queries` with as many per-query steady timings as keep the
+    # whole line under the driver's 2000-char stdout-tail budget,
+    # slowest queries first (they carry the perf signal; the elided
+    # tail is the sub-floor fastest). Values re-rounded to 2 decimals
+    # here only — full precision stays in the `full` line/artifacts.
+    _TAIL_BUDGET = 1970  # < 2000 so the final newline + jitter fit
+    picked: dict[str, float] = {}
+    summary["queries"] = picked
+    summary["n_queries_elided"] = len(timings)
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        trial = dict(picked)
+        trial[name] = round(timings[name], 2)
+        summary["n_queries_elided"] = len(timings) - len(trial)
+        if len(json.dumps({**summary, "queries": trial})) > _TAIL_BUDGET:
+            summary["n_queries_elided"] = len(timings) - len(picked)
+            break
+        picked[name] = round(timings[name], 2)
     try:
         with open(
             os.path.join(

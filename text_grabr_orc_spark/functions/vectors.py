@@ -1,11 +1,41 @@
 """Vector math over ``array<float>`` embedding columns as pure
-Catalyst expressions (``zip_with`` + ``aggregate``), so similarity
-search's hot path stays inside whole-stage codegen with no Python.
+Catalyst expressions, so similarity search's hot path stays inside
+the JVM with no Python.
 
 All math is done in double after an exact float->double widening, with
 strictly sequential summation — this makes results reproducible and
 lets the DuckDB oracle (``list_dot_product`` on DOUBLE lists) agree to
 the last ulp at test scale.
+
+Two expression forms, bit-identical results:
+
+- ``dim=None`` (generic): ``zip_with`` + ``aggregate`` higher-order
+  functions. Correct for any array length, but HOFs are
+  CodegenFallback — every pair join pays interpreted per-element
+  lambda evaluation with boxing (~2.5 us per 64-dim pair measured).
+- ``dim=D`` (hot path): a left-associated unrolled chain
+  ``0.0D + a[0]*b[0] + a[1]*b[1] + ...`` of ``GetArrayItem`` ops —
+  plain codegen-friendly expressions, measured ~3.5x faster per pair
+  in the join shape. The fold order is EXACTLY the sequential
+  ``aggregate`` fold (left-assoc chain seeded with 0.0), so the
+  doubles are bit-identical. Null semantics match on the fixture
+  contract (uniform-length arrays): a null array yields null either
+  way; arrays SHORTER than ``dim`` yield null here where ``aggregate``
+  would sum the prefix — callers pass the dimension their input
+  contract guarantees (embeddings are fixed-width by construction).
+  The chain is built as ONE SQL string through a single ``F.expr``
+  call: building it operator-by-operator in the DataFrame DSL costs
+  ~192 py4j round-trips per call site (~1.5 s of pure plan
+  CONSTRUCTION per query — measured; the reason a first cut of this
+  kernel regressed the bench), while the JVM parses the same 1.5 KB
+  expression in ~1 ms. The dim path therefore takes column NAMES,
+  not Column expressions.
+
+The unrolled chain compiles each fused join stage into one large
+codegen method; the session sets ``-XX:-DontCompileHugeMethods``
+(session.py) so HotSpot still JIT-compiles it — without that flag the
+fused stage runs interpreted bytecode forever and the chain is SLOWER
+than the HOF form (measured 18.7 vs 0.7 us/pair).
 """
 
 from __future__ import annotations
@@ -19,8 +49,26 @@ def to_double_array(vec: Column | str) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-sum dot product of two array<double> columns."""
+def _unrolled(terms: list[str]) -> Column:
+    """One-``F.expr`` left-associated ``0.0D + t0 + t1 + ...`` — the
+    exact IEEE-754 order of a sequential ``aggregate`` fold seeded
+    with 0.0 (SQL ``+`` is left-associative, ``*`` binds tighter)."""
+    return F.expr("0.0D + " + " + ".join(terms))
+
+
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Sequential-sum dot product of two array<double> columns.
+
+    With ``dim``, emits the codegen-friendly unrolled chain (use when
+    the array width is a static contract of the caller); ``a``/``b``
+    must then be column NAMES."""
+    if dim is not None:
+        assert isinstance(a, str) and isinstance(b, str)
+        return _unrolled(
+            [f"`{a}`[{i}] * `{b}`[{i}]" for i in range(dim)]
+        )
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -28,11 +76,39 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column | str, dim: int | None = None) -> Column:
+    if dim is not None:
+        assert isinstance(a, str)
+        return F.sqrt(
+            _unrolled([f"`{a}`[{i}] * `{a}`[{i}]" for i in range(dim)])
+        )
+    a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+def sq_dist(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Sequential-sum squared L2 distance — same fold-order contract
+    as ``dot``."""
+    if dim is not None:
+        assert isinstance(a, str) and isinstance(b, str)
+        return _unrolled(
+            [
+                f"(`{a}`[{i}] - `{b}`[{i}]) * (`{a}`[{i}] - `{b}`[{i}])"
+                for i in range(dim)
+            ]
+        )
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_similarity(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
     """Cosine similarity; 0.0 for zero-norm inputs instead of NaN so a
     degenerate vector can't poison a top-k ranking.
 
@@ -42,8 +118,8 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     ``cosine_from_parts``. The join boundary keeps each side's norm
     projection per-row — Catalyst never inlines one side's expressions
     into the pair expression above the join."""
-    d = dot(a, b)
-    na, nb = l2_norm(a), l2_norm(b)
+    d = dot(a, b, dim)
+    na, nb = l2_norm(a, dim), l2_norm(b, dim)
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
 
 

@@ -58,6 +58,9 @@ _LOCK = threading.Lock()
 #: counted twice and the attributed build time could exceed the
 #: query's own cold wall.
 _BUILD_SECONDS = 0.0
+#: entries evicted by the FIFO cap since process start — the round-14
+#: churn probe (VERDICT r13 #9: measure eviction churn before sizing).
+_EVICTIONS = 0
 _TLS = threading.local()
 
 
@@ -66,6 +69,12 @@ def build_seconds() -> float:
     this process (monotone; snapshot-and-diff for attribution)."""
     with _LOCK:
         return _BUILD_SECONDS
+
+
+def eviction_count() -> int:
+    """FIFO evictions so far this process (churn probe)."""
+    with _LOCK:
+        return _EVICTIONS
 
 
 def cached_frame(
@@ -108,8 +117,10 @@ def cached_frame(
             except Exception:
                 pass
             return winner
+        global _EVICTIONS
         while len(_CACHE) >= _CACHE_MAX:
             evicted = _CACHE.pop(next(iter(_CACHE)))
+            _EVICTIONS += 1
             try:
                 # DataFrame.unpersist on the SAME object that was
                 # persisted — actually frees the executor blocks

@@ -39,6 +39,7 @@ from text_grabr_orc_spark.functions.text import (
 )
 from text_grabr_orc_spark.functions.windows import bounded_window
 from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.pins import pin_frame
 from text_grabr_orc_spark.tables import load_table
 
 #: DuckDB fragment: Go strings.Fields-parity token array of ``text``.
@@ -574,6 +575,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _nearest_centroid_assign(emb, cent).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    pin_frame(assigned, "sem_clusters_assign", max_n=3)
     a = assigned.select(
         F.col("centroid_id"),
         F.col("vec_id").alias("vec_a"),
@@ -586,7 +588,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("eb"),
         F.col("n").alias("nb"),
     )
-    cos = cosine_from_parts(dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb"))
+    cos = cosine_from_parts(dot("ea", "eb", 64), F.col("na"), F.col("nb"))
     return (
         a.join(
             b,
@@ -929,6 +931,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("grams").alias("g"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pin_frame(grams, "bloom_grams", max_n=2)
     bench_g = (
         grams.filter(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
     )
@@ -1556,6 +1559,7 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
     from pyspark.storagelevel import StorageLevel
 
     words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    pin_frame(words, "bpe_words", max_n=3)
     merge_rows: list[tuple] = []
     cur = words
     for m in range(1, _BPE_N_MERGES + 1):
@@ -1700,6 +1704,7 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pin_frame(ranked, "waterfill_ranked", max_n=3)
     fits = (
         F.col("budget") - (F.col("pref") - F.col("n_tokens"))
     ) <= (F.col("s") - F.col("rk") + 1) * F.col("n_tokens")

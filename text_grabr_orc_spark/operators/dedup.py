@@ -40,6 +40,12 @@ from text_grabr_orc_spark.functions.text import (
 )
 from text_grabr_orc_spark.functions.windows import bounded_window
 from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.pins import pin_frame
+
+#: fixture embedding width — static contract of the embeddings table;
+#: passed to the unrolled codegen-friendly vector kernels (bit-identical
+#: fold order, see functions/vectors.py).
+_EMB_FIXED_DIM = 64
 from text_grabr_orc_spark.tables import load_table
 
 #: DuckDB fragment: distinct word 3-gram shingles of ``text`` (parity
@@ -670,7 +676,7 @@ def dedup_embedding_cosine(
     # float->double widening also runs once
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("e")
-    ).withColumn("n", l2_norm(F.col("e")))
+    ).withColumn("n", l2_norm("e", _EMB_FIXED_DIM))
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("e").alias("ea"),
@@ -681,7 +687,7 @@ def dedup_embedding_cosine(
         F.col("e").alias("eb"),
         F.col("n").alias("nb"),
     )
-    cos = cosine_from_parts(dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb"))
+    cos = cosine_from_parts(dot("ea", "eb", _EMB_FIXED_DIM), F.col("na"), F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= threshold)
@@ -741,7 +747,7 @@ def dedup_embedding_rhp(
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", to_double_array("embedding").alias("e"))
-        .withColumn("n", l2_norm(F.col("e")))
+        .withColumn("n", l2_norm("e", _EMB_FIXED_DIM))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     hyp = F.broadcast(
@@ -757,7 +763,7 @@ def dedup_embedding_rhp(
         .select(
             "vec_id",
             F.when(
-                dot(F.col("e"), F.col("he")) > 0,
+                dot("e", "he", _EMB_FIXED_DIM) > 0,
                 F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hid AS INT))"),
             )
             .otherwise(F.lit(0).cast("bigint"))
@@ -804,7 +810,7 @@ def dedup_embedding_rhp(
     vb = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("n").alias("nb")
     )
-    cos = cosine_from_parts(dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb"))
+    cos = cosine_from_parts(dot("ea", "eb", _EMB_FIXED_DIM), F.col("na"), F.col("nb"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -936,9 +942,10 @@ def dedup_embedding_rhp_highsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = (
         base.unionByName(dups)
-        .withColumn("n", l2_norm(F.col("e")))
+        .withColumn("n", l2_norm("e", _EMB_FIXED_DIM))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pin_frame(aug, "rhp_hs_emb", max_n=3)
     # r from one metadata-cheap count; n_aug = n·(1 + 1/stride)
     r = _hs_band_bits(aug.count())
     n_planes = _HS_BANDS * r
@@ -953,7 +960,7 @@ def dedup_embedding_rhp_highsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.expr(f"CAST(hid DIV {r} AS INT)").alias("band_idx"),
             F.when(
-                dot(F.col("e"), F.col("he")) > 0,
+                dot("e", "he", _EMB_FIXED_DIM) > 0,
                 F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(hid % {r} AS INT))"),
             )
             .otherwise(F.lit(0).cast("bigint"))
@@ -967,6 +974,7 @@ def dedup_embedding_rhp_highsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         # n x bands rows of three ints
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pin_frame(bands, "rhp_hs_bands", max_n=3)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -986,7 +994,7 @@ def dedup_embedding_rhp_highsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = aug.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("n").alias("nb")
     )
-    cos = cosine_from_parts(dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb"))
+    cos = cosine_from_parts(dot("ea", "eb", _EMB_FIXED_DIM), F.col("na"), F.col("nb"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -1422,48 +1430,60 @@ def two_phase_cc(
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def _two_phase_round(cur: DataFrame) -> DataFrame:
+    """ONE large-star + small-star rewiring round (lazy plan)."""
+    # large-star: from each center v, connect every LARGER
+    # neighbor to min(N(v) + {v}). Edges processed from their
+    # smaller endpoint keep the graph connected.
+    sym = cur.select(F.col("hi").alias("v"), F.col("lo").alias("u")).union(
+        cur.select(F.col("lo").alias("v"), F.col("hi").alias("u"))
+    )
+    mins = (
+        sym.groupBy("v")
+        .agg(F.min("u").alias("mu"))
+        .select("v", F.least("mu", "v").alias("m"))
+    )
+    # no distinct here: duplicate (hi, lo) rows cannot change the
+    # small-star min-aggregate below, only fan out the tiny join,
+    # and the round's final distinct cleans the output — dropping
+    # it saves one full shuffle per round
+    ls = (
+        sym.filter(F.col("u") > F.col("v"))
+        .join(mins, "v")
+        .select(F.col("u").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+    )
+    # small-star: from each center (a canonical hi), connect its
+    # smaller neighbors AND itself to their minimum.
+    mins2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+    return (
+        ls.join(mins2, "hi")
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        .union(mins2.select(F.col("hi"), F.col("m").alias("lo")))
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
 def _two_phase_cc_loop(
     cur: DataFrame, max_iter: int
 ) -> tuple[DataFrame, int]:
     rounds = 0
-    for _ in range(max_iter):
+    while rounds < max_iter:
+        # ONE rewiring round per materialization. Batching TWO lazy
+        # rounds per checkpoint+probe job was tried this round
+        # (VERDICT r13 #3) and REVERTED on measurement: the inner
+        # round's un-materialized subtree re-executes at several
+        # leaves of the outer round's plan (ReuseExchange does not
+        # dedupe enough of it), and the same-session A/B read
+        # old 3.4-5.1 s vs batched 6.0-7.3 s at sf0.1 — per-job
+        # latency is NOT the dominant term at this edge-set size.
         rounds += 1
-        # large-star: from each center v, connect every LARGER
-        # neighbor to min(N(v) + {v}). Edges processed from their
-        # smaller endpoint keep the graph connected.
-        sym = cur.select(F.col("hi").alias("v"), F.col("lo").alias("u")).union(
-            cur.select(F.col("lo").alias("v"), F.col("hi").alias("u"))
-        )
-        mins = (
-            sym.groupBy("v")
-            .agg(F.min("u").alias("mu"))
-            .select("v", F.least("mu", "v").alias("m"))
-        )
-        # no distinct here: duplicate (hi, lo) rows cannot change the
-        # small-star min-aggregate below, only fan out the tiny join,
-        # and the round's final distinct cleans the output — dropping
-        # it saves one full shuffle per round
-        ls = (
-            sym.filter(F.col("u") > F.col("v"))
-            .join(mins, "v")
-            .select(F.col("u").alias("hi"), F.col("m").alias("lo"))
-            .filter(F.col("hi") != F.col("lo"))
-        )
-        # small-star: from each center (a canonical hi), connect its
-        # smaller neighbors AND itself to their minimum.
-        mins2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
         nxt = (
-            ls.join(mins2, "hi")
-            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
-            .union(mins2.select(F.col("hi"), F.col("m").alias("lo")))
-            .filter(F.col("hi") != F.col("lo"))
-            .distinct()
             # LAZY checkpoint: the convergence-probe aggregate right
             # below is the materializing action, so each round costs
-            # ONE driver job instead of checkpoint-then-probe's two —
-            # on post-contraction edge sets the per-round wall time is
-            # all fixed scheduling, and this halves it
-            .localCheckpoint(eager=False)
+            # ONE driver job instead of checkpoint-then-probe's two
+            _two_phase_round(cur).localCheckpoint(eager=False)
         )
         # convergence via the star-forest CERTIFICATE instead of
         # compare-to-previous: the round's edge set is a fixpoint iff
@@ -2014,17 +2034,13 @@ def dedup_embedding_jl(
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
     )
-    dot64 = F.aggregate(
-        F.zip_with("ea", "eb", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    from text_grabr_orc_spark.functions.vectors import dot, l2_norm
+
+    dot64 = dot("ea", "eb", _EMB_FIXED_DIM)
+    cos64 = dot64 / (
+        l2_norm("ea", _EMB_FIXED_DIM)
+        * l2_norm("eb", _EMB_FIXED_DIM)
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    cos64 = dot64 / (norm(F.col("ea")) * norm(F.col("eb")))
     return (
         cand.join(v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")), "vec_a")
         .join(v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")), "vec_b")
@@ -2196,10 +2212,12 @@ def dedup_longest_common_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persist so the tokenize + gram-slice explode runs once per
         # build, not once per consumer (round-13 optimization, §2.4)
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    pin_frame(g, "lcs_g", max_n=2)
     keep = g.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") <= _LCS_DF_CAP
     ).select("g")
     gk = g.join(keep, "g").persist(StorageLevel.MEMORY_AND_DISK)
+    pin_frame(gk, "lcs_gk", max_n=2)
     a = gk.select(
         F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "g"
     )
@@ -2851,14 +2869,14 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("e")
-    ).withColumn("n", l2_norm(F.col("e")))
+    ).withColumn("n", l2_norm("e", _EMB_FIXED_DIM))
     a = emb.select(
         F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("n").alias("na")
     )
     b = emb.select(
         F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("n").alias("nb")
     )
-    cos = cosine_from_parts(dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb"))
+    cos = cosine_from_parts(dot("ea", "eb", _EMB_FIXED_DIM), F.col("na"), F.col("nb"))
     binned = (
         a.join(b, F.col("va") < F.col("vb"))
         .select(cos.alias("cos"))

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from text_grabr_orc_spark.functions.text import ORACLE_WS_RUN, tokens
 from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.pins import pin_frame
 from text_grabr_orc_spark.tables import load_table
 
 #: DuckDB fragment: Go strings.Fields-parity token array of ``text``.
@@ -143,6 +144,7 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = keys.withColumn("L", F.length("key")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    pin_frame(keys, "fuzzy_keys", max_n=3)
     # join on the 8-byte hash of the variant, not the string: the
     # shuffle carries ints instead of ~20-char strings, and a hash
     # collision can only ADD a candidate pair, which the exact
@@ -153,6 +155,7 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.expr(_variants_expr()), lambda v: F.xxhash64(v))
         ).alias("variant"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    pin_frame(variants, "fuzzy_variants", max_n=3)
     # the exchange carries ONLY (doc_id, variant-hash) int pairs; key
     # strings rejoin after the candidate pairs are distinct'd, from
     # the doc->key table (corpus-row-count sized, not variant-sized)

@@ -26,6 +26,7 @@ from text_grabr_orc_spark.operators.text_analysis import (
     lang_id,
     quality_columns,
 )
+from text_grabr_orc_spark.pins import pin_frame
 from text_grabr_orc_spark.registry import register
 from text_grabr_orc_spark.tables import load_table
 
@@ -744,10 +745,12 @@ def chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pin_frame(v, "chunk_sem_v", max_n=3)
     nr = v.groupBy("doc_id", "win").agg(
         F.sum(F.col("c") * F.col("c")).alias("nrm"),
         F.sum("c").alias("ntok"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    pin_frame(nr, "chunk_sem_n", max_n=3)
     a, b = v.alias("a"), v.alias("b")
     dt = (
         a.join(

@@ -24,9 +24,11 @@ from text_grabr_orc_spark.functions.vectors import (
     cosine_from_parts,
     dot,
     l2_norm,
+    sq_dist,
     to_double_array,
 )
 from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.pins import pin_frame
 from text_grabr_orc_spark.tables import load_table
 
 #: DuckDB cosine over double-widened lists (sequential sums — agrees
@@ -35,6 +37,12 @@ _DK_COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
+
+#: fixture embedding dimensionality — used both by the oracle (which
+#: unrolls the component index) and by the unrolled codegen-friendly
+#: dot/l2_norm kernels (bit-identical fold order, see
+#: functions/vectors.py).
+_EMB_DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,7 +56,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("e"), "label"
     )
-    return base.withColumn("n", l2_norm(F.col("e")))
+    return base.withColumn("n", l2_norm("e", _EMB_DIM))
 
 
 @register(
@@ -87,7 +95,7 @@ def similarity_topk_bruteforce(
             F.col("n").alias("qn"),
         )
     )
-    cos = cosine_from_parts(dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n"))
+    cos = cosine_from_parts(dot("qe", "e", _EMB_DIM), F.col("qn"), F.col("n"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -192,7 +200,7 @@ def _nearest_centroid_assign(emb: DataFrame, cent) -> DataFrame:
     centroid_id ASC: struct comparison is lexicographic and
     -centroid_id makes the pair unique, so the argmax is
     deterministic."""
-    ccos = cosine_from_parts(dot(F.col("e"), F.col("ce")), F.col("n"), F.col("cn"))
+    ccos = cosine_from_parts(dot("e", "ce", _EMB_DIM), F.col("n"), F.col("cn"))
     return (
         emb.crossJoin(cent)
         .select("vec_id", "e", "n", "centroid_id", ccos.alias("ccos"))
@@ -228,7 +236,7 @@ def _ivf_probe_search(
             "query_id", "qe", "qn",
             "centroid_id",
             cosine_from_parts(
-                dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn")
+                dot("qe", "ce", _EMB_DIM), F.col("qn"), F.col("cn")
             ).alias("pcos"),
         )
         .withColumn("prk", F.row_number().over(pw))
@@ -236,7 +244,7 @@ def _ivf_probe_search(
         .select("query_id", "qe", "qn", "centroid_id")
     )
     # search only probed buckets
-    cos = cosine_from_parts(dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n"))
+    cos = cosine_from_parts(dot("qe", "e", _EMB_DIM), F.col("qn"), F.col("n"))
     rw = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -306,7 +314,7 @@ def similarity_filtered_topk(
             F.col("n").alias("qn"),
         )
     )
-    cos = cosine_from_parts(dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n"))
+    cos = cosine_from_parts(dot("qe", "e", _EMB_DIM), F.col("qn"), F.col("n"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -429,7 +437,7 @@ def similarity_topk_rhp_lsh(
         .select(
             "vec_id",
             F.when(
-                dot(F.col("e"), F.col("he")) > 0,
+                dot("e", "he", _EMB_DIM) > 0,
                 F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hid AS INT))"),
             )
             .otherwise(F.lit(0))
@@ -473,7 +481,7 @@ def similarity_topk_rhp_lsh(
         F.col("e").alias("ce"),
         F.col("n").alias("cn"),
     )
-    cos = cosine_from_parts(dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn"))
+    cos = cosine_from_parts(dot("qe", "ce", _EMB_DIM), F.col("qn"), F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -492,9 +500,6 @@ def similarity_topk_rhp_lsh(
     )
 
 
-#: fixture embedding dimensionality — the Spark side is dim-agnostic
-#: (posexplode), the oracle unrolls the component index over this.
-_EMB_DIM = 64
 
 #: fixed-point scale for exact cross-engine k-means component means
 #: (same device as similarity_topk_pq_trained: floor(v * 1e12) makes
@@ -650,7 +655,7 @@ def similarity_topk_ivf_kmeans(
                 "centroid_id",
                 F.coalesce("ce_new", "ce_prev").alias("ce"),
             )
-            .withColumn("cn", l2_norm(F.col("ce")))
+            .withColumn("cn", l2_norm("ce", _EMB_DIM))
             .localCheckpoint()
         )
         cent = F.broadcast(cent_plain)
@@ -751,11 +756,7 @@ def similarity_topk_pq(
             "j", F.col("vec_id").cast("int").alias("c"), F.col("s").alias("cs")
         )
     )
-    sq = F.aggregate(
-        F.zip_with("s", "cs", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    sq = sq_dist("s", "cs", _PQ_SUB)
     dists = sub.join(cent, "j").select(
         "vec_id",
         "j",
@@ -1046,7 +1047,7 @@ def bitext_mining_margin(
             F.col("n").alias("qn"),
         )
     )
-    cos = cosine_from_parts(dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n"))
+    cos = cosine_from_parts(dot("qe", "e", _EMB_DIM), F.col("qn"), F.col("n"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cand_id")
     )
@@ -1218,6 +1219,7 @@ def similarity_topk_ivf_pq(
         .select("vec_id", "e", "n")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pin_frame(emb, "ivf_pq_emb", max_n=3)
     cent = F.broadcast(
         emb.filter(F.col("vec_id") % centroid_stride == 0).select(
             F.col("vec_id").alias("centroid_id"),
@@ -1244,11 +1246,7 @@ def similarity_topk_ivf_pq(
             "j", F.col("vec_id").cast("int").alias("c"), F.col("s").alias("cs")
         )
     )
-    sq = F.aggregate(
-        F.zip_with("s", "cs", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    sq = sq_dist("s", "cs", _PQ_SUB)
     enc = (
         rsub.join(cb, "j")
         .select(
@@ -1286,7 +1284,7 @@ def similarity_topk_ivf_pq(
             "centroid_id",
             "ce",
             cosine_from_parts(
-                dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn")
+                dot("qe", "ce", _EMB_DIM), F.col("qn"), F.col("cn")
             ).alias("pcos"),
             "qe",
         )
@@ -1304,11 +1302,7 @@ def similarity_topk_ivf_pq(
         "j",
         F.expr(f"slice(qr, j * {_PQ_SUB} + 1, {_PQ_SUB})").alias("qs"),
     )
-    qsq = F.aggregate(
-        F.zip_with("qs", "cs", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    qsq = sq_dist("qs", "cs", _PQ_SUB)
     qd = F.broadcast(
         qsub.join(cb, "j").select(
             "query_id",
@@ -1649,7 +1643,7 @@ def triplet_mining_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cos = cosine_from_parts(
-        dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n")
+        dot("qe", "e", _EMB_DIM), F.col("qn"), F.col("n")
     )
     scored = (
         emb.join(anchors, F.col("vec_id") != F.col("anchor_id"))
@@ -1673,6 +1667,7 @@ def triplet_mining_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pin_frame(top, "triplet_top", max_n=3)
     p = top.filter(F.col("same")).select(
         "anchor_id",
         F.col("cand").alias("pos_id"),
@@ -1801,7 +1796,7 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_id",
     )
     cos = cosine_from_parts(
-        dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+        dot("ea", "eb", _EMB_DIM), F.col("na"), F.col("nb")
     )
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
     return (
@@ -1899,7 +1894,7 @@ def similarity_index_persisted(
             "qn",
             "centroid_id",
             cosine_from_parts(
-                dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn")
+                dot("qe", "ce", _EMB_DIM), F.col("qn"), F.col("cn")
             ).alias("pcos"),
         )
         .withColumn("prk", F.row_number().over(pw))
@@ -1914,7 +1909,7 @@ def similarity_index_persisted(
         F.col("centroid_id").isin(touched)
     )
     cos = cosine_from_parts(
-        dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("n")
+        dot("qe", "e", _EMB_DIM), F.col("qn"), F.col("n")
     )
     rw = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -2208,7 +2203,7 @@ def decontaminate_semantic(
     )
     corp = emb.filter(F.col("vec_id") % mod != 0)
     cos = cosine_from_parts(
-        dot(F.col("e"), F.col("be")), F.col("n"), F.col("bn")
+        dot("e", "be", _EMB_DIM), F.col("n"), F.col("bn")
     )
     best = (
         corp.crossJoin(bench)
@@ -2324,7 +2319,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e").alias("qe"), F.col("n").alias("qn")
         )
     )
-    rel = cosine_from_parts(dot(F.col("e"), F.col("qe")), F.col("n"), F.col("qn"))
+    rel = cosine_from_parts(dot("e", "qe", _EMB_DIM), F.col("n"), F.col("qn"))
     pool = (
         emb.crossJoin(q)
         .filter(F.col("vec_id") != _MMR_QUERY_ID)
@@ -2340,7 +2335,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = pool.select(
         F.col("vec_id").alias("ib"), F.col("e").alias("eb"), F.col("n").alias("nb")
     )
-    sim = cosine_from_parts(dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb"))
+    sim = cosine_from_parts(dot("ea", "eb", _EMB_DIM), F.col("na"), F.col("nb"))
     pairs = a.join(b, F.col("ia") != F.col("ib")).select(
         "ia", "ib", sim.alias("s")
     )  # 132 rows, collected once below — no checkpoint needed
@@ -2384,7 +2379,14 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # mirror the former agg-over-empty max_by: one all-null row
             picked.append((t, None, None, None))
             continue
-        mmr_v, vid = max(scored, key=lambda p: (p[0], -p[1]))
+        # NaN guard (round-13 verdict #5): Spark's max_by orders NaN
+        # LARGEST while a bare Python comparison is poisoned by it —
+        # rank NaN explicitly above every finite score so a
+        # hypothetical NaN cosine (zero-norm vectors are already
+        # mapped to 0.0 upstream) picks the same row both ways.
+        mmr_v, vid = max(
+            scored, key=lambda p: (p[0] != p[0], p[0], -p[1])
+        )
         picked.append((t, vid, mmr_v, rel_of[vid]))
         chosen.append(vid)
     out = spark.createDataFrame(

@@ -20,6 +20,7 @@ from text_grabr_orc_spark.functions.text import (
 )
 from text_grabr_orc_spark.functions.windows import bounded_window
 from text_grabr_orc_spark.registry import register
+from text_grabr_orc_spark.pins import pin_frame
 from text_grabr_orc_spark.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -543,6 +544,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tokens("text").alias("t"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pin_frame(with_toks, "bigram_toks", max_n=3)
     grams = F.when(
         F.size("t") >= 2,
         F.transform(
@@ -555,6 +557,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = with_toks.select("doc_id", F.explode(grams).alias("bigram")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    pin_frame(big, "bigram_big", max_n=3)
     c2 = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
     c1 = (
         with_toks.select(F.explode("t").alias("w"))
@@ -1543,7 +1546,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", to_double_array("embedding").alias("e"))
-        .withColumn("n", l2_norm(F.col("e")))
+        .withColumn("n", l2_norm("e", 64))
     )
     seed = F.broadcast(
         bm.filter(F.col("rk") == 1)
@@ -1551,7 +1554,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb, F.col("vec_id") == F.col("seed_id"))
         .select("seed_id", F.col("e").alias("se"), F.col("n").alias("sn"))
     )
-    cos = cosine_from_parts(dot(F.col("e"), F.col("se")), F.col("n"), F.col("sn"))
+    cos = cosine_from_parts(dot("e", "se", 64), F.col("n"), F.col("sn"))
     dense = (
         emb.crossJoin(seed)
         .filter(F.col("vec_id") != F.col("seed_id"))

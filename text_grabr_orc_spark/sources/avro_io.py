@@ -2116,8 +2116,14 @@ def fast_pylist(arr):
         names = [t.field(i).name for i in range(t.num_fields)]
         children = [fast_pylist(arr.field(i)) for i in range(t.num_fields)]
         out = [dict(zip(names, vals)) for vals in zip(*children)]
-        if len(out) != len(arr):  # zero-field struct: zip(*[]) is empty
-            out = [{} for _ in range(len(arr))]
+        if len(out) != len(arr):
+            if t.num_fields:
+                # a child/parent length mismatch (e.g. a future pyarrow
+                # changing slice semantics) must fall back, not be
+                # silently repaired (round-13 ADVICE)
+                return arr.to_pylist()
+            out = [{} for _ in range(len(arr))]  # zero-field struct:
+            # zip(*[]) is empty
     else:
         return arr.to_pylist()
     if arr.null_count:
