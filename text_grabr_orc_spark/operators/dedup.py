@@ -1711,7 +1711,12 @@ def dedup_incremental_minhash_state(
         .distinct()
     )
     # exact verify on the candidate set only (shingles recomputed for
-    # exactly the docs involved — candidate-mass-bounded)
+    # exactly the docs involved — candidate-mass-bounded). Round-14
+    # note: prefiltering each side's documents to the collided ids
+    # BEFORE shingling (semi-join or blocking broadcast) was measured
+    # and REVERTED — 2.60 s -> 2.74-2.91 s steady; at this batch size
+    # the extra candidate materialization and prefilter joins cost
+    # more than the corpus shingle pass they save.
     sh = hashed_shingle_table(nonblank)
     sha = sh.select(F.col("doc_id").alias("corpus_doc"), F.col("hs").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_new"), F.col("hs").alias("sh_b"))
@@ -2347,7 +2352,12 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "p",
         F.array_join(F.slice("toks", F.col("p"), _XS_L), " ").alias("g"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # g feeds the dup-count aggregate AND the postings join — persist
+    # so the corpus tokenize + gram-slice explode runs once per build,
+    # not once per consumer (round-14; same §2.4 move as the LCS
+    # operator's r13 persist). Corpus-token-sized: pinned max_n=2.
+    pin_frame(g, "xs_g", max_n=2)
     dup = (
         g.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -729,57 +729,64 @@ def chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.storagelevel import StorageLevel
 
-    # v feeds the norm table AND both sides of the adjacent-window
-    # self-join; nr is referenced three times below (shifted copy,
-    # break join, chunk-id join). Un-materialized, each reference
-    # re-ran the corpus tokenize + per-token md5 inside one action
-    # (10 parquet scans in the plan — round-13 optimization, guide
-    # §2.4). Both frames are bounded by windows x occupied buckets.
+    # One DENSE {b}-slot count vector per (doc, win) — round-14
+    # restructure (guide §2.4): the former sparse layout kept a
+    # (doc, win, bucket, c) table that fed a norm aggregate AND both
+    # sides of a bucket-equi self-join, then three more (doc, win)
+    # joins to assemble dot/norm/break — 22 Exchanges of tiny frames,
+    # all fixed shuffle latency. Dense vectors make the adjacent-
+    # window compare ONE equi-join with the dot as an unrolled
+    # integer chain (codegen; counts are exact integers, so
+    # summation order is immaterial and the oracle match is
+    # unchanged by construction). Plan: 22 -> ~8 Exchanges.
     v = (
         pos.select(
             "doc_id",
             F.floor(F.col("pos") / _SEM_W).cast("bigint").alias("win"),
-            bucket.alias("bucket"),
+            bucket.cast("int").alias("bucket"),
         )
         .groupBy("doc_id", "win", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dense = "array(" + ", ".join(
+        f"coalesce(element_at(m, {i}), 0L)" for i in range(_SEM_B)
+    ) + ")"
+    # w is referenced three times (both compare sides + chunk-id
+    # pass) — persist so the corpus tokenize + md5 runs once per
+    # build; windows x 64-slot longs, window-count bounded.
+    w_frame = (
+        v.groupBy("doc_id", "win")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "c"))
+            ).alias("m"),
+            F.sum(F.col("c") * F.col("c")).alias("nrm"),
+            F.sum("c").alias("ntok"),
+        )
+        .select("doc_id", "win", F.expr(dense).alias("vec"), "nrm", "ntok")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pin_frame(v, "chunk_sem_v", max_n=3)
-    nr = v.groupBy("doc_id", "win").agg(
-        F.sum(F.col("c") * F.col("c")).alias("nrm"),
-        F.sum("c").alias("ntok"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    pin_frame(nr, "chunk_sem_n", max_n=3)
-    a, b = v.alias("a"), v.alias("b")
-    dt = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.win") + 1 == F.col("b.win"))
-            & (F.col("a.bucket") == F.col("b.bucket")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("b.win").alias("win"))
-        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    pin_frame(w_frame, "chunk_sem_w", max_n=3)
+    dot = F.expr(
+        " + ".join(f"vec_prev[{i}] * vec[{i}]" for i in range(_SEM_B))
     )
-    n1 = nr.select(
-        "doc_id", (F.col("win") + 1).alias("win"), F.col("nrm").alias("nrm_prev")
+    prevw = w_frame.select(
+        "doc_id",
+        (F.col("win") + 1).alias("win"),
+        F.col("vec").alias("vec_prev"),
+        F.col("nrm").alias("nrm_prev"),
     )
-    brk = (
-        nr.join(n1, ["doc_id", "win"])
-        .join(dt, ["doc_id", "win"], "left")
-        .select(
-            "doc_id",
-            "win",
-            (
-                16
-                * F.coalesce(F.col("dot"), F.lit(0))
-                * F.coalesce(F.col("dot"), F.lit(0))
-                < F.col("nrm_prev") * F.col("nrm")
-            )
-            .cast("int")
-            .alias("is_break"),
-        )
+    # fused adjacent-window compare: the dense dot IS the former dt
+    # aggregate (missing bucket overlap contributes 0 — identical to
+    # the oracle's coalesce(dot, 0)), and the break decision rides
+    # the same joined row, replacing the former nr x n1 x dt
+    # three-way join
+    brk = w_frame.join(prevw, ["doc_id", "win"]).select(
+        "doc_id",
+        "win",
+        (16 * dot * dot < F.col("nrm_prev") * F.col("nrm"))
+        .cast("int")
+        .alias("is_break"),
     )
     wc = (
         Window.partitionBy("doc_id")
@@ -787,7 +794,7 @@ def chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cid = (
-        nr.join(brk, ["doc_id", "win"], "left")
+        w_frame.join(brk, ["doc_id", "win"], "left")
         .select(
             "doc_id",
             "win",

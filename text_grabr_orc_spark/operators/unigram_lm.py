@@ -176,7 +176,10 @@ def _em_round(grid: DataFrame, probs: DataFrame) -> DataFrame:
         ).alias("parr"),
     )
     # forward: al[m] = alpha_{m-1}; al[1] = 1; alpha_i sums k = 1..K
-    # in fixed order (identical operation sequence to the oracle)
+    # in fixed order (identical operation sequence to the oracle).
+    # (An Arrow-batch kernel replacing these two folds was measured
+    # this round and REVERTED as a wash — the vocabulary-bounded fold
+    # is not the dominant term; see OPTIMIZATION_r14.md §7.)
     def _fwd_step(acc, i):
         terms = None
         for k in range(1, K + 1):
@@ -224,8 +227,41 @@ def _em_round(grid: DataFrame, probs: DataFrame) -> DataFrame:
             _bwd_step,
         ).alias("bt"),
     )
-    occ = gp.filter(F.col("piece").isNotNull()).join(
-        ab.select("w", "al", "bt"), "w"
+    # occurrences re-derived from the per-word row itself (round-14,
+    # guide §2.4): piece = substring(w, ...) and pv = parr[(i-1)*K+k]
+    # are both recoverable from (w, parr), so the former
+    # grid-sized-join-back (|grid| rows joined against ab, with gp
+    # evaluated a second time under the join) becomes a narrow
+    # re-explode of the |words| ab rows — same (piece, contribution)
+    # multiset, bit-identically (parr[(i-1)*K+k] IS that slot's pv by
+    # construction of the sorted flat array)
+    occ = (
+        ab.select(
+            "w",
+            "n",
+            "L",
+            "parr",
+            "al",
+            "bt",
+            F.explode(F.sequence(F.lit(1), F.col("L"))).alias("i"),
+        )
+        .select(
+            "w", "n", "L", "parr", "al", "bt", "i",
+            F.explode(F.sequence(F.lit(1), F.lit(K))).alias("k"),
+        )
+        .filter(F.col("k") <= F.col("i"))
+        .select(
+            F.expr("substring(w, i - k + 1, k)").alias("piece"),
+            "n",
+            "L",
+            "i",
+            "k",
+            "al",
+            "bt",
+            F.element_at(
+                "parr", ((F.col("i") - 1) * K + F.col("k")).cast("int")
+            ).alias("pv"),
+        )
     )
     # expected count of the occurrence (end i, length k):
     #   alpha_{i-k} * p * beta_i / alpha_L * n
